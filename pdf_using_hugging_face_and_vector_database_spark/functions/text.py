@@ -1,0 +1,77 @@
+"""Text-analysis expressions: tokenization, quality features,
+language-ID scoring — the LLM-data-pipeline operator family
+(BASELINE.json north star), all as pure SQL expressions so they run
+JVM-side at 100 TB and are reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Deliberately short: the heuristic is the
+# operator; the lexicon is a pluggable parameter.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "und", "die", "ist", "mit"),
+    "es": ("el", "la", "de", "es", "con"),
+    "fr": ("le", "la", "et", "est", "avec"),
+    "zh": ("shi", "de", "he", "zai", "you"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empties dropped (portable: split + filter)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring, via length arithmetic —
+    identical semantics in Spark and DuckDB (no regex dialect issues)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Count of marker-word occurrences (space-delimited match)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    out = F.lit(0)
+    for w in words:
+        out = out + occurrence_count(padded, f" {w} ")
+    return out
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, ws) for lang, ws in LANG_MARKERS.items()}
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of chars that are . , ; : ! ? — a quality-score feature."""
+    text = F.col(text) if isinstance(text, str) else text
+    stripped = text
+    for ch in ".,;:!?":
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    return (F.length(text) - F.length(stripped)).cast("double") / F.greatest(
+        F.length(text).cast("double"), F.lit(1.0)
+    )
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """All character n-grams of a string as an array (for Jaccard /
+    MinHash shingling). Pure SQL: transform over a position sequence."""
+    return F.when(
+        F.length(text) < n, F.array(text)
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - F.lit(n - 1)),
+            lambda i: F.substring(text, i, F.lit(n)),
+        )
+    )

@@ -1,0 +1,45 @@
+"""Vector math over ``array<float|double>`` columns, as pure SQL
+expressions (no UDF — stays inside whole-stage codegen).
+
+The reference's similarity space is 384-d cosine
+(``streamlit_app.py:49``). Cosine over arrays is a left-fold dot
+product; all arithmetic is done in DOUBLE with a sequential
+left-to-right fold so results are bit-identical to the DuckDB oracle's
+``list_dot_product(a::DOUBLE[], b::DOUBLE[])``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """cos(a, b) = a·b / (‖a‖‖b‖)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize an array column (double components).
+
+    On the unit sphere ‖a−b‖² = 2−2·cos(a,b), so Euclidean-LSH bucket
+    order is cosine order — this is the precondition for the ANN path
+    (SURVEY.md §2.4 Q3).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    norm = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / norm)

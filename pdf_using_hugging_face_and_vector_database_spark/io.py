@@ -1,0 +1,49 @@
+"""Table readers/writers.
+
+All inputs are parquet (columnar, predicate-pushdown + column-pruning
+friendly). At cluster scale the vectors table is written partitioned by
+a metadata column so Q4 metadata-filtered search gets partition pruning
+for free (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TESTDATA_TABLES
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def write_vectors(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: str | None = None,
+) -> None:
+    """Persist a vectors table (reference S8 sink, `streamlit_app.py:106-112`).
+
+    ``partition_by`` a low-cardinality metadata column (e.g. ``source``)
+    so metadata-filtered search (Q4) prunes whole partitions at scale.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)

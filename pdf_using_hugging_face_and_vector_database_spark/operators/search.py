@@ -1,0 +1,108 @@
+"""Q1-Q5 — the query surface implied by the reference's index DDL
+(``create_index(dimension=384, metric='cosine')``,
+`streamlit_app.py:49`): cosine top-k, batch kNN similarity join,
+metadata-filtered search, ANN, point fetch/delete.
+
+Physical shapes (what .explain should show):
+
+- Q1 single-query top-k: scan -> project(score) -> TakeOrderedAndProject.
+  No shuffle of the corpus; the query vector is a folded literal.
+- Q2 batch kNN: corpus JOIN broadcast(queries) -> score -> window
+  row_number per query <= k. The corpus never shuffles; only the small
+  query side broadcasts. (A cross join that broadcasts the *corpus*
+  would be wrong at 100 TB.)
+- Q4 filtered search: plain .filter() BEFORE scoring — Catalyst pushes
+  it into the parquet scan (PushedFilters) and prunes partitions when
+  the table is partitioned by the metadata column.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot, l2_norm
+
+
+def query_vector_lit(vec: Sequence[float]) -> Column:
+    """A query vector as a literal array<double> (constant-folded)."""
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    predicate: Column | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Q1 — cosine top-k for one query vector, with optional metadata
+    predicate (Q4). Scan -> (pushed) filter -> score -> top-k; the
+    orderBy+limit lowers to TakeOrderedAndProject (no full sort).
+    """
+    if predicate is not None:
+        corpus = corpus.filter(predicate)
+    q = query_vector_lit(query_vec)
+    scored = corpus.withColumn(score_col, cosine(F.col(vec_col), q))
+    return scored.orderBy(F.desc(score_col), *_tiebreak(corpus)).limit(k)
+
+
+def _tiebreak(df: DataFrame) -> list[Column]:
+    """Deterministic tiebreak for equal scores: first id-ish column."""
+    for c in ("vec_id", "id", "doc_id"):
+        if c in df.columns:
+            return [F.col(c)]
+    return []
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Q2 — exact batch kNN: top-k corpus rows per query row.
+
+    The query side is broadcast (it is the small side by construction:
+    a batch of search requests vs a 100 TB corpus); scoring streams
+    over corpus partitions; the only shuffle is the per-query top-k
+    window, keyed by query_id (bounded by |queries| * |corpus| rows
+    pre-aggregation — AQE handles skew).
+    """
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.withColumn(score_col, cosine(F.col(corpus_vec), F.col(query_vec)))
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, score_col, "rank")
+    )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    predicate: Column,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Q4 — metadata-filtered search = Q1 with a pushed-down predicate."""
+    return topk_cosine(corpus, query_vec, k=k, vec_col=vec_col, predicate=predicate)
+
+
+def fetch_by_ids(corpus: DataFrame, ids: Sequence, id_col: str = "vec_id") -> DataFrame:
+    """Q5 fetch — point lookup; isin pushes to the scan."""
+    return corpus.filter(F.col(id_col).isin(list(ids)))
+
+
+def delete_by_ids(corpus: DataFrame, ids: Sequence, id_col: str = "vec_id") -> DataFrame:
+    """Q5 delete — anti-join rewrite (no Delta in this container); at
+    cluster scale this is `MERGE ... WHEN MATCHED DELETE` on Delta."""
+    return corpus.filter(~F.col(id_col).isin(list(ids)))
