@@ -1,0 +1,86 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no write cost). A small warmup amortizes JVM/codegen startup so the
+numbers measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from pdf_using_hugging_face_and_vector_database_spark.session import get_spark
+
+# every registered query, deterministic order
+BENCH_QUERIES = [
+    "q1_cosine_topk",
+    "q2_knn_join",
+    "q3_ann_ivf",
+    "q4_filtered_topk",
+    "q5_fetch_by_ids",
+    "chunker_stride",
+    "chunker_separator",
+    "pipeline_vectors",
+    "text_stats",
+    "lang_id",
+    "corpus_stats",
+    "doc_fingerprints",
+    "dedup_exact",
+    "minhash_signatures",
+    "neardup_minhash",
+    "neardup_embedding",
+    "upsert_compact",
+    "tpch_q1_pricing",
+    "revenue_by_nation",
+    "top_parts_per_brand",
+    "customer_segments",
+    "events_hourly",
+]
+
+
+def run_to_completion(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    # warmup: JVM + parquet footer caches + codegen paths
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    queries = entrymod.queries()
+    run_to_completion(queries["q5_fetch_by_ids"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        run_to_completion(queries[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

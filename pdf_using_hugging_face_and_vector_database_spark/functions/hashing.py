@@ -20,6 +20,27 @@ from pyspark.sql import functions as F
 MAX24 = float(0xFFFFFF)
 
 
+def md5_int_py(s: str, nhex: int = 6) -> int:
+    """Driver-side twin of :func:`md5_int` (same value, plain Python)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:nhex], 16)
+
+
+def det_embed_py(text: str, dim: int, salt: str = "") -> list[float]:
+    """Driver-side twin of the deterministic embedder
+    (operators/embedder.py): used to turn a query *string* into a query
+    *vector* that lives in the same hash-projection space as the
+    corpus embeddings — bit-identical to the Spark/DuckDB expression.
+    """
+    comps = [md5_int_py(f"{text}:{salt}{j}") / MAX24 * 2.0 - 1.0 for j in range(dim)]
+    sq = 0.0
+    for x in comps:
+        sq += x * x
+    norm = sq**0.5
+    return [x / norm for x in comps]
+
+
 def md5_int(col: Column, nhex: int = 6) -> Column:
     """First ``nhex`` hex chars of md5 as an exact integer (LongType)."""
     return F.conv(F.substring(F.md5(col), 1, nhex), 16, 10).cast("long")
@@ -42,52 +63,69 @@ def hash_components(text: Column, dim: int, salt: str = "") -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """MinHash signature of a set of string shingles: for each seed k,
-    min over shingles of md5_int(k || '#' || shingle).
+# modulus for the (a*h + b) % p MinHash permutation family: the first
+# prime above 2^24, so products a*h stay far inside exact-int64 range.
+P_MINHASH = 16_777_259
 
-    Pure SQL (transform + array_min) — identical in DuckDB via
-    list_transform + list_min, so near-dup dedup is oracle-checkable.
-    P[minhash_k(A) = minhash_k(B)] = Jaccard(A, B).
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: md5_int(F.concat(k.cast("string"), F.lit("#"), s)),
-            )
-        ),
-    )
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation parameters, a odd (invertible
+    enough for hashing purposes); identical constants are embedded in
+    the DuckDB oracle SQL."""
+    return [
+        (md5_int_py(f"mh-a:{k}") * 2 + 1, md5_int_py(f"mh-b:{k}"))
+        for k in range(num_hashes)
+    ]
+
+
+def element_hashes(elements: Column) -> Column:
+    """md5 hash of each array element — computed ONCE per element; the
+    k MinHash variants / SimHash bits derive from this by integer
+    arithmetic (the md5 is the expensive part at scale)."""
+    return F.transform(elements, lambda s: md5_int(s))
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int) -> Column:
+    """MinHash signature from pre-computed element hashes:
+    sig_k = min_h (a_k*h + b_k) mod p.  P[sig_k(A)=sig_k(B)] = Jaccard."""
+
+    def one(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P_MINHASH))
+        )
+
+    return F.array(*[one(a, b) for a, b in minhash_params(num_hashes)])
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Convenience: hash shingles then build the signature. Prefer
+    materializing element_hashes in a column first when the signature
+    feeds a self-join (operators/dedup.py does)."""
+    return minhash_from_hashes(element_hashes(shingles), num_hashes)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash from pre-computed element hashes: bit b of the result is
+    1 iff sum over elements of ±1 (bit b of the element hash) > 0.
+    Bit extraction is shiftright+mask — no re-hashing per bit."""
+    def signs(b: int) -> Column:
+        # closure keeps the transform lambda unary (a 2-arg lambda
+        # would receive the element index as its second argument)
+        return F.transform(
+            hashes,
+            lambda h: F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_sum = F.aggregate(signs(b), F.lit(0), lambda a, x: a + x)
+        out = out + F.when(bit_sum > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
 
 
 def simhash(tokens: Column, bits: int = 16) -> Column:
-    """SimHash of a token array: bit b is 1 iff the sum over tokens of
-    ±1 (sign of bit b of the token hash) is positive.
-
-    Returns a LongType fingerprint. Near-dup candidates = small Hamming
-    distance (compared via bit_count(a XOR b) at the call site).
-    """
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc
-        + F.when(
-            F.aggregate(
-                F.transform(
-                    tokens,
-                    lambda t: F.when(
-                        # bit b of the token hash: (h div 2^b) mod 2
-                        (md5_int(t) / F.pow(F.lit(2.0), b.cast("double"))).cast("long")
-                        % 2
-                        == 1,
-                        F.lit(1),
-                    ).otherwise(F.lit(-1)),
-                ),
-                F.lit(0),
-                lambda a, x: a + x,
-            )
-            > 0,
-            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
-        ).otherwise(F.lit(0)),
-    )
+    return simhash_from_hashes(element_hashes(tokens), bits)

@@ -20,8 +20,27 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver fixture table."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Read one driver fixture table.
+
+    Timestamp columns stored as TIMESTAMP(NANOS) surface as LongType
+    (``spark.sql.legacy.parquet.nanosAsLong``); normalize them back to
+    TimestampType (microsecond truncation — Spark's native precision).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_cols = {"events": ["ts"]}.get(name, [])
+    if ts_cols:
+        # the caller may hand us a vanilla session (the driver does);
+        # this legacy conf is runtime-settable and required to read
+        # the fixture's TIMESTAMP(NANOS) columns at all
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in ts_cols:
+        if isinstance(df.schema[c].dataType, T.LongType):
+            # integer div: nanos exceed double precision (2^53)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,211 @@
+"""Q3 — approximate nearest neighbor: the scale path for the
+reference's cosine index (`streamlit_app.py:49`).
+
+Three tools:
+
+- :class:`IvfIndex` — IVF (inverted-file) coarse quantization, the
+  batch "vector index build" the north star names. Deterministic
+  seeded centroids refined by Lloyd iterations, every step a
+  DataFrame op: assignment is an argmax over a broadcast centroid
+  literal (pure SQL, codegen'd), centroid update is one groupBy with
+  per-component ``avg``. Query probes the ``nprobe`` nearest cells
+  and re-ranks exactly — scanning ~nprobe/k of the corpus. At 100 TB
+  the table is written partitioned by ``cell`` so a probe prunes
+  whole partitions.
+- :class:`BrpLshIndex` — MLlib BucketedRandomProjectionLSH over
+  L2-normalized vectors (unit sphere: ‖a−b‖² = 2−2·cos, so L2 order
+  is cosine order — property-tested in tests/test_vector.py).
+- :func:`random_projection_buckets` — signed-hyperplane bucket ids
+  (SimHash-for-vectors) for near-dup blocking.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MAX24, det_embed_py, md5_int
+from ..functions.vector import cosine, dot
+
+
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def ivf_assign_expr(centroids: list[list[float]], vec_col: Column | str) -> Column:
+    """1-based index of the max-dot-product centroid (ties -> first).
+
+    Pure SQL: transform over the centroid literal + array_position of
+    the max — no Python in the executor path.
+    """
+    vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    scores = F.transform(_centroid_lit(centroids), lambda c: dot(vec_col, c))
+    return F.array_position(scores, F.array_max(scores)).cast("int")
+
+
+class IvfIndex:
+    """Batch-built IVF index over an embedding column."""
+
+    def __init__(self, k: int = 16, iters: int = 2, dim: int = 64):
+        self.k = k
+        self.iters = iters
+        self.dim = dim
+        self.centroids: list[list[float]] = []
+        self.assigned: DataFrame | None = None
+
+    def fit(self, df: DataFrame, vec_col: str = "embedding") -> "IvfIndex":
+        # deterministic seeds in the same hash-projection space
+        centroids = [det_embed_py(f"centroid:{i}", self.dim) for i in range(self.k)]
+        for _ in range(self.iters):
+            assigned = df.withColumn("cell", ivf_assign_expr(centroids, vec_col))
+            # per-component mean per cell: ONE shuffle, 'dim' avg aggs
+            means = assigned.groupBy("cell").agg(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"c{j}")
+                    for j in range(self.dim)
+                ]
+            )
+            rows = {r["cell"]: [r[f"c{j}"] for j in range(self.dim)] for r in means.collect()}
+            new = []
+            for i in range(self.k):
+                c = rows.get(i + 1)
+                if c is None:
+                    new.append(centroids[i])  # empty cell keeps its seed
+                    continue
+                norm = sum(x * x for x in c) ** 0.5 or 1.0
+                new.append([x / norm for x in c])
+            centroids = new
+        self.centroids = centroids
+        self.assigned = df.withColumn("cell", ivf_assign_expr(centroids, vec_col))
+        return self
+
+    def probe_cells(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
+        scores = []
+        for i, c in enumerate(self.centroids):
+            scores.append((sum(float(a) * b for a, b in zip(query_vec, c)), i + 1))
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        return [cell for _, cell in scores[:nprobe]]
+
+    def query(
+        self,
+        query_vec: Sequence[float],
+        k: int = 10,
+        nprobe: int = 4,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        from .search import query_vector_lit
+
+        cells = self.probe_cells(query_vec, nprobe)
+        cand = self.assigned.filter(F.col("cell").isin(cells))
+        scored = cand.withColumn(
+            "score", cosine(F.col(vec_col), query_vector_lit(query_vec))
+        )
+        return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k).drop("cell")
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-shot IVF ANN top-k (build + probe). For repeated queries,
+    build :class:`IvfIndex` once and persist the assigned table."""
+    idx = IvfIndex(k=n_cells, iters=2, dim=dim).fit(corpus, vec_col)
+    return idx.query(query_vec, k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col)
+
+
+class BrpLshIndex:
+    """Batch-built LSH index over an embedding column (MLlib-backed)."""
+
+    def __init__(self, bucket_length: float = 0.5, num_hash_tables: int = 3):
+        self.bucket_length = bucket_length
+        self.num_hash_tables = num_hash_tables
+        self.model = None
+        self._fitted_df = None
+
+    @staticmethod
+    def _to_vector(df: DataFrame, vec_col: str) -> DataFrame:
+        from pyspark.ml.functions import array_to_vector
+
+        # normalize first: unit sphere makes L2-LSH order cosine order
+        norm = F.sqrt(
+            F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+        )
+        unit = F.transform(vec_col, lambda x: x.cast("double") / norm)
+        return df.withColumn("__features", array_to_vector(unit))
+
+    def fit(self, df: DataFrame, vec_col: str = "embedding") -> "BrpLshIndex":
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+        feat = self._to_vector(df, vec_col)
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="__features",
+            outputCol="__hashes",
+            bucketLength=self.bucket_length,
+            numHashTables=self.num_hash_tables,
+            seed=42,
+        )
+        self.model = lsh.fit(feat)
+        self._fitted_df = self.model.transform(feat)
+        return self
+
+    def query(self, vec: Sequence[float], k: int = 10) -> DataFrame:
+        import numpy as np
+        from pyspark.ml.linalg import Vectors
+
+        v = np.asarray(vec, dtype="float64")
+        v = v / np.linalg.norm(v)
+        res = self.model.approxNearestNeighbors(self._fitted_df, Vectors.dense(v), k)
+        return res.drop("__features", "__hashes")
+
+    def similarity_join(self, other_fitted: DataFrame, max_cos_dist: float) -> DataFrame:
+        # cosine distance -> euclidean threshold on unit sphere
+        eucl = float((2.0 * max_cos_dist) ** 0.5)
+        return self.model.approxSimilarityJoin(
+            self._fitted_df, other_fitted, eucl, distCol="eucl_dist"
+        )
+
+
+def random_projection_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Signed-random-projection bucket id (0 .. 2^n_planes-1) as a pure
+    SQL expression — a blocking key for embedding near-dup joins.
+    Plane p component j = md5_int('plane:p:j') folded to [-1,1].
+    """
+
+    def plane_expr(p: int):
+        # capture p by closure so the transform lambda stays unary
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: md5_int(F.concat(F.lit(f"plane:{p}:"), j.cast("string")))
+            / F.lit(MAX24)
+            * 2.0
+            - 1.0,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), plane_expr(p), lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn(out_col, bucket)

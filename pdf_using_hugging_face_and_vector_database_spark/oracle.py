@@ -1,0 +1,382 @@
+"""DuckDB oracle SQL for every query in queries.py.
+
+Generated from the SAME constants as the Spark implementations
+(imported from queries.py / functions/text.py) so the two sides cannot
+drift. Arithmetic discipline:
+
+- all hashes are md5 prefixes -> exact integers (bit-identical across
+  engines; see functions/hashing.py);
+- float folds are written as explicit sequential range()-based sums
+  (mirroring Spark's left-fold ``aggregate``), all in DOUBLE;
+- double aggregations route through DECIMAL(27,6) so summation order
+  cannot matter;
+- anything crossing the result boundary as a float is round(x, 6) in
+  both engines;
+- integer-division / casts avoid DuckDB's round-on-cast vs Spark's
+  truncate-on-cast divergence (`//` everywhere, values exact).
+"""
+
+from __future__ import annotations
+
+from .functions.text import LANG_MARKERS
+from .queries import (
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    EMBED_DIM,
+    FETCH_IDS,
+    KNN_K,
+    KNN_QUERIES,
+    MINHASH_BANDS,
+    MINHASH_HASHES,
+    NEARDUP_TRUNC,
+    NGRAM,
+    Q4_LABELS,
+    QUERY_TEXT,
+)
+from .functions.hashing import P_MINHASH, det_embed_py, minhash_params
+
+DEC = "DECIMAL(27,6)"
+
+
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {DEC})) AS DOUBLE)"
+
+
+def _h24(expr: str) -> str:
+    """md5 24-bit prefix as BIGINT (== Spark md5_int)."""
+    return f"('0x' || substr(md5({expr}), 1, 6))::BIGINT"
+
+
+def _dot(a: str, b: str, dim: int) -> str:
+    """Sequential double dot product (== functions.vector.dot)."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _cos(a: str, b: str, dim: int) -> str:
+    return (
+        f"({_dot(a, b, dim)} / "
+        f"(sqrt({_dot(a, a, dim)}) * sqrt({_dot(b, b, dim)})))"
+    )
+
+
+def _vec_literal(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in vec) + "]::DOUBLE[]"
+
+
+def _ngrams(text: str, n: int) -> str:
+    """char n-gram list (== functions.text.char_ngrams)."""
+    return (
+        f"CASE WHEN length({text}) < {n} THEN [{text}] "
+        f"ELSE list_transform(range(1, length({text}) - {n} + 2), "
+        f"i -> substr({text}, i, {n})) END"
+    )
+
+
+def _element_hashes(elements: str) -> str:
+    """md5 of each element, hashed once (== functions.hashing.element_hashes)."""
+    return f"list_transform({elements}, s -> {_h24('s')})"
+
+
+def _minhash_from_hashes(hs: str, num_hashes: int) -> str:
+    """sig_k = min_h (a_k*h + b_k) % p — same (a,b,p) constants as Spark."""
+    mins = [
+        f"list_min(list_transform({hs}, h -> (h * {a} + {b}) % {P_MINHASH}))"
+        for a, b in minhash_params(num_hashes)
+    ]
+    return "[" + ", ".join(mins) + "]"
+
+
+def _tokens(text: str) -> str:
+    return f"list_filter(string_split({text}, ' '), x -> x <> '')"
+
+
+def _simhash16(hs: str) -> str:
+    """SimHash from pre-computed hashes; bits via shift+mask (== Spark)."""
+    terms = []
+    for b in range(16):
+        pw = 2**b
+        bit_sum = (
+            f"list_sum(list_transform({hs}, "
+            f"h -> CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {bit_sum} > 0 THEN {pw} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _stopword_score(lang: str) -> str:
+    parts = []
+    for w in LANG_MARKERS[lang]:
+        needle = f" {w} "
+        parts.append(
+            f"((length(p) - length(replace(p, '{needle}', ''))) // {len(needle)})"
+        )
+    return "(" + " + ".join(parts) + ")::INT"
+
+
+def _lang_case() -> str:
+    langs = list(LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs[i + 1 :]
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+
+
+# chunker arithmetic shared by two queries
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def _chunks_cte(extra_cols: str = "") -> str:
+    return f"""
+  SELECT doc_id{extra_cols}, chunk_index::INT AS chunk_index,
+         substr(text, chunk_index * {_STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text
+  FROM (
+    SELECT doc_id{extra_cols}, text,
+           unnest(range(0, CASE WHEN length(text) <= {CHUNK_SIZE} THEN 1
+                ELSE 1 + ((length(text) - {CHUNK_SIZE} + {_STRIDE - 1}) // {_STRIDE}) END)) AS chunk_index
+    FROM documents)
+"""
+
+
+def _det_embed(text_expr: str, dim: int) -> str:
+    """raw components list v (pre-normalization), == hash_components."""
+    return (
+        f"list_transform(range(0, {dim}), "
+        f"j -> {_h24(text_expr + ' || ' + chr(39) + ':' + chr(39) + ' || j::VARCHAR')}"
+        f" / 16777215.0 * 2.0 - 1.0)"
+    )
+
+
+def oracle_sql() -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    sql["q1_cosine_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, {_cos('e.embedding', 'q.qv', EMBED_DIM)} AS s
+  FROM embeddings e CROSS JOIN q)
+SELECT vec_id, label, round(s, 6) AS score
+FROM scored ORDER BY s DESC, vec_id LIMIT 10
+"""
+
+    sql["q2_knn_join"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_cos('e.embedding', 'q.qv', EMBED_DIM)} AS s
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(s, 6) AS score, rn::INT AS rank
+FROM ranked WHERE rn <= {KNN_K}
+"""
+
+    qv = _vec_literal(det_embed_py(QUERY_TEXT, EMBED_DIM))
+    labels = ", ".join(str(x) for x in Q4_LABELS)
+    sql["q4_filtered_topk"] = f"""
+WITH q AS (SELECT {qv} AS qv),
+scored AS (
+  SELECT e.vec_id, e.label, {_cos('e.embedding', 'q.qv', EMBED_DIM)} AS s
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label IN ({labels}))
+SELECT vec_id, label, round(s, 6) AS score
+FROM scored ORDER BY s DESC, vec_id LIMIT 10
+"""
+
+    ids = ", ".join(str(x) for x in FETCH_IDS)
+    sql["q5_fetch_by_ids"] = f"""
+SELECT vec_id, label, len(embedding)::INT AS dim
+FROM embeddings WHERE vec_id IN ({ids})
+"""
+
+    sql["chunker_stride"] = f"""
+WITH chunks AS ({_chunks_cte()})
+SELECT doc_id, chunk_index, chunk_text FROM chunks
+"""
+
+    sql["pipeline_vectors"] = f"""
+WITH chunks AS ({_chunks_cte(extra_cols=", source")}),
+emb AS (
+  SELECT *, {_det_embed('chunk_text', EMBED_DIM)} AS v FROM chunks),
+nrm AS (
+  SELECT *, sqrt(list_sum(list_transform(v, x -> x * x))) AS n FROM emb)
+SELECT 'doc-' || doc_id || '-' || chunk_index AS id,
+       doc_id, chunk_index, source,
+       length(chunk_text) AS chunk_chars,
+       round(list_sum(list_transform(v, x -> x / n)), 6) AS emb_sum,
+       round(sqrt(list_sum(list_transform(v, x -> (x / n) * (x / n)))), 6) AS emb_norm,
+       round(v[1] / n, 6) AS emb_c0
+FROM nrm
+"""
+
+    toks = _tokens("text")
+    sql["text_stats"] = f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars_actual,
+         len({toks})::INT AS n_tokens,
+         length(replace(text, ' ', '')) AS non_space,
+         (length(text) - length(replace(replace(replace(replace(replace(replace(text,
+             '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')))::DOUBLE
+           / greatest(length(text)::DOUBLE, 1.0) AS pr
+  FROM documents),
+derived AS (
+  SELECT *, CASE WHEN n_tokens > 0 THEN non_space::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END AS avg_len
+  FROM base)
+SELECT doc_id, n_chars_actual::INT AS n_chars_actual, n_tokens,
+       round(avg_len, 6) AS avg_token_len,
+       round(pr, 6) AS punct_ratio,
+       round(least(n_tokens::DOUBLE / 20.0, 1.0) * 0.5
+             + (CASE WHEN avg_len >= 3 AND avg_len <= 10 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN pr <= 0.1 THEN 0.2 ELSE 0.0 END), 6) AS quality_score
+FROM derived
+"""
+
+    scores = ",\n         ".join(
+        f"{_stopword_score(lang)} AS s_{lang}" for lang in LANG_MARKERS
+    )
+    sql["lang_id"] = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents))
+SELECT doc_id, lang AS lang_labeled, {_lang_case()} AS lang_guess FROM s
+"""
+
+    sql["corpus_stats"] = f"""
+SELECT lang, source, count(*) AS n_docs,
+       SUM(len({toks})::INT)::BIGINT AS total_tokens,
+       SUM(length(text))::BIGINT AS total_chars,
+       MAX(length(text))::INT AS max_chars
+FROM documents GROUP BY lang, source
+"""
+
+    sql["doc_fingerprints"] = f"""
+WITH hashed AS (
+  SELECT doc_id, text, {_element_hashes(_tokens('text'))} AS hs FROM documents)
+SELECT doc_id,
+       ('0x' || substr(md5(text), 1, 12))::BIGINT AS content_fp48,
+       {_simhash16('hs')} AS simhash16
+FROM hashed
+"""
+
+    sql["dedup_exact"] = """
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id) AS kept_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY sha256(text)
+"""
+
+    sql["minhash_signatures"] = f"""
+WITH hashed AS (
+  SELECT doc_id, {_element_hashes(_ngrams('text', NGRAM))} AS hs FROM documents)
+SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS minhash FROM hashed
+"""
+
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    est = (
+        f"list_sum(list_transform(range(1, {MINHASH_HASHES + 1}), "
+        f"i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))::DOUBLE / {float(MINHASH_HASHES)}"
+    )
+    sql["neardup_minhash"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
+  FROM documents),
+hashed AS (SELECT doc_id, {_element_hashes(_ngrams('text', NGRAM))} AS hs FROM corpus),
+sigs AS (SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS sig FROM hashed),
+banded AS (
+  SELECT doc_id, sig, b::INT AS band_index,
+         list_slice(sig, b * {rows_per_band} + 1, (b + 1) * {rows_per_band}) AS band_sig
+  FROM (SELECT doc_id, sig, unnest(range(0, {MINHASH_BANDS})) AS b FROM sigs)),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+  FROM banded l JOIN banded r
+    ON l.band_index = r.band_index AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, {est} AS jaccard_est
+FROM pairs WHERE {est} >= 0.5
+"""
+
+    sql["neardup_embedding"] = f"""
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round({_cos('l.embedding', 'r.embedding', EMBED_DIM)}, 6) AS cosine_sim
+FROM embeddings l JOIN embeddings r
+  ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE round({_cos('l.embedding', 'r.embedding', EMBED_DIM)}, 6) >= 0.35
+"""
+
+    sql["tpch_q1_pricing"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["revenue_by_nation"] = f"""
+SELECT n_name AS nation,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["top_parts_per_brand"] = """
+SELECT p_brand, p_partkey, p_retailprice, rn::INT AS rn
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part)
+WHERE rn <= 3
+"""
+
+    sql["customer_segments"] = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       {_dsum('c_acctbal')} AS total_acctbal,
+       round({_dsum('c_acctbal')} / count(*), 6) AS avg_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+    sql["upsert_compact"] = """
+WITH existing AS (
+  SELECT 'doc-' || doc_id AS id, text, 1::BIGINT AS ingest_version, 0 AS is_batch
+  FROM documents),
+batch AS (
+  SELECT 'doc-' || doc_id AS id, upper(text) AS text, 2::BIGINT AS ingest_version, 1 AS is_batch
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'new-' || doc_id AS id, text, 2::BIGINT AS ingest_version, 1 AS is_batch
+  FROM documents WHERE doc_id % 7 = 0),
+unioned AS (SELECT * FROM existing UNION ALL SELECT * FROM batch),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY ingest_version DESC, is_batch DESC) AS rn
+  FROM unioned)
+SELECT id, ingest_version,
+       ('0x' || substr(md5(text), 1, 12))::BIGINT AS content_fp48
+FROM ranked WHERE rn = 1
+"""
+
+    sql["events_hourly"] = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {_dsum('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+    return sql

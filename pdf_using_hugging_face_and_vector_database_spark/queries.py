@@ -1,0 +1,411 @@
+"""Named engine queries — the driver-facing surface.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame;
+``__spark_entry__.queries()`` exposes this registry and
+``oracle.py`` holds the matching DuckDB SQL (generated from the SAME
+constants, so formulas can't drift apart).
+
+Naming discipline: every computed column is aliased identically here
+and in the oracle — the driver sorts columns by name before hashing.
+Floats that cross an aggregation/score boundary are rounded to 6
+decimals in both engines; everything upstream of the rounding is
+bit-identical arithmetic (see functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import det_embed_py
+from .functions.text import LANG_MARKERS
+from .functions.vector import cosine
+from .io import read_table
+from .operators.chunker import chunk_stride
+from .operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    with_minhash,
+)
+from .operators.embedder import embed_deterministic
+from .operators.ids import with_metadata, with_vector_id
+from .operators.search import knn_join, topk_cosine
+from .operators.text_analysis import corpus_rollup, doc_stats, fingerprint, language_id
+
+# ---- shared constants (oracle.py imports these — single source) ----
+CHUNK_SIZE = 120          # small enough that fixture docs multi-chunk
+CHUNK_OVERLAP = 20
+EMBED_DIM = 64            # matches the embeddings fixture space
+# 4 rows per band: band-match prob = J^4 — selective enough that the
+# shared-vocab corpus doesn't produce quadratic hot buckets (2-row
+# bands gave a 1567-doc bucket = 1.2M candidate pairs at sf0.1)
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4
+NGRAM = 7  # 4-gram shingles are non-selective on the shared-vocab corpus
+NEARDUP_TRUNC = 10        # chars dropped to synthesize near-dup docs
+QUERY_TEXT = "spark vector search query"
+KNN_QUERIES = 5
+KNN_K = 3
+FETCH_IDS = (3, 7, 11, 42)
+Q4_LABELS = (1, 3, 5)
+DEC = "decimal(27,6)"     # exact-sum carrier for double aggregations
+
+
+def _dsum(col) -> F.Column:
+    """Order-independent double sum: route through an exact decimal so
+    parallel partial aggregation can't produce run-to-run (or
+    cross-engine) float drift."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+# ---------------- vector search (Q1/Q2/Q4/Q5) ----------------
+
+def q1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — cosine top-10 over the embeddings fixture; the query vector
+    is corpus row vec_id=0 (reference read surface, streamlit_app.py:49)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).withColumn(
+        "score", cosine(F.col("embedding"), F.col("qv"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("score", 6).alias("score"))
+    )
+
+
+def q2_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 — exact batch kNN: top-3 corpus neighbors per query row
+    (broadcast query side + per-query window top-k)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    out = knn_join(queries, emb, k=KNN_K)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def q4_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — metadata-filtered search: label predicate pushed into the
+    scan, then cosine top-10 for a text-derived query vector."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = det_embed_py(QUERY_TEXT, EMBED_DIM)
+    out = topk_cosine(
+        emb, qv, k=10, predicate=F.col("label").isin(*Q4_LABELS)
+    )
+    return out.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+def q5_fetch_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 — point fetch by id (isin pushes to the parquet scan)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id").isin(*FETCH_IDS)).select(
+        "vec_id", "label", F.size("embedding").alias("dim")
+    )
+
+
+# ---------------- ingest pipeline (S/T/P families) ----------------
+
+def chunker_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — fixed-size chunker (size 120 / overlap 20 so fixture docs
+    actually split; reference defaults 2000/100, streamlit_app.py:34)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_stride(docs, chunk_size=CHUNK_SIZE, chunk_overlap=CHUNK_OVERLAP)
+
+
+def pipeline_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship E1 path: documents -> chunk -> deterministic embed ->
+    id/metadata -> vectors-table digest (id, provenance, chunk length,
+    embedding norm + component digest). The whole chain is one lazy
+    plan with zero shuffles (pure per-row map + explode)."""
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_stride(
+        docs,
+        chunk_size=CHUNK_SIZE,
+        chunk_overlap=CHUNK_OVERLAP,
+        keep_cols=("doc_id", "source"),
+    )
+    emb = embed_deterministic(chunks, "chunk_text", dim=EMBED_DIM)
+    emb = with_vector_id(emb)
+    return emb.select(
+        "id",
+        "doc_id",
+        "chunk_index",
+        "source",
+        F.length("chunk_text").alias("chunk_chars"),
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "emb_sum"
+        ),
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("emb_norm"),
+        F.round(F.element_at("embedding", 1), 6).alias("emb_c0"),
+    )
+
+
+# ---------------- text analysis ----------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return doc_stats(docs)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_rollup(docs)
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+# ---------------- dedup family ----------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return with_minhash(docs, num_hashes=MINHASH_HASHES, ngram=NGRAM).select(
+        "doc_id", "minhash"
+    )
+
+
+def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a truncated copy of each doc (deterministic synthetic
+    near-duplicates — the fixture corpus has none; both engines build
+    the same union)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.length("text") - F.lit(NEARDUP_TRUNC)
+        ).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs over the synthetic corpus,
+    with the MinHash Jaccard estimate (exact integer arithmetic)."""
+    corpus = neardup_corpus(spark, sf_dir)
+    sigs = with_minhash(corpus, num_hashes=MINHASH_HASHES, ngram=NGRAM)
+    pairs = minhash_candidate_pairs(
+        sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS
+    )
+    return pairs.filter(F.col("jaccard_est") >= 0.5)
+
+
+def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks. Threshold
+    0.35 ≈ 2.8σ for the uniform fixture so the result is non-empty
+    (real corpora use ~0.95; the operator default)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.35)
+
+
+# ---------------- standard relational coverage ----------------
+
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: 2-key groupBy, exact decimal
+    sums (order-independent), pushed-down date filter."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            _dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-fact join + broadcast dims: customer⋈orders⋈lineitem⋈nation.
+    nation broadcasts (25 rows at any SF); fact-fact joins shuffle on
+    their keys with AQE handling skew."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 priciest parts per brand (row_number, tiebreak
+    p_partkey)."""
+    part = read_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+def customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    total = _dsum(F.col("c_acctbal"))
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        total.alias("total_acctbal"),
+        F.round(total / F.count(F.lit(1)), 6).alias("avg_acctbal"),
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming op —
+    streaming/ runs the same logic with a watermark)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+# ---------------- write semantics (S8 upsert) ----------------
+
+def upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — idempotent last-writer-wins upsert (reference
+    `streamlit_app.py:106-112` upsert semantics, minus the silent
+    batch-skip of :117-121): existing table v1, a batch that updates
+    every 5th doc (uppercased text, v2) and inserts new ids; compact
+    keeps the highest (version, is_batch) per id."""
+    from .operators.upsert import upsert
+    from .functions.hashing import md5_int
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
+        F.col("text"),
+        F.lit(1).cast("long").alias("ingest_version"),
+    )
+    updates = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
+        F.upper(F.col("text")).alias("text"),
+        F.lit(2).cast("long").alias("ingest_version"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("new-"), F.col("doc_id")).alias("id"),
+        F.col("text"),
+        F.lit(2).cast("long").alias("ingest_version"),
+    )
+    batch = updates.unionByName(inserts)
+    out = upsert(existing, batch)
+    return out.select(
+        "id", "ingest_version", md5_int(F.col("text"), 12).alias("content_fp48")
+    )
+
+
+# ---------------- rows-only checked (non-SQL-expressible) ----------------
+
+def q3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — ANN top-10 via IVF coarse quantization (probe 6/16 cells,
+    exact re-rank); recall vs exact is property-tested in tests/."""
+    from .operators.ann import ann_topk_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = det_embed_py(QUERY_TEXT, EMBED_DIM)
+    out = ann_topk_ivf(emb, qv, k=10, dim=EMBED_DIM)
+    return out.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+def chunker_separator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (reference-faithful variant) — separator-aware greedy merge
+    chunker (CharacterTextSplitter semantics) as a Pandas UDF."""
+    from .operators.chunker import chunk_separator
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_separator(
+        docs, chunk_size=CHUNK_SIZE, chunk_overlap=CHUNK_OVERLAP, separator=" "
+    )
+
+
+# ---------------- flagship (entry-point smoke query) ----------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 end-to-end (reference `streamlit_app.py:129-148`): documents
+    -> chunk (reference defaults 2000/100) -> deterministic embed ->
+    stable ids + metadata -> cosine top-10 for a text query, filtered
+    by source metadata (Q1+Q4). One lazy plan, shuffle-free except the
+    final top-k reduce."""
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_stride(docs, chunk_size=2000, chunk_overlap=100, keep_cols=("doc_id", "source"))
+    vec = embed_deterministic(chunks, "chunk_text", dim=EMBED_DIM)
+    vec = with_metadata(with_vector_id(vec))
+    qv = det_embed_py(QUERY_TEXT, EMBED_DIM)
+    out = topk_cosine(
+        vec,
+        qv,
+        k=10,
+        predicate=F.col("source").isin([f"src{i}" for i in range(10)]),
+    )
+    return out.select(
+        "id", "doc_id", "chunk_index", "source", F.round("score", 6).alias("score")
+    )
+
+
+# ---------------- registry ----------------
+
+QUERIES = {
+    "q1_cosine_topk": q1_cosine_topk,
+    "q2_knn_join": q2_knn_join,
+    "q4_filtered_topk": q4_filtered_topk,
+    "q5_fetch_by_ids": q5_fetch_by_ids,
+    "chunker_stride": chunker_stride,
+    "pipeline_vectors": pipeline_vectors,
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "corpus_stats": corpus_stats,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "neardup_minhash": neardup_minhash,
+    "neardup_embedding": neardup_embedding,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "revenue_by_nation": revenue_by_nation,
+    "top_parts_per_brand": top_parts_per_brand,
+    "customer_segments": customer_segments,
+    "events_hourly": events_hourly,
+    "upsert_compact": upsert_compact,
+    "q3_ann_ivf": q3_ann_ivf,
+    "chunker_separator": chunker_separator,
+}

@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # the events fixture stores TIMESTAMP(NANOS) which the vanilla
+        # reader rejects; read as long and convert in io.read_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
     )

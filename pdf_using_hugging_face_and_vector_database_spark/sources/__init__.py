@@ -1,0 +1,1 @@
+"""Document ingest sources (SURVEY.md §2.1 S1-S7)."""

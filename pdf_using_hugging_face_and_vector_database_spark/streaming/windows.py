@@ -1,0 +1,78 @@
+"""Watermarked tumbling-window aggregation over the events stream.
+
+Batch twin: queries.events_hourly (same grouping logic) — the driver
+oracle-checks the batch form; tests assert stream==batch on the same
+input (SURVEY.md §5).
+
+Scale: streaming state is keyed by (window, event_type); the watermark
+bounds state size — late rows beyond 10 minutes are dropped instead of
+accumulating unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS
+
+
+def hourly_event_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """events (streaming DF with ts timestamp) -> hourly tumbling
+    counts/sums per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """Streaming read of the events fixture (parquet directory source).
+
+    The nanos timestamp lands as LongType under nanosAsLong; normalize
+    like io.read_table does for batch.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(path).schema
+    # the fixture is a single file; the streaming file source wants a
+    # directory, so stream the parent dir filtered to this file
+    stream = (
+        spark.readStream.schema(static_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(static_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_stream_to_memory(spark, sf_dir: str, query_name: str = "events_hourly_stream") -> DataFrame:
+    """Drive the streaming agg to completion over the (finite) fixture
+    and return the result as a DataFrame — the test/demo harness."""
+    agg = hourly_event_counts_stream(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+    with_minhash,
+    with_simhash,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+BASE = (
+    "spark engines shuffle data across partitions while catalyst optimizes the plan "
+    "and tungsten generates code for the hot loops of a columnar scan"
+)
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, [BASE, BASE, "other text", BASE])
+    out = exact_dedup(df).collect()
+    by_kept = {r["kept_doc_id"]: r["dup_count"] for r in out}
+    assert by_kept == {0: 3, 2: 1}
+
+
+def test_minhash_identical_equal_sigs(spark):
+    df = with_minhash(_docs(spark, [BASE, BASE]), num_hashes=8)
+    sigs = [r["minhash"] for r in df.collect()]
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == 8
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    near = BASE[:-10]  # drop tail -> high shingle overlap
+    far = "completely different content about databases and storage layers xyz"
+    df = with_minhash(_docs(spark, [BASE, near, far]), num_hashes=8)
+    pairs = minhash_candidate_pairs(df, num_hashes=8, bands=4).collect()
+    keys = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs}
+    assert (0, 1) in keys
+    assert keys[(0, 1)] >= 0.5
+    assert (0, 2) not in keys or keys[(0, 2)] < 0.5
+
+
+def test_ngram_jaccard_bounds(spark):
+    df = spark.createDataFrame([(BASE, BASE), (BASE, "zzzz qqqq")], ["a", "b"])
+    out = df.select(ngram_jaccard(F.col("a"), F.col("b")).alias("j")).collect()
+    assert out[0]["j"] == 1.0
+    assert out[1]["j"] < 0.1
+
+
+def test_simhash_near_for_similar(spark):
+    df = with_simhash(_docs(spark, [BASE, BASE, "unrelated words entirely"]))
+    s = [r["simhash"] for r in df.orderBy("doc_id").collect()]
+    assert s[0] == s[1]
+    assert 0 <= s[0] < 2**16
+    assert s[0] != s[2]

@@ -1,0 +1,75 @@
+"""S2/S3/S4/T1/P2 — PDF ingest plumbing with the deterministic fakes
+(real decoders absent in this container; schema/batch path is real)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark.operators.pages import (
+    concat_pages,
+    ocr_fallback,
+)
+from pdf_using_hugging_face_and_vector_database_spark.sources.pdf import (
+    ocr_pages,
+    parse_pdf_pages,
+)
+
+
+def _binary_docs(spark, docs: dict[int, str]):
+    rows = [(i, t.encode("utf-8")) for i, t in docs.items()]
+    return spark.createDataFrame(rows, "doc_id long, content binary")
+
+
+def test_parse_pages_explodes_formfeed(spark):
+    df = _binary_docs(spark, {1: "page one\fpage two\fpage three", 2: "solo"})
+    rows = parse_pdf_pages(df).orderBy("doc_id", "page_no").collect()
+    assert [(r["doc_id"], r["page_no"], r["page_text"]) for r in rows] == [
+        (1, 0, "page one"),
+        (1, 1, "page two"),
+        (1, 2, "page three"),
+        (2, 0, "solo"),
+    ]
+    assert all(r["page_png"].startswith(b"FAKEPNG:") for r in rows)
+
+
+def test_concat_pages_order_correct(spark):
+    # feed pages in scrambled order; concat must sort by page_no
+    pages = spark.createDataFrame(
+        [(1, 2, "C"), (1, 0, "A"), (1, 1, "B")],
+        "doc_id long, page_no int, page_text string",
+    ).repartition(4)
+    out = concat_pages(pages).collect()
+    assert out[0]["text"] == "ABC"
+
+
+def test_ocr_fallback_doc_level(spark):
+    """Reference semantics (`streamlit_app.py:63-69`): a doc with ANY
+    embedded text uses the text layer for every page (no per-page OCR
+    mixing); only a fully-empty doc falls back to OCR."""
+    df = _binary_docs(
+        spark,
+        {
+            1: "has text\f[[OCR:ignored]]",          # mixed: text layer wins
+            2: "\f",                                  # empty: falls back to OCR
+        },
+    )
+    pages = ocr_pages(parse_pdf_pages(df))
+    # doc 2's pages are empty text; give its page 0 an OCR payload via marker
+    # (fake OCR extracts [[OCR:...]] from page_text; doc 2 has none -> "")
+    out = {r["doc_id"]: r["text"] for r in ocr_fallback(pages).collect()}
+    assert out[1] == "has text[[OCR:ignored]]"
+    assert out[2] == ""
+
+
+def test_ocr_fallback_uses_ocr_text(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, 0, "", "recovered one"),
+            (1, 1, " ", "recovered two"),
+            (2, 0, "real text", "should not appear"),
+        ],
+        "doc_id long, page_no int, page_text string, ocr_text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in ocr_fallback(pages).collect()}
+    assert out[1] == "recovered onerecovered two"
+    assert out[2] == "real text"

@@ -1,0 +1,110 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark.functions.hashing import det_embed_py
+from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+    BrpLshIndex,
+    IvfIndex,
+)
+from pdf_using_hugging_face_and_vector_database_spark.operators.search import (
+    fetch_by_ids,
+    delete_by_ids,
+    knn_join,
+    topk_cosine,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype="float64")
+    return ids, mat
+
+
+def brute_topk(ids, mat, q, k):
+    q = np.asarray(q, dtype="float64")
+    scores = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -scores))[:k]
+    return list(ids[order])
+
+
+def test_topk_matches_numpy(spark, sf_dir, emb_np):
+    ids, mat = emb_np
+    q = det_embed_py("some query", 64)
+    got = topk_cosine(read_table(spark, sf_dir, "embeddings"), q, k=10).collect()
+    assert [r["vec_id"] for r in got] == brute_topk(ids, mat, q, 10)
+
+
+def test_knn_join_matches_numpy(spark, sf_dir, emb_np):
+    ids, mat = emb_np
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = knn_join(queries, emb, k=5).collect()
+    for qid in range(3):
+        expect = brute_topk(ids, mat, mat[qid], 5)
+        mine = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert mine == expect, f"query {qid}"
+
+
+def _planted_clusters(n=500, n_clusters=10, dim=64):
+    """Deterministic clustered corpus: the regime where sublinear ANN
+    is meaningful. (The driver's embeddings fixture is uniform-random
+    on the sphere — same-label mean cos 0.019 — where no index can
+    concentrate top-k neighbors; IVF recall there is ~scan-fraction by
+    construction, so the recall gate uses planted clusters.)"""
+    cents = np.array([det_embed_py(f"cluster:{c}", dim) for c in range(n_clusters)])
+    mat = []
+    for i in range(n):
+        v = cents[i % n_clusters] + 0.6 * np.array(det_embed_py(f"noise:{i}", dim))
+        mat.append(v / np.linalg.norm(v))
+    return np.arange(n), np.array(mat)
+
+
+def test_ann_recall(spark):
+    """IVF ANN top-10 must recall >= 0.9 of exact top-10 (SURVEY §5)
+    while scanning only ~nprobe/k of the corpus."""
+    ids, mat = _planted_clusters()
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfIndex(k=16, iters=3, dim=64).fit(df)
+    recalls = []
+    for qid in [5, 123, 250, 377, 499]:
+        q = mat[qid]
+        exact = set(brute_topk(ids, mat, q, 10))
+        approx = {r["vec_id"] for r in idx.query(q, k=10, nprobe=3).collect()}
+        recalls.append(len(exact & approx) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # probing 3/16 cells must not scan more than ~35% of the corpus
+    cells = idx.probe_cells(mat[5], 3)
+    frac = idx.assigned.filter(F.col("cell").isin(cells)).count() / len(ids)
+    assert frac < 0.35, frac
+
+
+def test_brp_lsh_index(spark, sf_dir, emb_np):
+    ids, mat = emb_np
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = BrpLshIndex(bucket_length=1.0, num_hash_tables=4).fit(emb)
+    q = det_embed_py("lsh probe", 64)
+    got = [r["vec_id"] for r in idx.query(q, k=10).collect()]
+    exact = set(brute_topk(ids, mat, q, 10))
+    assert len(exact & set(got)) / 10.0 >= 0.7
+
+
+def test_fetch_and_delete(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    got = fetch_by_ids(emb, [1, 2, 3])
+    assert got.count() == 3
+    left = delete_by_ids(emb, [1, 2, 3])
+    assert left.count() == total - 3
+    assert left.filter(F.col("vec_id").isin(1, 2, 3)).count() == 0

@@ -1,0 +1,24 @@
+"""Streaming == batch on the same finite input (SURVEY.md §2.6)."""
+
+from __future__ import annotations
+
+from pdf_using_hugging_face_and_vector_database_spark.queries import events_hourly
+from pdf_using_hugging_face_and_vector_database_spark.streaming.windows import (
+    run_stream_to_memory,
+)
+
+
+def test_stream_matches_batch(spark, sf_dir):
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in run_stream_to_memory(spark, sf_dir).collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events_hourly(spark, sf_dir).collect()
+    }
+    assert set(stream_rows) == set(batch_rows)
+    for k, (n_stream, v_stream) in stream_rows.items():
+        n_batch, v_batch = batch_rows[k]
+        assert n_stream == n_batch, k
+        assert abs(v_stream - v_batch) < 1e-6, k

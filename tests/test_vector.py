@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark.functions.vector import (
+    cosine,
+    dot,
+    l2_norm,
+    l2_normalize,
+)
+from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [1.0, 0.0])], ["a", "b"])
+    r = df.select(
+        dot("a", "b").alias("d"), l2_norm("a").alias("n"), cosine("a", "b").alias("c")
+    ).first()
+    assert r["d"] == 3.0
+    assert r["n"] == 5.0
+    assert abs(r["c"] - 0.6) < 1e-12
+
+
+def test_normalize_unit_norm(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0],)], ["a"])
+    r = df.select(l2_norm(l2_normalize("a")).alias("n")).first()
+    assert abs(r["n"] - 1.0) < 1e-12
+
+
+def test_unit_sphere_euclid_cosine_equivalence(spark, sf_dir):
+    """‖a−b‖² = 2−2·cos(a,b) on the unit-norm fixture vectors — the
+    property that makes Euclidean LSH order cosine order (SURVEY §7)."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(20)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    sq = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    chk = pairs.select((sq - (2.0 - 2.0 * cosine("va", "vb"))).alias("diff")).collect()
+    # fixture vectors are float32-normalized: norms are 1 ± ~1e-7
+    assert all(abs(r["diff"]) < 1e-5 for r in chk)

@@ -1,0 +1,121 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry in Spark and its ``oracle_sql()`` twin in DuckDB at
+sf0.01, compare row-count + (name-sorted) schema + order-insensitive
+canonical values. Stricter than a hash compare: prints the first
+mismatching rows.
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from pdf_using_hugging_face_and_vector_database_spark.schemas import TESTDATA_TABLES
+from pdf_using_hugging_face_and_vector_database_spark.session import get_spark
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    return v
+
+
+def spark_rows(df):
+    cols = sorted(df.columns)
+    return cols, [tuple(canon(r[c]) for c in cols) for r in df.collect()]
+
+
+def duck_rows(con, sql):
+    res = con.sql(sql)
+    names = res.columns
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    return cols, [tuple(canon(row[i]) for i in order) for row in res.fetchall()]
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args)
+
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            scols, srows = spark_rows(fn(spark, sf_dir))
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            dcols, drows = duck_rows(con, oracles[name])
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if scols != dcols:
+            print(f"FAIL {name}: columns differ\n  spark={scols}\n  duck ={dcols}")
+            ok = False
+        elif len(srows) != len(drows):
+            print(f"FAIL {name}: row count {len(srows)} vs {len(drows)}")
+            ok = False
+        else:
+            sset, dset = sorted(srows), sorted(drows)
+            if sset != dset:
+                diffs = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+                print(f"FAIL {name}: values differ; first diffs (spark vs duck):")
+                for a, b in diffs:
+                    print(f"  {a}\n  {b}")
+                ok = False
+        if ok:
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
