@@ -39,7 +39,14 @@ BENCH_QUERIES = [
     "neardup_minhash",
     "neardup_embedding",
     "upsert_compact",
+    "pages_roundtrip",
     "tpch_q1_pricing",
+    "rollup_pricing",
+    "semi_anti_customers",
+    "asof_join_events",
+    "pivot_order_status",
+    "sessionize_events",
+    "distinct_parts_per_supplier",
     "revenue_by_nation",
     "top_parts_per_brand",
     "customer_segments",

@@ -352,6 +352,75 @@ SELECT c_mktsegment,
 FROM customer GROUP BY c_mktsegment
 """
 
+    sql["rollup_pricing"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+    sql["semi_anti_customers"] = """
+SELECT c_mktsegment,
+       count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+       count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+FROM customer GROUP BY c_mktsegment
+"""
+
+    sql["asof_join_events"] = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+    sql["pivot_order_status"] = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+    sql["sessionize_events"] = """
+WITH gaps AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS gap_us
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM gaps),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_no, count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_no)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events)::BIGINT AS max_session_events,
+       sum(n_events)::BIGINT AS total_events
+FROM per_session GROUP BY user_id
+"""
+
+    sql["distinct_parts_per_supplier"] = """
+SELECT l_suppkey,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_suppkey
+"""
+
+    sql["pages_roundtrip"] = """
+SELECT doc_id, text FROM documents
+"""
+
     sql["upsert_compact"] = """
 WITH existing AS (
   SELECT 'doc-' || doc_id AS id, text, 1::BIGINT AS ingest_version, 0 AS is_batch

@@ -283,6 +283,136 @@ def customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family): per (flag, status),
+    per flag, and grand total in one pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi / left-anti joins: per market segment, how many
+    customers have >=1 order vs none. The two joins share one shuffle
+    key (c_custkey = o_custkey)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY §2.5): for each
+    'purchase' event, the timestamp of the same user's most recent
+    'click' at-or-before it. Implemented as the classic union +
+    last_value(ignorenulls) over (user, ts) — one shuffle on user_id,
+    no range-join blowup (vs DuckDB's native ASOF JOIN as oracle)."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    tagged = purchases.withColumn("__click_ts", F.lit(None).cast("timestamp")).unionByName(
+        clicks.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.col("ts").alias("__click_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        # clicks (non-null __click_ts) sort before purchases at equal
+        # ts, so a same-instant click counts as "at-or-before" —
+        # matching ASOF's >= semantics
+        .orderBy(F.col("ts"), F.col("__click_ts").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = tagged.withColumn(
+        "click_ts", F.last("__click_ts", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+    )
+
+
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority x status (explicit value list —
+    at scale an unbounded pivot is a full distinct scan first)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30-min gaps (lag +
+    running sum of gap flags — the batch twin of streaming
+    session_window). Micro-second arithmetic, all integer."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — the two-level shuffle Spark
+    plans as partial-distinct + final (approx_count_distinct is the
+    single-pass variant; not oracle-comparable across engines)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming op —
     streaming/ runs the same logic with a watermark)."""
@@ -299,6 +429,25 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("value")).alias("total_value"),
         )
     )
+
+
+def pages_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — order-correct page concat, closed loop: split each doc
+    into 100-char 'pages' (chunk, overlap 0), shuffle them through a
+    repartition, then concat_pages must reconstruct the original text
+    exactly (reference `streamlit_app.py:63`: ''.join over pages).
+    The oracle is simply SELECT doc_id, text FROM documents."""
+    from .operators.pages import concat_pages
+
+    docs = read_table(spark, sf_dir, "documents")
+    pages = chunk_stride(docs, chunk_size=100, chunk_overlap=0).select(
+        "doc_id",
+        F.col("chunk_index").alias("page_no"),
+        F.col("chunk_text").alias("page_text"),
+    )
+    # scramble physical order to prove the sort inside the agg matters
+    scrambled = pages.repartition(8, "page_no")
+    return concat_pages(scrambled)
 
 
 # ---------------- write semantics (S8 upsert) ----------------
@@ -405,6 +554,13 @@ QUERIES = {
     "top_parts_per_brand": top_parts_per_brand,
     "customer_segments": customer_segments,
     "events_hourly": events_hourly,
+    "rollup_pricing": rollup_pricing,
+    "semi_anti_customers": semi_anti_customers,
+    "asof_join_events": asof_join_events,
+    "pivot_order_status": pivot_order_status,
+    "sessionize_events": sessionize_events,
+    "distinct_parts_per_supplier": distinct_parts_per_supplier,
+    "pages_roundtrip": pages_roundtrip,
     "upsert_compact": upsert_compact,
     "q3_ann_ivf": q3_ann_ivf,
     "chunker_separator": chunker_separator,

@@ -1,0 +1,86 @@
+"""Physical-plan shape assertions — the 100 TB survival properties
+(SURVEY.md §4). A refactor that silently drops a pushdown, broadcasts
+the wrong side, or turns top-k into a global sort fails here, at
+sf0.001, long before it would melt a cluster."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark import queries as Q
+from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+from pdf_using_hugging_face_and_vector_database_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_take_ordered,
+    scan_read_schema,
+)
+from pdf_using_hugging_face_and_vector_database_spark.plans.explain import count_shuffles
+
+
+def test_metadata_filter_pushed_to_scan(spark, sf_dir):
+    """Q4: the label predicate must reach the parquet reader."""
+    df = Q.q4_filtered_topk(spark, sf_dir)
+    assert has_pushed_filters(df, "label")
+
+
+def test_date_filter_pushed_to_scan(spark, sf_dir):
+    df = Q.tpch_q1_pricing(spark, sf_dir)
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """Q1: orderBy+limit must lower to TakeOrderedAndProject (local
+    top-k + driver merge), never a full sort of the corpus."""
+    assert has_take_ordered(Q.q1_cosine_topk(spark, sf_dir))
+    assert has_take_ordered(Q.q4_filtered_topk(spark, sf_dir))
+
+
+def test_knn_join_broadcasts_query_side(spark, sf_dir):
+    """Q2: the (small) query side broadcasts; the corpus must never
+    shuffle for the join itself."""
+    df = Q.q2_knn_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Broadcast" in plan
+    # corpus-side scan feeds the join without an Exchange before it
+    assert "SortMergeJoin" not in plan
+
+
+def test_revenue_join_broadcasts_dim(spark, sf_dir):
+    """nation (25 rows) must broadcast, whatever the fact-join does."""
+    assert has_broadcast_join(Q.revenue_by_nation(spark, sf_dir))
+
+
+def test_column_pruning_on_count(spark, sf_dir):
+    """Counting vectors must not read the 64-float embedding column —
+    at 384-d/100 TB that's the difference between a metadata scan and
+    reading the whole table."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = emb.groupBy("label").count()
+    schemas = scan_read_schema(df)
+    assert schemas, "no scan found"
+    assert all("embedding" not in s for s in schemas)
+
+
+def test_pipeline_is_shuffle_free(spark, sf_dir):
+    """The flagship ingest chain (chunk -> embed -> id -> metadata) is
+    pure per-row map + explode: zero Exchange nodes."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.chunker import chunk_stride
+    from pdf_using_hugging_face_and_vector_database_spark.operators.embedder import (
+        embed_deterministic,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ids import (
+        with_metadata,
+        with_vector_id,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_stride(docs, keep_cols=("doc_id", "source"))
+    vec = with_metadata(with_vector_id(embed_deterministic(chunks, "chunk_text")))
+    assert count_shuffles(vec) == 0
+
+
+def test_fetch_pushes_isin(spark, sf_dir):
+    df = Q.q5_fetch_by_ids(spark, sf_dir)
+    assert has_pushed_filters(df, "vec_id")

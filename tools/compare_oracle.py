@@ -100,12 +100,17 @@ def main():
             print(f"FAIL {name}: row count {len(srows)} vs {len(drows)}")
             ok = False
         else:
-            sset, dset = sorted(srows), sorted(drows)
-            if sset != dset:
-                diffs = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
-                print(f"FAIL {name}: values differ; first diffs (spark vs duck):")
-                for a, b in diffs:
-                    print(f"  {a}\n  {b}")
+            import collections
+
+            sc, dc = collections.Counter(srows), collections.Counter(drows)
+            if sc != dc:
+                only_s = list((sc - dc).elements())[:3]
+                only_d = list((dc - sc).elements())[:3]
+                print(f"FAIL {name}: values differ")
+                for r in only_s:
+                    print(f"  spark-only: {r}")
+                for r in only_d:
+                    print(f"  duck-only : {r}")
                 ok = False
         if ok:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
