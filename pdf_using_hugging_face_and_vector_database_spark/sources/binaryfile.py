@@ -26,9 +26,13 @@ def read_pdf_dir(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFra
 
 def read_pdf_dir_stream(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
     """Streaming variant — the continuous analog of the reference's
-    one-file-per-interaction upload loop."""
+    one-file-per-interaction upload loop. Streaming sources require an
+    explicit schema; binaryFile's is fixed."""
+    from ..schemas import BINARY_DOCUMENTS
+
     return (
         spark.readStream.format("binaryFile")
+        .schema(BINARY_DOCUMENTS)
         .option("pathGlobFilter", glob)
         .load(path)
     )
