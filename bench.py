@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_signatures",
     "neardup_minhash",
+    "neardup_groups",
     "neardup_embedding",
     "upsert_compact",
     "pages_roundtrip",

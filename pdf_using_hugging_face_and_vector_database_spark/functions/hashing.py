@@ -78,11 +78,21 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def element_hashes(elements: Column) -> Column:
-    """md5 hash of each array element — computed ONCE per element; the
-    k MinHash variants / SimHash bits derive from this by integer
-    arithmetic (the md5 is the expensive part at scale)."""
-    return F.transform(elements, lambda s: md5_int(s))
+def element_hashes(elements: Column, hash_fn: str = "md5") -> Column:
+    """Hash of each array element — computed ONCE per element; the k
+    MinHash variants / SimHash bits derive from this by integer
+    arithmetic (the hash is the expensive part at scale).
+
+    hash_fn='md5'     — oracle-parity hash (reproducible in DuckDB).
+    hash_fn='xxhash64' — native Spark hash, ~5x cheaper; same 24-bit
+    range. Use for production-scale dedup where cross-engine
+    reproducibility is not required (measured: the md5 dominates
+    signature cost at 500k docs)."""
+    if hash_fn == "md5":
+        return F.transform(elements, lambda s: md5_int(s))
+    if hash_fn == "xxhash64":
+        return F.transform(elements, lambda s: F.abs(F.xxhash64(s)) % F.lit(0x1000000))
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 
 def minhash_from_hashes(hashes: Column, num_hashes: int) -> Column:

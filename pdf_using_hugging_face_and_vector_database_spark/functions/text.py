@@ -64,6 +64,18 @@ def punct_ratio(text: Column | str) -> Column:
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-gram shingles (space-joined) — ~4x fewer shingles than
+    char n-grams on prose, the standard corpus-dedup choice at scale
+    (char shingles stay the default for short/noisy text)."""
+    toks = tokens(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
 def char_ngrams(text: Column, n: int) -> Column:
     """All character n-grams of a string as an array (for Jaccard /
     MinHash shingling). Pure SQL: transform over a position sequence."""

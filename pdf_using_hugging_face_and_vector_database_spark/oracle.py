@@ -304,6 +304,34 @@ SELECT id_a, id_b, {est} AS jaccard_est
 FROM pairs WHERE {est} >= 0.5
 """
 
+    rounds_sql = []
+    for r in range(2):
+        prev = "l0" if r == 0 else f"l{r}"
+        rounds_sql.append(
+            f"b{r + 1} AS (\n"
+            f"  SELECT b.doc_id, min(l.label) OVER (PARTITION BY b.band_index, b.band_sig) AS bucket_label\n"
+            f"  FROM banded b JOIN {prev} l USING (doc_id)),\n"
+            f"l{r + 1} AS (\n"
+            f"  SELECT doc_id, min(bucket_label) AS label FROM b{r + 1} GROUP BY doc_id)"
+        )
+    sql["neardup_groups"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
+  FROM documents),
+hashed AS (SELECT doc_id, {_element_hashes(_ngrams('text', NGRAM))} AS hs FROM corpus),
+sigs AS (SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS sig FROM hashed),
+banded AS (
+  SELECT doc_id, b::INT AS band_index,
+         list_slice(sig, b * {rows_per_band} + 1, (b + 1) * {rows_per_band}) AS band_sig
+  FROM (SELECT doc_id, sig, unnest(range(0, {MINHASH_BANDS})) AS b FROM sigs)),
+l0 AS (SELECT doc_id, doc_id AS label FROM sigs),
+{','.join(rounds_sql)}
+SELECT doc_id, label AS group_rep FROM l2
+"""
+
     sql["neardup_embedding"] = f"""
 SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        round({_cos('l.embedding', 'r.embedding', EMBED_DIM)}, 6) AS cosine_sim

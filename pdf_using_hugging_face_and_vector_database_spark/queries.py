@@ -26,7 +26,6 @@ from .operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
     minhash_candidate_pairs,
-    with_minhash,
 )
 from .operators.embedder import embed_deterministic
 from .operators.ids import with_metadata, with_vector_id
@@ -177,10 +176,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures_agg
+
     docs = read_table(spark, sf_dir, "documents")
-    return with_minhash(docs, num_hashes=MINHASH_HASHES, ngram=NGRAM).select(
-        "doc_id", "minhash"
-    )
+    return minhash_signatures_agg(docs, num_hashes=MINHASH_HASHES, ngram=NGRAM)
 
 
 def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,12 +199,27 @@ def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs over the synthetic corpus,
     with the MinHash Jaccard estimate (exact integer arithmetic)."""
+    from .operators.dedup import minhash_signatures_agg
+
     corpus = neardup_corpus(spark, sf_dir)
-    sigs = with_minhash(corpus, num_hashes=MINHASH_HASHES, ngram=NGRAM)
+    sigs = minhash_signatures_agg(corpus, num_hashes=MINHASH_HASHES, ngram=NGRAM)
     pairs = minhash_candidate_pairs(
         sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS
     )
     return pairs.filter(F.col("jaccard_est") >= 0.5)
+
+
+def neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup at scale shape: per-doc group representative via
+    LSH-bucket min-label propagation (O(n) output — pairwise output is
+    O(group²); see operators/dedup.neardup_representatives)."""
+    from .operators.dedup import minhash_signatures_agg, neardup_representatives
+
+    corpus = neardup_corpus(spark, sf_dir)
+    sigs = minhash_signatures_agg(corpus, num_hashes=MINHASH_HASHES, ngram=NGRAM)
+    return neardup_representatives(
+        sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS, rounds=2
+    )
 
 
 def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,6 +562,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "neardup_minhash": neardup_minhash,
+    "neardup_groups": neardup_groups,
     "neardup_embedding": neardup_embedding,
     "tpch_q1_pricing": tpch_q1_pricing,
     "revenue_by_nation": revenue_by_nation,

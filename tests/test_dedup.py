@@ -55,6 +55,39 @@ def test_ngram_jaccard_bounds(spark):
     assert out[1]["j"] < 0.1
 
 
+def test_neardup_representatives_group_duplicates(spark):
+    """Star-contraction labels: duplicates collapse to one rep; the
+    unrelated doc keeps its own label."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        minhash_signatures_agg,
+        neardup_representatives,
+    )
+
+    near = BASE[:-8]
+    far = "entirely unrelated content about kernel schedulers and numa nodes"
+    df = _docs(spark, [BASE, near, far, BASE])
+    sigs = minhash_signatures_agg(df, num_hashes=16, ngram=7)
+    reps = {r["doc_id"]: r["group_rep"] for r in
+            neardup_representatives(sigs, num_hashes=16, bands=4).collect()}
+    assert reps[0] == reps[1] == reps[3] == 0
+    assert reps[2] == 2
+
+
+def test_signatures_agg_matches_fold(spark):
+    """The codegen explode+groupBy signature shape must produce the
+    exact integers of the array-fold shape."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        minhash_signatures_agg,
+    )
+
+    df = _docs(spark, [BASE, BASE[:-8], "short one"])
+    fold = {r["doc_id"]: r["minhash"] for r in
+            with_minhash(df, num_hashes=16, ngram=7).select("doc_id", "minhash").collect()}
+    agg = {r["doc_id"]: r["minhash"] for r in
+           minhash_signatures_agg(df, num_hashes=16, ngram=7).collect()}
+    assert fold == agg
+
+
 def test_simhash_near_for_similar(spark):
     df = with_simhash(_docs(spark, [BASE, BASE, "unrelated words entirely"]))
     s = [r["simhash"] for r in df.orderBy("doc_id").collect()]
