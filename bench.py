@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "neardup_minhash",
     "neardup_groups",
+    "neardup_simhash",
+    "neardup_jaccard",
+    "token_counts",
     "neardup_embedding",
     "upsert_compact",
     "pages_roundtrip",

@@ -78,18 +78,20 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def element_hashes(elements: Column, hash_fn: str = "md5") -> Column:
+def element_hashes(elements: Column, hash_fn: str = "md5", nhex: int = 6) -> Column:
     """Hash of each array element — computed ONCE per element; the k
     MinHash variants / SimHash bits derive from this by integer
     arithmetic (the hash is the expensive part at scale).
 
-    hash_fn='md5'     — oracle-parity hash (reproducible in DuckDB).
+    hash_fn='md5'     — oracle-parity hash (reproducible in DuckDB);
+    ``nhex`` hex chars = 4*nhex bits (6 → 24-bit for MinHash perms,
+    12 → 48-bit for wide SimHash fingerprints).
     hash_fn='xxhash64' — native Spark hash, ~5x cheaper; same 24-bit
     range. Use for production-scale dedup where cross-engine
     reproducibility is not required (measured: the md5 dominates
     signature cost at 500k docs)."""
     if hash_fn == "md5":
-        return F.transform(elements, lambda s: md5_int(s))
+        return F.transform(elements, lambda s: md5_int(s, nhex))
     if hash_fn == "xxhash64":
         return F.transform(elements, lambda s: F.abs(F.xxhash64(s)) % F.lit(0x1000000))
     raise ValueError(f"unknown hash_fn: {hash_fn}")

@@ -64,6 +64,22 @@ def punct_ratio(text: Column | str) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer regex: letter runs, single digits (GPT-style
+# digit splitting), or any single other non-space symbol. Kept to
+# constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB) so the count is oracle-checkable.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: number of BPE_TOKEN_RE matches. A real
+    BPE tokenizer merges within these pre-token spans, so this counts
+    pre-tokens — the standard cheap proxy for LLM token budgeting
+    (within ~1.3x of real BPE counts on prose)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """Word n-gram shingles (space-joined) — ~4x fewer shingles than
     char n-grams on prose, the standard corpus-dedup choice at scale

@@ -249,6 +249,112 @@ def neardup_representatives(
     return labels.select(F.col(id_col), F.col("label").alias("group_rep"))
 
 
+def simhash_agg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """SimHash fingerprints in the scale shape: explode token hashes ->
+    ONE groupBy(id) with ``bits`` conditional integer sums (whole-stage
+    codegen + map-side partial agg — same shape as
+    text_analysis.fingerprint). 48-bit token hashes (12 md5 hex chars)
+    keep fingerprints up to 48 bits exact cross-engine.
+
+    Empirical sizing on the shared-vocab fixture corpus: 16/24/32-bit
+    fingerprints drown in false positives at Hamming<=3 (15k/2.3k FP
+    pairs at sf0.01); 48-bit gives 540 total pairs, dominated by the
+    true near-dup twins. Google's production choice is 64-bit, k=3 —
+    same construction, wider hash.
+    """
+    # at least 6 hex chars so bits<=24 fingerprints are bit-identical
+    # to the element_hashes default (with_simhash / the 16-bit oracle)
+    nhex = max(6, (bits + 3) // 4)
+    hashed = df.select(
+        id_col,
+        F.explode_outer(tokens(F.col(text_col))).alias("__tok"),
+    ).select(id_col, md5_int(F.col("__tok"), nhex).alias("h"))
+    # sum of +-1 over bit b  >0  <=>  2*popcount_b > n_tokens: plain
+    # bitwise sums (branch-free, codegen'd) instead of when(+-1) CASEs
+    bit_sums = hashed.groupBy(id_col).agg(
+        F.count("h").alias("__n"),
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"__bit{b}")
+            for b in range(bits)
+        ],
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(
+            F.col(f"__bit{b}") * 2 > F.col("__n"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select(id_col, fp.alias(out_col))
+
+
+def simhash_candidate_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    bits: int = 48,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via the banded Hamming join: split the
+    fingerprint into ``chunks`` bit-chunks; any pair within Hamming
+    distance ``max_hamming`` (< chunks, pigeonhole) shares at least one
+    EQUAL chunk, so an equi-join on (chunk_index, chunk_value) yields a
+    complete candidate set — never the O(n^2) cross product. Exact
+    ``bit_count(xor)`` verifies candidates.
+
+    Scale: shuffle keys are (chunk_index, 12-bit value) — bucket sizes
+    ~n/2^width; AQE skew-join splits hot buckets. Output is the exact
+    Hamming<=k join, deterministically.
+    """
+    assert chunks > max_hamming, "pigeonhole requires chunks > max_hamming"
+    width = bits // chunks
+    mask = (1 << width) - 1
+    fps = fps.persist()
+    banded = fps.select(
+        F.col(id_col),
+        F.col(fp_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(fp_col), c * width).bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk_index", "chunk_val"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(
+        F.col(f"l.{fp_col}").bitwiseXOR(F.col(f"r.{fp_col}"))
+    ).cast("int")
+    # Verify INSIDE the join projection and filter before the dedup:
+    # on a homogeneous corpus the biased fingerprint bits make chunk
+    # buckets heavily collide (candidates ~O(n*bucket)), so the
+    # xor+bit_count must run codegen'd in the join stage — an aggregate
+    # over the raw candidate stream (the dropDuplicates-first shape)
+    # was the whole cost: 6.6s -> this shape, at sf0.1.
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.chunk_index") == F.col("r.chunk_index"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -32,6 +32,9 @@ from .queries import (
     NGRAM,
     Q4_LABELS,
     QUERY_TEXT,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    SIMHASH_MAXH,
 )
 from .functions.hashing import P_MINHASH, det_embed_py, minhash_params
 
@@ -75,9 +78,12 @@ def _ngrams(text: str, n: int) -> str:
     )
 
 
-def _element_hashes(elements: str) -> str:
+def _element_hashes(elements: str, nhex: int = 6) -> str:
     """md5 of each element, hashed once (== functions.hashing.element_hashes)."""
-    return f"list_transform({elements}, s -> {_h24('s')})"
+    return (
+        f"list_transform({elements}, "
+        f"s -> ('0x' || substr(md5(s), 1, {nhex}))::BIGINT)"
+    )
 
 
 def _minhash_from_hashes(hs: str, num_hashes: int) -> str:
@@ -93,10 +99,20 @@ def _tokens(text: str) -> str:
     return f"list_filter(string_split({text}, ' '), x -> x <> '')"
 
 
-def _simhash16(hs: str) -> str:
+def _word_ngrams(text: str, n: int) -> str:
+    """Word n-gram shingles, space-joined (== functions.text.word_ngrams
+    and the concat_ws shingles in minhash_signatures_agg)."""
+    toks = _tokens(text)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+def _simhash_bits(hs: str, bits: int) -> str:
     """SimHash from pre-computed hashes; bits via shift+mask (== Spark)."""
     terms = []
-    for b in range(16):
+    for b in range(bits):
         pw = 2**b
         bit_sum = (
             f"list_sum(list_transform({hs}, "
@@ -104,6 +120,10 @@ def _simhash16(hs: str) -> str:
         )
         terms.append(f"(CASE WHEN {bit_sum} > 0 THEN {pw} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _simhash16(hs: str) -> str:
+    return _simhash_bits(hs, 16)
 
 
 def _stopword_score(lang: str) -> str:
@@ -330,6 +350,74 @@ banded AS (
 l0 AS (SELECT doc_id, doc_id AS label FROM sigs),
 {','.join(rounds_sql)}
 SELECT doc_id, label AS group_rep FROM l2
+"""
+
+    sh_width = SIMHASH_BITS // SIMHASH_CHUNKS
+    sh_mask = (1 << sh_width) - 1
+    sh_nhex = max(6, (SIMHASH_BITS + 3) // 4)
+    sql["neardup_simhash"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
+  FROM documents),
+hashed AS (
+  SELECT doc_id, {_element_hashes(_tokens('text'), nhex=sh_nhex)} AS hs FROM corpus),
+fps AS (SELECT doc_id, {_simhash_bits('hs', SIMHASH_BITS)} AS fp FROM hashed),
+chunked AS (
+  SELECT doc_id, fp, c::INT AS chunk_index, (fp >> (c * {sh_width})) & {sh_mask} AS chunk_val
+  FROM (SELECT doc_id, fp, unnest(range(0, {SIMHASH_CHUNKS})) AS c FROM fps)),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.fp AS fp_a, r.fp AS fp_b
+  FROM chunked l JOIN chunked r
+    ON l.chunk_index = r.chunk_index AND l.chunk_val = r.chunk_val AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
+FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= {SIMHASH_MAXH}
+"""
+
+    from .queries import WORD_NGRAM
+
+    ga, gb = _word_ngrams("l.text", WORD_NGRAM), _word_ngrams("r.text", WORD_NGRAM)
+    sql["neardup_jaccard"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
+  FROM documents),
+hashed AS (SELECT doc_id, {_element_hashes(_word_ngrams('text', WORD_NGRAM))} AS hs FROM corpus),
+sigs AS (SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS sig FROM hashed),
+banded AS (
+  SELECT doc_id, b::INT AS band_index,
+         list_slice(sig, b * {rows_per_band} + 1, (b + 1) * {rows_per_band}) AS band_sig
+  FROM (SELECT doc_id, sig, unnest(range(0, {MINHASH_BANDS})) AS b FROM sigs)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_index = r.band_index AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(
+           len(list_filter(list_distinct({ga}), x -> list_contains({gb}, x)))::DOUBLE
+           / (len(list_distinct({ga})) + len(list_distinct({gb}))
+              - len(list_filter(list_distinct({ga}), x -> list_contains({gb}, x))))::DOUBLE,
+           6) AS jaccard
+  FROM cand c JOIN corpus l ON c.id_a = l.doc_id JOIN corpus r ON c.id_b = r.doc_id)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+    from .functions.text import BPE_TOKEN_RE
+
+    sql["token_counts"] = f"""
+SELECT doc_id,
+       len({toks})::INT AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::INT AS bpe_tokens,
+       length(text)::INT AS n_chars,
+       round(length(text)::DOUBLE
+             / greatest(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')), 1)::DOUBLE,
+             6) AS chars_per_token
+FROM documents
 """
 
     sql["neardup_embedding"] = f"""

@@ -42,7 +42,15 @@ EMBED_DIM = 64            # matches the embeddings fixture space
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4
 NGRAM = 7  # 4-gram shingles are non-selective on the shared-vocab corpus
+WORD_NGRAM = 3  # word-shingle width for the jaccard-verify pipeline
 NEARDUP_TRUNC = 10        # chars dropped to synthesize near-dup docs
+# 48-bit SimHash, 4x12-bit chunks, Hamming<=3: narrower fingerprints
+# drown in false positives on the shared-vocab fixture (see
+# operators/dedup.simhash_agg); chunks > max_hamming is the pigeonhole
+# completeness condition for the banded Hamming join.
+SIMHASH_BITS = 48
+SIMHASH_CHUNKS = 4
+SIMHASH_MAXH = 3
 QUERY_TEXT = "spark vector search query"
 KNN_QUERIES = 5
 KNN_K = 3
@@ -219,6 +227,87 @@ def neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures_agg(corpus, num_hashes=MINHASH_HASHES, ngram=NGRAM)
     return neardup_representatives(
         sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS, rounds=2
+    )
+
+
+def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the synthetic corpus: 48-bit
+    fingerprints, banded Hamming equi-join (pigeonhole-complete for
+    Hamming<=3), exact bit_count(xor) verify. The third dedup modality
+    (exact hash / MinHash-Jaccard / SimHash-Hamming)."""
+    from .operators.dedup import simhash_agg, simhash_candidate_pairs
+
+    corpus = neardup_corpus(spark, sf_dir)
+    fps = simhash_agg(corpus, bits=SIMHASH_BITS)
+    return simhash_candidate_pairs(
+        fps, bits=SIMHASH_BITS, chunks=SIMHASH_CHUNKS, max_hamming=SIMHASH_MAXH
+    )
+
+
+def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation + exact-verify pipeline on WORD shingles:
+    MinHash-LSH band join proposes pairs, exact word-3-gram set Jaccard
+    (distinct semantics) confirms them — the full classic near-dup
+    architecture. Word shingles are ~7x fewer hash calls than char-7
+    shingles on prose (the md5 dominates signature cost), and the
+    shingle space is selective even on the 109-word fixture vocab."""
+    from .functions.text import word_ngrams
+    from .operators.dedup import minhash_signatures_agg
+
+    corpus = neardup_corpus(spark, sf_dir).persist()
+    sigs = minhash_signatures_agg(
+        corpus, num_hashes=MINHASH_HASHES, ngram=WORD_NGRAM, shingle="word"
+    )
+    cand = minhash_candidate_pairs(
+        sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS
+    ).select("id_a", "id_b")
+    # Materialize the DISTINCT gram set per doc BEFORE the join: with
+    # the raw text joined instead, Catalyst substitutes the whole
+    # ngram-construction expression into both the join condition and
+    # the output projection — the array build (an interpreted
+    # higher-order function) then runs ~4x per candidate pair instead
+    # of once per doc (measured 40s -> 3s at sf0.1).
+    grams = corpus.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(F.col("text"), WORD_NGRAM)).alias("g"),
+    )
+    ga_tbl = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("__ga"))
+    gb_tbl = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = (F.size("__ga") + F.size("__gb")).cast("double") - inter
+    j = F.round(inter / union, 6)
+    # Broadcast the PAIR side in both joins: candidates are tiny while
+    # the gram tables carry ~300-element string arrays per doc — the
+    # static size estimate gets this backwards and ships the arrays
+    # through an exchange (measured: each array shuffle costs seconds;
+    # the whole verify is sub-second broadcast-side). At corpus scale
+    # (pairs too big to broadcast) the right shape is the exploded
+    # (doc_id, gram) shuffle join, not array-carrying rows.
+    pa = ga_tbl.join(F.broadcast(cand), "id_a")
+    return (
+        gb_tbl.join(F.broadcast(pa), "id_b")
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both modalities a data pipeline budgets with:
+    whitespace tokens and BPE-ish pre-tokens (regex match count —
+    functions/text.BPE_TOKEN_RE)."""
+    from .functions.text import bpe_token_count, token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    ws, bpe = token_count(text), bpe_token_count(text)
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length(text).alias("n_chars"),
+        F.round(
+            F.length(text).cast("double") / F.greatest(bpe, F.lit(1)).cast("double"), 6
+        ).alias("chars_per_token"),
     )
 
 
@@ -563,6 +652,9 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "neardup_minhash": neardup_minhash,
     "neardup_groups": neardup_groups,
+    "neardup_simhash": neardup_simhash,
+    "neardup_jaccard": neardup_jaccard,
+    "token_counts": token_counts,
     "neardup_embedding": neardup_embedding,
     "tpch_q1_pricing": tpch_q1_pricing,
     "revenue_by_nation": revenue_by_nation,

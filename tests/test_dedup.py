@@ -88,6 +88,54 @@ def test_signatures_agg_matches_fold(spark):
     assert fold == agg
 
 
+def test_simhash_banded_hamming_join(spark):
+    """48-bit simhash + banded Hamming join: the near pair survives at
+    Hamming<=3; the unrelated doc pairs with nobody."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        simhash_agg,
+        simhash_candidate_pairs,
+    )
+
+    # only mutate the tail token: on a 22-token text each changed token
+    # moves every bit-sum by +-2, so a 1-token edit stays within
+    # Hamming 3 but a multi-token edit may not (verified offline)
+    near = BASE[:-4]
+    far = "entirely unrelated content about kernel schedulers and numa nodes"
+    fps = simhash_agg(_docs(spark, [BASE, near, far]), bits=48)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidate_pairs(fps, bits=48).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_agg_matches_fold(spark):
+    """The explode+groupBy simhash shape must produce the exact integer
+    of the array-fold shape at the same bit width."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        simhash_agg,
+    )
+
+    df = _docs(spark, [BASE, BASE[:-8], "short one"])
+    fold = {r["doc_id"]: r["simhash"] for r in with_simhash(df, bits=16).select("doc_id", "simhash").collect()}
+    agg = {r["doc_id"]: r["simhash"] for r in simhash_agg(df, bits=16).collect()}
+    assert fold == agg
+
+
+def test_bpe_token_count(spark):
+    from pdf_using_hugging_face_and_vector_database_spark.functions.text import (
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("hello world",), ("a1b2, ok!",), ("",)], ["text"]
+    )
+    out = [r["n"] for r in df.select(bpe_token_count("text").alias("n")).collect()]
+    # "hello","world" = 2 ; "a","1","b","2",",","ok","!" = 7 ; "" = 0
+    assert out == [2, 7, 0]
+
+
 def test_simhash_near_for_similar(spark):
     df = with_simhash(_docs(spark, [BASE, BASE, "unrelated words entirely"]))
     s = [r["simhash"] for r in df.orderBy("doc_id").collect()]
