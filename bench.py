@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "top_parts_per_brand",
     "customer_segments",
     "events_hourly",
+    "setops_parts",
+    "q6_revenue_band",
+    "orders_calendar",
+    "percentiles_acctbal",
 ]
 
 

@@ -556,6 +556,52 @@ SELECT id, ingest_version,
 FROM ranked WHERE rn = 1
 """
 
+    sql["setops_parts"] = """
+WITH cat AS (SELECT p_partkey AS partkey FROM part),
+     sold AS (SELECT l_partkey AS partkey FROM lineitem)
+SELECT partkey, 'union' AS set_op
+  FROM (SELECT partkey FROM cat UNION SELECT partkey FROM sold)
+UNION ALL
+SELECT partkey, 'intersect' AS set_op
+  FROM (SELECT partkey FROM cat INTERSECT SELECT partkey FROM sold)
+UNION ALL
+SELECT partkey, 'except' AS set_op
+  FROM (SELECT partkey FROM cat EXCEPT SELECT partkey FROM sold)
+"""
+
+    sql["q6_revenue_band"] = f"""
+SELECT {_dsum('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+    sql["orders_calendar"] = f"""
+SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
+       EXTRACT(quarter FROM o_orderdate)::INT AS o_quarter,
+       count(*) AS n_orders,
+       {_dsum('o_totalprice')} AS total_price,
+       SUM(CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+       MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+       MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+FROM orders
+GROUP BY 1, 2
+"""
+
+    sql["percentiles_acctbal"] = f"""
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+       round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+       round(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+       round({_dsum('c_acctbal')} / count(*), 6) AS mean_acctbal,
+       count(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+"""
+
     sql["events_hourly"] = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

@@ -553,6 +553,83 @@ def pages_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_pages(scrambled)
 
 
+def setops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (UNION / INTERSECT / EXCEPT, all DISTINCT — the
+    §2.5 set-op row): part keys in the catalog vs part keys actually
+    sold. Each set-op is one hash-distinct shuffle on partkey; the
+    lineitem side prunes to a single int column at the scan."""
+    cat = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey")
+    )
+    sold = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey")
+    )
+    u = cat.union(sold).distinct().withColumn("set_op", F.lit("union"))
+    i = cat.intersect(sold).withColumn("set_op", F.lit("intersect"))
+    e = cat.subtract(sold).withColumn("set_op", F.lit("except"))
+    return u.unionByName(i).unionByName(e)
+
+
+def q6_revenue_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape scan-heavy filter + global agg: date range,
+    discount band, quantity cap collapsing to one row. The entire plan
+    is scan→filter→partial-agg→single-row exchange; every predicate
+    reaches the parquet reader (PushedFilters, asserted in
+    tests/test_plans.py) — at 100 TB this query is pure pruned I/O."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def orders_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage (§2.5 'scalar functions' row — date
+    extraction, formatting, substring, conditional math) over orders:
+    per (year, quarter) order counts, exact price sums, urgent-priority
+    counts, and first/last order day."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+        F.sum(
+            F.when(F.substring("o_orderpriority", 1, 1) == "1", 1).otherwise(0)
+        ).alias("n_urgent"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_day"),
+    )
+
+
+def percentiles_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per market segment (sort-based
+    within each group). Oracle-checkable because both engines use
+    linear interpolation; at 100 TB the approx_percentile sketch is
+    the drop-in scale variant (t-digest, no per-group sort)."""
+    cust = read_table(spark, sf_dir, "customer")
+
+    def pct(p: float) -> F.Column:
+        return F.round(F.expr(f"percentile(c_acctbal, {p})"), 6)
+
+    n = F.count(F.lit(1))
+    return cust.groupBy("c_mktsegment").agg(
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"),
+        F.round(_dsum(F.col("c_acctbal")) / n, 6).alias("mean_acctbal"),
+        n.alias("n_customers"),
+    )
+
+
 # ---------------- write semantics (S8 upsert) ----------------
 
 def upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +746,10 @@ QUERIES = {
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "pages_roundtrip": pages_roundtrip,
     "upsert_compact": upsert_compact,
+    "setops_parts": setops_parts,
+    "q6_revenue_band": q6_revenue_band,
+    "orders_calendar": orders_calendar,
+    "percentiles_acctbal": percentiles_acctbal,
     "q3_ann_ivf": q3_ann_ivf,
     "chunker_separator": chunker_separator,
 }

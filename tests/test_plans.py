@@ -84,3 +84,14 @@ def test_pipeline_is_shuffle_free(spark, sf_dir):
 def test_fetch_pushes_isin(spark, sf_dir):
     df = Q.q5_fetch_by_ids(spark, sf_dir)
     assert has_pushed_filters(df, "vec_id")
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6-shape scan query: every predicate (date range, discount
+    band, quantity cap) reaches the parquet reader, and the scan reads
+    only the 4 referenced columns."""
+    df = Q.q6_revenue_band(spark, sf_dir)
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filters(df, c), c
+    schemas = scan_read_schema(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
