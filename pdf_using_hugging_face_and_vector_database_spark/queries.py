@@ -251,41 +251,70 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     architecture. Word shingles are ~7x fewer hash calls than char-7
     shingles on prose (the md5 dominates signature cost), and the
     shingle space is selective even on the 109-word fixture vocab."""
-    from .functions.text import word_ngrams
     from .operators.dedup import minhash_signatures_agg
 
     corpus = neardup_corpus(spark, sf_dir).persist()
     sigs = minhash_signatures_agg(
         corpus, num_hashes=MINHASH_HASHES, ngram=WORD_NGRAM, shingle="word"
     )
-    cand = minhash_candidate_pairs(
-        sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS
-    ).select("id_a", "id_b")
+    cand = (
+        minhash_candidate_pairs(sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    # Only CANDIDATE docs need gram sets: semi-join the corpus down
+    # before the explode+aggregate. At scale candidates are a tiny
+    # fraction of the corpus, and the gram table feeds both pair
+    # sides — building sets for every doc was most of the verify cost
+    # (full-corpus grams ~2.5s x2 vs ~0.3s here at sf0.1).
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    corpus_c = corpus.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     # Materialize the DISTINCT gram set per doc BEFORE the join: with
     # the raw text joined instead, Catalyst substitutes the whole
     # ngram-construction expression into both the join condition and
-    # the output projection — the array build (an interpreted
-    # higher-order function) then runs ~4x per candidate pair instead
-    # of once per doc (measured 40s -> 3s at sf0.1).
-    grams = corpus.select(
-        "doc_id",
-        F.array_distinct(word_ngrams(F.col("text"), WORD_NGRAM)).alias("g"),
+    # the output projection — the array build then runs ~4x per
+    # candidate pair instead of once per doc (measured 40s -> 3s at
+    # sf0.1). Build the sets via explode + collect_set, NOT
+    # array_distinct(transform(sequence(...))): the higher-order-
+    # function form is CodegenFallback (interpreted per row) and
+    # measured 15.8s vs 2.5s at sf0.1 for the same sets — same
+    # explode shape as minhash_signatures_agg's word shingles.
+    from .functions.text import tokens
+
+    toked = corpus_c.select("doc_id", tokens(F.col("text")).alias("__t"))
+    n_pos = F.greatest(F.size("__t") - F.lit(WORD_NGRAM - 1), F.lit(1))
+    exploded = toked.select(
+        "doc_id", "__t", F.explode(F.sequence(F.lit(1), n_pos)).alias("pos")
+    )
+    gram = F.concat_ws(
+        " ", *[F.get("__t", F.col("pos") - 1 + F.lit(j)) for j in range(WORD_NGRAM)]
+    )
+    grams = (
+        exploded.select("doc_id", gram.alias("__g1"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("__g1").alias("g"))
+        .persist()
     )
     ga_tbl = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("__ga"))
     gb_tbl = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
     union = (F.size("__ga") + F.size("__gb")).cast("double") - inter
     j = F.round(inter / union, 6)
-    # Broadcast the PAIR side in both joins: candidates are tiny while
-    # the gram tables carry ~300-element string arrays per doc — the
-    # static size estimate gets this backwards and ships the arrays
-    # through an exchange (measured: each array shuffle costs seconds;
-    # the whole verify is sub-second broadcast-side). At corpus scale
-    # (pairs too big to broadcast) the right shape is the exploded
-    # (doc_id, gram) shuffle join, not array-carrying rows.
+    # Broadcast the PAIR side into the first join: candidates are tiny
+    # while the gram tables carry ~300-element string arrays per doc —
+    # the static size estimate gets this backwards. The second join
+    # stays a plain shuffle join: both sides are already pruned to
+    # candidate docs (small by construction), and nesting a second
+    # broadcast would serialize an extra collect-to-driver job carrying
+    # the gram arrays. At corpus scale (pairs too big to broadcast) the
+    # right shape is the exploded (doc_id, gram) shuffle join.
     pa = ga_tbl.join(F.broadcast(cand), "id_a")
     return (
-        gb_tbl.join(F.broadcast(pa), "id_b")
+        pa.join(gb_tbl, "id_b")
         .select("id_a", "id_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
