@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "q6_revenue_band",
     "orders_calendar",
     "percentiles_acctbal",
+    "events_json_props",
+    "rolling_fingerprint",
+    "clicks_before_purchase",
 ]
 
 

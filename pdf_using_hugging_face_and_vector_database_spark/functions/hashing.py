@@ -78,6 +78,28 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+# ---- polynomial rolling-hash fingerprint constants (Rabin-Karp) ----
+# fp(doc) = sum_i (tok_hash_i * B^i) mod M, position-sensitive (unlike
+# the MinHash/SimHash *set* fingerprints). Sizing keeps every product
+# exactly inside int64 in BOTH engines: tok_hash < 2^20, coef < M <
+# 2^31 -> term < 2^51; partial sums of <= MAXPOS terms < 2^41.
+ROLLING_B = 1_000_003
+ROLLING_M = 2_147_483_647  # 2^31 - 1 (prime)
+ROLLING_MAXPOS = 1024      # coefficient table size; positions wrap
+ROLLING_TOKMOD = 1_048_576  # 2^20
+
+
+def rolling_coefs() -> list[int]:
+    """B^pos mod M for pos in [0, MAXPOS) — precomputed driver-side so
+    neither engine needs modular exponentiation; embedded as an array
+    literal in the Spark plan and the oracle SQL alike."""
+    out, c = [], 1
+    for _ in range(ROLLING_MAXPOS):
+        out.append(c)
+        c = (c * ROLLING_B) % ROLLING_M
+    return out
+
+
 def element_hashes(elements: Column, hash_fn: str = "md5", nhex: int = 6) -> Column:
     """Hash of each array element — computed ONCE per element; the k
     MinHash variants / SimHash bits derive from this by integer

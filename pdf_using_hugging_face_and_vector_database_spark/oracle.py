@@ -602,6 +602,51 @@ FROM customer
 GROUP BY c_mktsegment
 """
 
+    sql["events_json_props"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       SUM((props->>'k')::BIGINT)::BIGINT AS sum_k,
+       MIN((props->>'k')::BIGINT) AS min_k,
+       MAX((props->>'k')::BIGINT) AS max_k,
+       COUNT(CASE WHEN (props->>'k')::BIGINT % 2 = 0 THEN 1 END) AS n_even_k
+FROM events
+GROUP BY event_type
+"""
+
+    from .functions.hashing import (
+        ROLLING_M,
+        ROLLING_MAXPOS,
+        ROLLING_TOKMOD,
+        rolling_coefs,
+    )
+
+    coefs = "[" + ", ".join(str(c) for c in rolling_coefs()) + "]"
+    toks = _tokens("text")
+    sql["rolling_fingerprint"] = f"""
+WITH coef AS (SELECT {coefs}::BIGINT[] AS cs)
+SELECT doc_id,
+       COALESCE(list_sum(list_transform(range(1, len({toks}) + 1),
+         i -> ((('0x' || substr(md5({toks}[i]), 1, 6))::BIGINT % {ROLLING_TOKMOD})
+               * cs[((i - 1) % {ROLLING_MAXPOS}) + 1]) % {ROLLING_M})),
+         0) % {ROLLING_M} AS rolling_fp,
+       len({toks})::BIGINT AS n_tokens
+FROM documents, coef
+"""
+
+    sql["clicks_before_purchase"] = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       n_clicks_1h
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+         )::BIGINT AS n_clicks_1h
+  FROM events)
+WHERE event_type = 'purchase'
+"""
+
     sql["events_hourly"] = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

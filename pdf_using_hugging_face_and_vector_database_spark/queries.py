@@ -659,6 +659,82 @@ def percentiles_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (§2.5 scalar-function family): extract a
+    numeric field from the events ``props`` JSON column and aggregate
+    per event_type. get_json_object evaluates JVM-side per row; at
+    scale prefer parsing ONCE via from_json into a struct column over
+    repeated path extraction."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k % 2 == 0, 1)).alias("n_even_k"),
+    )
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp-style polynomial rolling-hash document fingerprint:
+    fp = sum_i(tok_hash_i * B^i) mod M over token positions — the
+    POSITION-SENSITIVE fingerprint modality (token reorder/insert
+    changes it), complementing the set-semantics MinHash/SimHash.
+    Shape: posexplode tokens -> one groupBy(doc) sum with the B^pos
+    coefficients looked up from a constant-folded array literal — all
+    exact int64, bit-identical to the oracle."""
+    from .functions.hashing import (
+        ROLLING_M,
+        ROLLING_MAXPOS,
+        ROLLING_TOKMOD,
+        md5_int,
+        rolling_coefs,
+    )
+    from .functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    coef_lit = F.array(*[F.lit(c) for c in rolling_coefs()])
+    toked = docs.select(
+        "doc_id", F.posexplode_outer(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    term = (
+        (md5_int(F.col("tok")) % F.lit(ROLLING_TOKMOD))
+        * F.element_at(coef_lit, (F.col("pos") % F.lit(ROLLING_MAXPOS) + 1).cast("int"))
+    ) % F.lit(ROLLING_M)
+    return toked.groupBy("doc_id").agg(
+        (F.coalesce(F.sum(term), F.lit(0)) % F.lit(ROLLING_M)).alias("rolling_fp"),
+        F.count("tok").alias("n_tokens"),
+    )
+
+
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window (time-range join family): for each purchase,
+    how many clicks the same user made in the preceding hour. One
+    shuffle on user_id; the RANGE frame runs over integer microseconds
+    so both engines count the same boundary rows — no O(n^2) interval
+    join, which is the trap shape at 100 TB."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    n_clicks = F.sum(
+        F.when(F.col("event_type") == "click", 1).otherwise(0)
+    ).over(w)
+    return (
+        ev.withColumn("n_clicks_1h", n_clicks)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "n_clicks_1h",
+        )
+    )
+
+
 # ---------------- write semantics (S8 upsert) ----------------
 
 def upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,6 +855,9 @@ QUERIES = {
     "q6_revenue_band": q6_revenue_band,
     "orders_calendar": orders_calendar,
     "percentiles_acctbal": percentiles_acctbal,
+    "events_json_props": events_json_props,
+    "rolling_fingerprint": rolling_fingerprint,
+    "clicks_before_purchase": clicks_before_purchase,
     "q3_ann_ivf": q3_ann_ivf,
     "chunker_separator": chunker_separator,
 }
