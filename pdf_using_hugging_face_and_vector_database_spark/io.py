@@ -66,3 +66,33 @@ def write_vectors(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    buckets: int = 8,
+    by: tuple[str, ...] = ("id",),
+    sort_by: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted table write: co-locates rows by hash(``by``)
+    at WRITE time, so every later join/aggregation on those keys reads
+    pre-partitioned, pre-sorted buckets and skips its shuffle entirely
+    (tests/test_io_scale.py pins the shuffle-free SortMergeJoin plan).
+
+    This is the 100 TB lever for the vectors table: repeated
+    upsert-merge (S8), fetch-by-id (Q5) and id-keyed similarity joins
+    all key on ``id`` — bucket once, never shuffle the corpus again.
+    Bucketing metadata lives in the session catalog (saveAsTable), the
+    data at ``path``.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, *by)
+        .sortBy(*(sort_by or by))
+    )
+    writer.saveAsTable(name)

@@ -1,0 +1,63 @@
+"""Write-path scale levers: partition pruning on partitioned writes,
+shuffle-free joins on bucketed tables (SURVEY.md §4 / io.py)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark.io import (
+    read_table,
+    write_bucketed,
+    write_vectors,
+)
+from pdf_using_hugging_face_and_vector_database_spark.plans.explain import (
+    count_shuffles,
+    formatted_plan,
+)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A metadata filter over a source-partitioned vectors table must
+    become a PartitionFilter (whole directories skipped), not a row
+    filter (Q4's scale path)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    path = str(tmp_path / "vectors_part")
+    write_vectors(docs, path, partition_by="source")
+
+    back = spark.read.parquet(path).filter(F.col("source") == "src1")
+    plan = formatted_plan(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "source" in m.group(1), plan
+    # every file actually read lives under the matching partition dir
+    assert back.count() > 0
+    files = back.inputFiles()
+    # inputFiles is pre-pruning for some sources; the plan assertion
+    # above is the real check — this one documents the layout
+    assert all("source=" in f for f in files)
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key: the join must read buckets
+    directly — zero Exchange in the plan (vs 2 for unbucketed)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    stats = docs.select("doc_id", F.length("text").alias("n_chars"))
+    write_bucketed(docs, "b_docs", str(tmp_path / "b_docs"), buckets=4, by=("doc_id",))
+    write_bucketed(stats, "b_stats", str(tmp_path / "b_stats"), buckets=4, by=("doc_id",))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_docs").join(spark.table("b_stats"), "doc_id")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert count_shuffles(joined) == 0, plan
+        # and the bucketed groupBy on the key needs no exchange either
+        agg = spark.table("b_docs").groupBy("doc_id").agg(F.count(F.lit(1)))
+        assert count_shuffles(agg) == 0
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_stats")
