@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "events_json_props",
     "rolling_fingerprint",
     "clicks_before_purchase",
+    "cube_pricing",
+    "session_windows_native",
 ]
 
 

@@ -735,6 +735,41 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2^k grouping sets in one pass — the
+    rollup_pricing sibling): per (returnflag x linestatus), each
+    margin, and the grand total. Spark expands the sets map-side;
+    one shuffle regardless of k."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows (F.session_window — the same
+    operator Structured Streaming uses for streaming sessionization;
+    sessionize_events is the hand-rolled lag+cumsum twin). Session =
+    events per user with < 30-min gaps; window end = last event +
+    gap."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------- write semantics (S8 upsert) ----------------
 
 def upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,6 +893,8 @@ QUERIES = {
     "events_json_props": events_json_props,
     "rolling_fingerprint": rolling_fingerprint,
     "clicks_before_purchase": clicks_before_purchase,
+    "cube_pricing": cube_pricing,
+    "session_windows_native": session_windows_native,
     "q3_ann_ivf": q3_ann_ivf,
     "chunker_separator": chunker_separator,
 }
