@@ -817,6 +817,20 @@ def q3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", F.round("score", 6).alias("score"))
 
 
+def q3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 (MLlib variant) — ANN top-10 via BucketedRandomProjectionLSH
+    over L2-normalized vectors (unit sphere: Euclidean order == cosine
+    order; property-tested in tests/test_vector.py). Rows-only checked:
+    LSH bucket boundaries are seed-dependent."""
+    from .operators.ann import BrpLshIndex
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = det_embed_py(QUERY_TEXT, EMBED_DIM)
+    idx = BrpLshIndex(bucket_length=0.5, num_hash_tables=3).fit(emb)
+    out = idx.query(qv, k=10)
+    return out.select("vec_id", "label", F.round("distCol", 6).alias("eucl_dist"))
+
+
 def chunker_separator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 (reference-faithful variant) — separator-aware greedy merge
     chunker (CharacterTextSplitter semantics) as a Pandas UDF."""
@@ -896,5 +910,6 @@ QUERIES = {
     "cube_pricing": cube_pricing,
     "session_windows_native": session_windows_native,
     "q3_ann_ivf": q3_ann_ivf,
+    "q3_ann_lsh": q3_ann_lsh,
     "chunker_separator": chunker_separator,
 }

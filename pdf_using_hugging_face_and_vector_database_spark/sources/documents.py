@@ -1,0 +1,70 @@
+"""Multi-format documents source: the text-corpus counterpart of the
+binaryFile PDF source (reference S1, `streamlit_app.py:127` — the
+reference accepts exactly one upload format; a corpus engine must
+ingest whatever the lake holds).
+
+One reader surface over parquet / CSV / JSON-lines with the DOCUMENTS
+schema enforced at the boundary (explicit schema = no inference scan:
+at 100 TB a schema-inference pass over CSV/JSON is a full extra read).
+Malformed rows land in a quarantine column instead of failing the job
+(PERMISSIVE + columnNameOfCorruptRecord), mirroring the reference's
+degrade-don't-crash OCR error handling (`streamlit_app.py:84-86`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import DOCUMENTS
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _schema_with_quarantine() -> T.StructType:
+    return T.StructType(
+        [*DOCUMENTS.fields, T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+
+
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read a documents table from ``path`` in ``format``
+    (parquet | csv | json). Non-parquet reads enforce the DOCUMENTS
+    schema explicitly and quarantine malformed records."""
+    if format == "parquet":
+        return spark.read.parquet(path)
+    if format not in ("csv", "json"):
+        raise ValueError(f"unsupported documents format: {format}")
+    reader = (
+        spark.read.format(format)
+        .schema(_schema_with_quarantine())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if format == "csv":
+        # multiline text fields need quoting; header matches schema names
+        reader = reader.option("header", "true").option("multiLine", "true").option(
+            "escape", '"'
+        )
+    df = reader.load(path)
+    if keep_corrupt:
+        return df
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def write_documents(
+    df: DataFrame, path: str, format: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Round-trip writer (test support + landing-zone export)."""
+    writer = df.write.mode(mode).format(format)
+    if format == "csv":
+        writer = writer.option("header", "true").option("escape", '"').option(
+            "quoteAll", "true"
+        )
+    writer.save(path)
