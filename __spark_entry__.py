@@ -27,9 +27,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return _queries.flagship(spark, SMOKE_SF_DIR)
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the previous query's tracked caches before building the
+    next one (by then its result has been collected); keeps a long
+    all-registry run from accumulating executor memory."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pdf_using_hugging_face_and_vector_database_spark.caching import (
+            release_caches,
+        )
+
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_queries.QUERIES)
+    return {name: _released(fn) for name, fn in _queries.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

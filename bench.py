@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "q5_fetch_by_ids",
     "chunker_stride",
     "chunker_separator",
+    "chunk_metadata",
     "pipeline_vectors",
     "text_stats",
     "lang_id",

@@ -31,10 +31,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ts_cols = {"events": ["ts"]}.get(name, [])
     if ts_cols:
-        # the caller may hand us a vanilla session (the driver does);
-        # this legacy conf is runtime-settable and required to read
-        # the fixture's TIMESTAMP(NANOS) columns at all
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Session requirement: TIMESTAMP(NANOS) parquet columns need
+        # spark.sql.legacy.parquet.nanosAsLong=true. session.get_spark
+        # sets it at construction; an externally built session (the
+        # driver's) may not — set it ONLY when absent so this reader
+        # never silently flips an explicit caller setting.
+        conf = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(conf, "false") != "true":
+            spark.conf.set(conf, "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in ts_cols:
         if isinstance(df.schema[c].dataType, T.LongType):

@@ -160,11 +160,14 @@ def minhash_candidate_pairs(
     Scale shape: explode(bands) -> shuffle on band hash -> join. Bucket
     sizes are data-dependent; AQE skew-join splits hot buckets.
     """
+    from ..caching import persist_tracked
+
     rows_per_band = num_hashes // bands
     # persist: the self-join would otherwise recompute the signature
     # derivation (shingling + hashing) for BOTH sides of the join — at
-    # scale you persist the signature table anyway (it is the index)
-    df = df.persist()
+    # scale you persist the signature table anyway (it is the index).
+    # Tracked so caching.release_caches() reclaims it between queries.
+    df = persist_tracked(df)
     banded = df.select(
         F.col(id_col),
         F.col(sig_col),
@@ -198,10 +201,7 @@ def minhash_candidate_pairs(
             lambda eq: eq,
         )
     ).cast("double") / F.lit(float(num_hashes))
-    out = pairs.select("id_a", "id_b", est.alias("jaccard_est"))
-    # note: the persisted signature table stays cached for reuse across
-    # queries in a session; call .unpersist() on the input to reclaim
-    return out
+    return pairs.select("id_a", "id_b", est.alias("jaccard_est"))
 
 
 def neardup_representatives(
@@ -314,7 +314,9 @@ def simhash_candidate_pairs(
     assert chunks > max_hamming, "pigeonhole requires chunks > max_hamming"
     width = bits // chunks
     mask = (1 << width) - 1
-    fps = fps.persist()
+    from ..caching import persist_tracked
+
+    fps = persist_tracked(fps)
     banded = fps.select(
         F.col(id_col),
         F.col(fp_col),

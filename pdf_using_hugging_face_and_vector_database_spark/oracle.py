@@ -220,6 +220,16 @@ WITH chunks AS ({_chunks_cte()})
 SELECT doc_id, chunk_index, chunk_text FROM chunks
 """
 
+    sql["chunk_metadata"] = f"""
+WITH chunks AS ({_chunks_cte(extra_cols=", source")})
+SELECT 'doc-' || doc_id || '-' || chunk_index AS id,
+       chunk_index AS md_chunk_index,
+       source AS md_source,
+       2::INT AS n_keys,
+       'chunk_index,source' AS md_keys
+FROM chunks
+"""
+
     sql["pipeline_vectors"] = f"""
 WITH chunks AS ({_chunks_cte(extra_cols=", source")}),
 emb AS (
@@ -294,8 +304,13 @@ FROM documents GROUP BY sha256(text)
 
     sql["minhash_signatures"] = f"""
 WITH hashed AS (
-  SELECT doc_id, {_element_hashes(_ngrams('text', NGRAM))} AS hs FROM documents)
-SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS minhash FROM hashed
+  SELECT doc_id, {_element_hashes(_ngrams('text', NGRAM))} AS hs FROM documents),
+sigs AS (
+  SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS minhash FROM hashed)
+SELECT doc_id,
+       array_to_string(minhash, '-') AS minhash_sig,
+       minhash[1]::BIGINT AS mh_first
+FROM sigs
 """
 
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
@@ -622,13 +637,16 @@ GROUP BY event_type
 
     coefs = "[" + ", ".join(str(c) for c in rolling_coefs()) + "]"
     toks = _tokens("text")
+    # the outer ::BIGINT matters: list_sum returns HUGEINT, which the
+    # driver's typed hash compare sees as a non-int64 column even though
+    # the values are identical (CORRECTNESS_r01 hash_match=false)
     sql["rolling_fingerprint"] = f"""
 WITH coef AS (SELECT {coefs}::BIGINT[] AS cs)
 SELECT doc_id,
-       COALESCE(list_sum(list_transform(range(1, len({toks}) + 1),
+       (COALESCE(list_sum(list_transform(range(1, len({toks}) + 1),
          i -> ((('0x' || substr(md5({toks}[i]), 1, 6))::BIGINT % {ROLLING_TOKMOD})
                * cs[((i - 1) % {ROLLING_MAXPOS}) + 1]) % {ROLLING_M})),
-         0) % {ROLLING_M} AS rolling_fp,
+         0) % {ROLLING_M})::BIGINT AS rolling_fp,
        len({toks})::BIGINT AS n_tokens
 FROM documents, coef
 """

@@ -154,6 +154,29 @@ def pipeline_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — the reference's per-vector metadata dict
+    (`streamlit_app.py:147`: {"chunk_index": i, "source": ...}) as a
+    map column, projected back out through element_at so the map
+    construction itself crosses the oracle: key lookups, key set, and
+    cardinality must all match the DuckDB twin."""
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_stride(
+        docs,
+        chunk_size=CHUNK_SIZE,
+        chunk_overlap=CHUNK_OVERLAP,
+        keep_cols=("doc_id", "source"),
+    )
+    md = with_metadata(with_vector_id(chunks))
+    return md.select(
+        "id",
+        F.element_at("metadata", "chunk_index").cast("int").alias("md_chunk_index"),
+        F.element_at("metadata", "source").alias("md_source"),
+        F.size("metadata").alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys("metadata"))).alias("md_keys"),
+    )
+
+
 # ---------------- text analysis ----------------
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,10 +207,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, projected to driver-hashable scalars: the
+    operator returns array<long>, but the driver's pandas canonicalizer
+    can't factorize list cells — emit a '-'-joined digest plus the
+    first component (typed long) instead. Operator API unchanged."""
     from .operators.dedup import minhash_signatures_agg
 
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_signatures_agg(docs, num_hashes=MINHASH_HASHES, ngram=NGRAM)
+    sigs = minhash_signatures_agg(docs, num_hashes=MINHASH_HASHES, ngram=NGRAM)
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(
+            "-", F.transform("minhash", lambda x: x.cast("string"))
+        ).alias("minhash_sig"),
+        F.element_at("minhash", 1).alias("mh_first"),
+    )
 
 
 def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,16 +285,16 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     architecture. Word shingles are ~7x fewer hash calls than char-7
     shingles on prose (the md5 dominates signature cost), and the
     shingle space is selective even on the 109-word fixture vocab."""
+    from .caching import persist_tracked
     from .operators.dedup import minhash_signatures_agg
 
-    corpus = neardup_corpus(spark, sf_dir).persist()
+    corpus = persist_tracked(neardup_corpus(spark, sf_dir))
     sigs = minhash_signatures_agg(
         corpus, num_hashes=MINHASH_HASHES, ngram=WORD_NGRAM, shingle="word"
     )
-    cand = (
+    cand = persist_tracked(
         minhash_candidate_pairs(sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
         .select("id_a", "id_b")
-        .persist()
     )
     # Only CANDIDATE docs need gram sets: semi-join the corpus down
     # before the explode+aggregate. At scale candidates are a tiny
@@ -293,11 +327,10 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram = F.concat_ws(
         " ", *[F.get("__t", F.col("pos") - 1 + F.lit(j)) for j in range(WORD_NGRAM)]
     )
-    grams = (
+    grams = persist_tracked(
         exploded.select("doc_id", gram.alias("__g1"))
         .groupBy("doc_id")
         .agg(F.collect_set("__g1").alias("g"))
-        .persist()
     )
     ga_tbl = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("__ga"))
     gb_tbl = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("__gb"))
@@ -874,6 +907,7 @@ QUERIES = {
     "q4_filtered_topk": q4_filtered_topk,
     "q5_fetch_by_ids": q5_fetch_by_ids,
     "chunker_stride": chunker_stride,
+    "chunk_metadata": chunk_metadata,
     "pipeline_vectors": pipeline_vectors,
     "text_stats": text_stats,
     "lang_id": lang_id,
