@@ -24,7 +24,9 @@ from pdf_using_hugging_face_and_vector_database_spark.session import get_spark
 BENCH_QUERIES = [
     "q1_cosine_topk",
     "q2_knn_join",
+    "q3_ann_build",
     "q3_ann_ivf",
+    "q3_ann_recall",
     "q4_filtered_topk",
     "q5_fetch_by_ids",
     "chunker_stride",

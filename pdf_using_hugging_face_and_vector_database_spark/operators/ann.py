@@ -21,15 +21,28 @@ Three tools:
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MAX24, det_embed_py, md5_int
 from ..functions.vector import cosine, dot
+
+# persisted-index root (generated data, gitignored): the build/probe
+# split writes the assigned table here partitioned by cell, so a probe
+# is a partition-pruned read — never a rebuild
+INDEX_ROOT = os.environ.get(
+    "SPARK_GRAFT_INDEX_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".ann_index",
+    ),
+)
 
 
 def _centroid_lit(centroids: list[list[float]]) -> Column:
@@ -141,9 +154,77 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """One-shot IVF ANN top-k (build + probe). For repeated queries,
-    build :class:`IvfIndex` once and persist the assigned table."""
+    use :func:`build_ivf_index` once and :func:`probe_ivf_index`."""
     idx = IvfIndex(k=n_cells, iters=2, dim=dim).fit(corpus, vec_col)
     return idx.query(query_vec, k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_index_path(sf_dir: str, n_cells: int = 16, root: str | None = None) -> str:
+    """Deterministic on-disk location for one (dataset, n_cells) index."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(root or INDEX_ROOT, f"ivf_{base}_k{n_cells}")
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> "IvfIndex":
+    """S6 index BUILD, persisted: fit IVF, write the assigned corpus
+    partitioned by ``cell`` (so probes prune whole partitions —
+    PartitionFilters, plan-asserted in tests/test_plans.py) and the
+    centroids as JSON next to it. At 100 TB this is the batch index
+    job; probes then touch ~nprobe/n_cells of the files.
+    """
+    idx = IvfIndex(k=n_cells, iters=iters, dim=dim).fit(df, vec_col)
+    idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "assigned")
+    )
+    meta = {"n_cells": n_cells, "iters": iters, "dim": dim, "centroids": idx.centroids}
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "centroids.json"))
+    return idx
+
+
+def ivf_index_exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "centroids.json"))
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """S6/Q3 probe: nearest ``nprobe`` cells chosen driver-side from
+    the stored centroids (n_cells tiny), then a partition-pruned scan
+    of only those cells, exact re-rank inside. No index rebuild — the
+    read path is what repeated queries pay."""
+    from .search import query_vector_lit
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    scores = []
+    for i, c in enumerate(meta["centroids"]):
+        scores.append((sum(float(a) * b for a, b in zip(query_vec, c)), i + 1))
+    scores.sort(key=lambda t: (-t[0], t[1]))
+    cells = [cell for _, cell in scores[:nprobe]]
+
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    cand = assigned.filter(F.col("cell").isin(cells))
+    scored = cand.withColumn(
+        "score", cosine(F.col(vec_col), query_vector_lit(query_vec))
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k).drop("cell")
 
 
 class BrpLshIndex:

@@ -210,42 +210,85 @@ def neardup_representatives(
     sig_col: str = "minhash",
     num_hashes: int = 16,
     bands: int = 4,
-    rounds: int = 2,
+    rounds: int | None = None,
+    max_rounds: int = 12,
 ) -> DataFrame:
-    """Near-dup GROUPS instead of pairs: every doc maps to a group
-    representative (the min id reachable through shared LSH band
-    buckets, ``rounds`` iterations of min-label propagation / star
-    contraction).
+    """Near-dup GROUPS instead of pairs: every doc maps to its group
+    representative — the MIN id in its connected component of the
+    shared-LSH-bucket graph, computed by min-label propagation
+    iterated TO FIXPOINT (``rounds=None``, the default: stop when a
+    round changes zero labels, bounded by ``max_rounds``). Pass an
+    explicit ``rounds`` to cap the propagation radius instead (a
+    duplicate *chain* longer than the radius then stays split — only
+    safe when chains are known short).
 
-    Why: a corpus with k-way duplicate groups has O(k²) near-dup
+    Why groups: a corpus with k-way duplicate groups has O(k²) near-dup
     *pairs* per group — at 500k docs with 100-way groups that is 60M
     pairs (measured). The representative mapping is O(n) output and is
     what a dedup pipeline actually consumes (keep rep, drop rest).
 
     Each round is: explode bands -> window-min over bucket ->
-    groupBy-min over doc. All integer, all codegen'd; label
-    propagation converges like union-find star contraction.
+    groupBy-min over doc. All integer, all codegen'd. The min label
+    advances one bucket-hop per round, so fixpoint arrives within the
+    min-id doc's eccentricity in the bucket graph — real dup chains
+    are short (a chain needs each link to share a band with the next
+    but not the one after), and ``max_rounds`` bounds pathological
+    corpora. The per-round convergence check is one cheap action over
+    the O(n) label table (limit-1 count of changed labels).
     """
     from pyspark.sql import Window
 
+    from ..caching import persist_tracked
+
     rows_per_band = num_hashes // bands
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(sig_col, b * F.lit(rows_per_band) + F.lit(1), rows_per_band),
-            )
-        ).alias("band_index", "band_sig"),
-    ).persist()
+    # cache the signature table once: banded AND the initial labels
+    # derive from it, and the fixpoint loop's actions would otherwise
+    # recompute the (expensive) shingle+hash lineage every round
+    sigs = persist_tracked(sigs)
+    banded = persist_tracked(
+        sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.slice(
+                        sig_col, b * F.lit(rows_per_band) + F.lit(1), rows_per_band
+                    ),
+                )
+            ).alias("band_index", "band_sig"),
+        )
+    )
     labels = sigs.select(F.col(id_col), F.col(id_col).alias("label"))
-    for _ in range(rounds):
-        joined = banded.join(labels, id_col)
+
+    def one_round(lbls: DataFrame) -> DataFrame:
+        joined = banded.join(lbls, id_col)
         w = Window.partitionBy("band_index", "band_sig")
         bucket_min = joined.withColumn("bucket_label", F.min("label").over(w))
-        labels = bucket_min.groupBy(id_col).agg(
-            F.min("bucket_label").alias("label")
-        )
+        return bucket_min.groupBy(id_col).agg(F.min("bucket_label").alias("label"))
+
+    if rounds is not None:
+        for _ in range(rounds):
+            labels = one_round(labels)
+    else:
+        # Convergence witness: every label only ever DECREASES (a doc's
+        # own label is in every bucket it joins), so the exact sum of
+        # labels is strictly decreasing until fixpoint — one cheap agg
+        # per round instead of a changed-rows join. Decimal sum: exact
+        # and overflow-safe for long ids at any corpus size.
+        sum_expr = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        prev_sum = labels.agg(sum_expr).head()["s"]
+        for _ in range(max_rounds):
+            # EAGER localCheckpoint per round (the Pregel shape): the
+            # O(n) label table materializes fully and its lineage is
+            # cut, so later rounds never re-derive earlier ones — a
+            # lazy persist + partial action here caused an exponential
+            # recompute cascade (measured 94s vs 9s at sf0.1). On a
+            # cluster use checkpoint() to a reliable dir instead.
+            labels = one_round(labels).localCheckpoint(eager=True)
+            s = labels.agg(sum_expr).head()["s"]
+            if s == prev_sum:
+                break
+            prev_sum = s
     return labels.select(F.col(id_col), F.col("label").alias("group_rep"))
 
 

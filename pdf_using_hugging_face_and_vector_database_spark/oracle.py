@@ -20,6 +20,9 @@ from __future__ import annotations
 
 from .functions.text import LANG_MARKERS
 from .queries import (
+    ANN_ALPHA,
+    ANN_N_LABELS,
+    ANN_RECALL_K,
     CHUNK_OVERLAP,
     CHUNK_SIZE,
     EMBED_DIM,
@@ -209,6 +212,34 @@ SELECT vec_id, label, round(s, 6) AS score
 FROM scored ORDER BY s DESC, vec_id LIMIT 10
 """
 
+    # q3_ann_recall: DuckDB recomputes the EXACT top-k over the same
+    # label-clustered derived corpus (bit-identical double arithmetic);
+    # recall_ok is asserted TRUE — DuckDB can't run the IVF side, so
+    # the Spark query folds its measured recall>=0.9 into a boolean
+    # that must match this constant.
+    cents = [det_embed_py(f"cluster:{l}", EMBED_DIM) for l in range(ANN_N_LABELS)]
+    cent_lit = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
+        + "]::DOUBLE[][]"
+    )
+    sql["q3_ann_recall"] = f"""
+WITH cents AS (SELECT {cent_lit} AS cs),
+derived AS (
+  SELECT vec_id, list_transform(range(1, {EMBED_DIM + 1}),
+         i -> cs[label + 1][i] + {ANN_ALPHA!r}::DOUBLE * embedding[i]) AS e
+  FROM embeddings CROSS JOIN cents),
+q AS (SELECT e AS qv FROM derived WHERE vec_id = 0),
+scored AS (
+  SELECT d.vec_id, {_cos('d.e', 'q.qv', EMBED_DIM)} AS s
+  FROM derived d CROSS JOIN q),
+topk AS (SELECT vec_id FROM scored ORDER BY s DESC, vec_id LIMIT {ANN_RECALL_K})
+SELECT {ANN_RECALL_K}::INT AS k,
+       array_to_string(list_sort(list(vec_id)), '-') AS exact_ids,
+       TRUE AS recall_ok
+FROM topk
+"""
+
     ids = ", ".join(str(x) for x in FETCH_IDS)
     sql["q5_fetch_by_ids"] = f"""
 SELECT vec_id, label, len(embedding)::INT AS dim
@@ -339,18 +370,14 @@ SELECT id_a, id_b, {est} AS jaccard_est
 FROM pairs WHERE {est} >= 0.5
 """
 
-    rounds_sql = []
-    for r in range(2):
-        prev = "l0" if r == 0 else f"l{r}"
-        rounds_sql.append(
-            f"b{r + 1} AS (\n"
-            f"  SELECT b.doc_id, min(l.label) OVER (PARTITION BY b.band_index, b.band_sig) AS bucket_label\n"
-            f"  FROM banded b JOIN {prev} l USING (doc_id)),\n"
-            f"l{r + 1} AS (\n"
-            f"  SELECT doc_id, min(bucket_label) AS label FROM b{r + 1} GROUP BY doc_id)"
-        )
+    # Fixpoint twin: the Spark side iterates min-label propagation to
+    # convergence, whose fixpoint is the MIN id per connected component
+    # of the shared-bucket graph — computed here exactly via a
+    # recursive CTE over per-bucket star edges (doc <-> bucket-min
+    # doc; star edges preserve connectivity with O(n * bands) edges
+    # instead of O(bucket²) cliques).
     sql["neardup_groups"] = f"""
-WITH corpus AS (
+WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000 AS doc_id,
@@ -362,9 +389,18 @@ banded AS (
   SELECT doc_id, b::INT AS band_index,
          list_slice(sig, b * {rows_per_band} + 1, (b + 1) * {rows_per_band}) AS band_sig
   FROM (SELECT doc_id, sig, unnest(range(0, {MINHASH_BANDS})) AS b FROM sigs)),
-l0 AS (SELECT doc_id, doc_id AS label FROM sigs),
-{','.join(rounds_sql)}
-SELECT doc_id, label AS group_rep FROM l2
+star AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band_index, band_sig) AS bmin
+  FROM banded),
+edges AS (
+  SELECT DISTINCT doc_id AS src, bmin AS dst FROM star WHERE doc_id <> bmin
+  UNION
+  SELECT DISTINCT bmin AS src, doc_id AS dst FROM star WHERE doc_id <> bmin),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id AS r FROM sigs
+  UNION
+  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src)
+SELECT doc_id, MIN(r)::BIGINT AS group_rep FROM reach GROUP BY doc_id
 """
 
     sh_width = SIMHASH_BITS // SIMHASH_CHUNKS

@@ -73,6 +73,41 @@ def test_neardup_representatives_group_duplicates(spark):
     assert reps[2] == 2
 
 
+def test_neardup_representatives_chain_fixpoint(spark):
+    """A 5-link duplicate CHAIN (doc d shares a band bucket only with
+    d±1) must collapse to ONE representative under the default fixpoint
+    mode — and provably does NOT under a bounded radius (rounds=2),
+    the round-1 regression this test pins."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        neardup_representatives,
+    )
+
+    def band_val(d, b):
+        # edge e_d links docs d and d+1 through band d % 4
+        if d <= 4 and b == d % 4:
+            return [20000 + d] * 4
+        if d >= 2 and b == (d - 1) % 4:
+            return [20000 + d - 1] * 4
+        return [d * 100 + b] * 4
+
+    rows = [
+        (d, [x for b in range(4) for x in band_val(d, b)]) for d in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, minhash array<bigint>")
+    fix = {
+        r["doc_id"]: r["group_rep"]
+        for r in neardup_representatives(df, num_hashes=16, bands=4).collect()
+    }
+    assert fix == {d: 1 for d in range(1, 6)}, fix
+    bounded = {
+        r["doc_id"]: r["group_rep"]
+        for r in neardup_representatives(
+            df, num_hashes=16, bands=4, rounds=2
+        ).collect()
+    }
+    assert bounded[5] != 1  # radius-2 propagation leaves the chain split
+
+
 def test_signatures_agg_matches_fold(spark):
     """The codegen explode+groupBy signature shape must produce the
     exact integers of the array-fold shape."""

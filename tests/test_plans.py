@@ -39,12 +39,23 @@ def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
 
 def test_knn_join_broadcasts_query_side(spark, sf_dir):
     """Q2: the (small) query side broadcasts; the corpus must never
-    shuffle for the join itself."""
+    shuffle for the join itself; and the per-partition partial top-k
+    (MapInPandas) must sit UPSTREAM of the window's Exchange so the
+    shuffle carries the reduced stream, not |corpus| x |queries|."""
     df = Q.q2_knn_join(spark, sf_dir)
     plan = formatted_plan(df)
     assert "Broadcast" in plan
     # corpus-side scan feeds the join without an Exchange before it
     assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    # formatted explain numbers operators leaf-to-root: the partial
+    # top-k must execute before (higher op id than... ids ascend from
+    # the root) — assert via the tree section: Exchange appears above
+    # MapInPandas in the indented operator tree
+    tree = plan.split("\n\n")[0]
+    exch = [i for i, l in enumerate(tree.splitlines()) if "Exchange" in l]
+    mip = [i for i, l in enumerate(tree.splitlines()) if "MapInPandas" in l]
+    assert exch and mip and min(exch) < min(mip), (exch, mip)
 
 
 def test_revenue_join_broadcasts_dim(spark, sf_dir):
@@ -79,6 +90,28 @@ def test_pipeline_is_shuffle_free(spark, sf_dir):
     chunks = chunk_stride(docs, keep_cols=("doc_id", "source"))
     vec = with_metadata(with_vector_id(embed_deterministic(chunks, "chunk_text")))
     assert count_shuffles(vec) == 0
+
+
+def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF index is partitioned by cell; a probe must
+    show PartitionFilters on cell (whole-partition pruning), and read
+    strictly fewer rows than the corpus."""
+    from pdf_using_hugging_face_and_vector_database_spark.functions.hashing import (
+        det_embed_py,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_cells=8, iters=1, dim=64)
+    q = det_embed_py("probe", 64)
+    df = probe_ivf_index(spark, path, q, k=5, nprobe=2)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    assert df.count() == 5
 
 
 def test_fetch_pushes_isin(spark, sf_dir):

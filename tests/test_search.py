@@ -54,6 +54,43 @@ def test_knn_join_matches_numpy(spark, sf_dir, emb_np):
         assert mine == expect, f"query {qid}"
 
 
+def test_knn_partial_topk_reduces_exchange_input(spark, sf_dir, emb_np):
+    """The pre-exchange partial top-k must (a) cap the shuffled row
+    count at k * partitions * |queries| and (b) select exactly the rows
+    the final window would rank <= k — same strict total order."""
+    from pdf_using_hugging_face_and_vector_database_spark.functions.vector import cosine
+    from pdf_using_hugging_face_and_vector_database_spark.operators.search import (
+        partial_topk_per_partition,
+    )
+
+    ids, mat = emb_np
+    emb = read_table(spark, sf_dir, "embeddings").repartition(8)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    k = 5
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .withColumn("score", cosine(F.col("embedding"), F.col("query_embedding")))
+        .select("query_id", "vec_id", "score")
+    )
+    reduced = partial_topk_per_partition(scored, k)
+    n_reduced = reduced.count()
+    n_parts = emb.rdd.getNumPartitions()
+    assert n_reduced <= k * n_parts * 4, (n_reduced, n_parts)
+    assert n_reduced < scored.count()  # strictly fewer rows shuffle
+    # every exact top-k row survives the partition cut
+    got = knn_join(queries, emb.repartition(8), k=k).collect()
+    for qid in range(4):
+        expect = brute_topk(ids, mat, mat[qid], k)
+        mine = [
+            r["vec_id"]
+            for r in sorted(got, key=lambda r: r["rank"])
+            if r["query_id"] == qid
+        ]
+        assert mine == expect, f"query {qid}"
+
+
 def _planted_clusters(n=500, n_clusters=10, dim=64):
     """Deterministic clustered corpus: the regime where sublinear ANN
     is meaningful. (The driver's embeddings fixture is uniform-random
