@@ -687,6 +687,50 @@ SELECT doc_id,
 FROM documents, coef
 """
 
+    # chunker_separator: the greedy separator-merge is a deterministic
+    # automaton over the split sequence — state (next split i, window
+    # front f); a chunk [f, i-1] is emitted when split i would overflow
+    # chunk_size, then f advances to the first j whose retained tail
+    # fits chunk_overlap (prefix sums make both tests O(1)). The
+    # recursive CTE walks that automaton exactly; validated cell-for-
+    # cell against operators/chunker._split_separator on the fixture.
+    sql["chunker_separator"] = f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS sp FROM documents WHERE length(text) > 0),
+pre AS (
+  SELECT doc_id, sp, len(sp) AS n,
+         list_transform(sp, s -> length(s)) AS L,
+         list_transform(range(1, len(sp) + 2),
+            j -> COALESCE(list_sum(list_slice(list_transform(sp, s -> length(s)), 1, j - 1)), 0)) AS P
+  FROM base),
+walk(doc_id, i, f, e_start, e_end) AS (
+  SELECT doc_id, 1::BIGINT, 1::BIGINT, NULL::BIGINT, NULL::BIGINT FROM pre
+  UNION ALL
+  SELECT doc_id, i + 1,
+         CASE WHEN cond THEN newf ELSE f END,
+         CASE WHEN cond THEN f ELSE NULL END,
+         CASE WHEN cond THEN i - 1 ELSE NULL END
+  FROM (
+    SELECT w.doc_id, w.i, w.f,
+           (w.f < w.i AND p.P[w.i] - p.P[w.f] + (w.i - 1 - w.f) + p.L[w.i] + 1 > {CHUNK_SIZE}) AS cond,
+           list_min(list_filter(range(w.f, w.i + 1),
+               j -> j = w.i OR p.P[w.i] - p.P[j] + (w.i - 1 - j) <= {CHUNK_OVERLAP})) AS newf
+    FROM walk w JOIN pre p ON w.doc_id = p.doc_id
+    WHERE w.i <= p.n) t),
+mid AS (
+  SELECT doc_id, i AS ord, 0 AS sub, e_start AS cf, e_end AS cl
+  FROM walk WHERE e_start IS NOT NULL),
+fin AS (
+  SELECT w.doc_id, w.i AS ord, 1 AS sub, w.f AS cf, p.n AS cl
+  FROM walk w JOIN pre p USING (doc_id) WHERE w.i = p.n + 1),
+allc AS (SELECT * FROM mid UNION ALL SELECT * FROM fin)
+SELECT a.doc_id,
+       (row_number() OVER (PARTITION BY a.doc_id ORDER BY a.ord, a.sub) - 1)::INT AS chunk_index,
+       array_to_string(list_slice(p.sp, a.cf::INT, a.cl::INT), ' ') AS chunk_text
+FROM allc a JOIN pre p USING (doc_id)
+"""
+
     sql["clicks_before_purchase"] = """
 SELECT event_id, user_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,

@@ -2,14 +2,20 @@
 `streamlit_app.py:60-86`): per-page text extraction with a *doc-level*
 OCR fallback when no page has an embedded text layer.
 
-The real decoders (PyMuPDF/fitz, PIL, pytesseract) are not in this
-container, so each UDF is gated behind an import-try with a clearly
-marked deterministic fake:
+Parse picks the best available decoder per document:
 
-- fake parse: content bytes decoded as UTF-8, pages split on ``\\f``
-  (form feed) — same row shape, schema, and batch path as the real
-  thing, so the Spark plumbing (mapInPandas, explode, doc-level
-  fallback branch) is fully exercised by tests.
+1. PyMuPDF (``fitz``) when importable — the full real path (clusters);
+2. actual ``%PDF`` bytes without fitz — the pure-Python text-layer
+   extractor in ``sources/pdf_text.py`` (stdlib-only: object scan,
+   page-tree walk, FlateDecode, Tj/TJ string ops), so real PDFs parse
+   end-to-end even in this container;
+3. anything else — a clearly marked deterministic fake: content bytes
+   decoded as UTF-8, pages split on ``\\f`` (form feed) — same row
+   shape, schema, and batch path as the real thing, so the Spark
+   plumbing (mapInPandas, explode, doc-level fallback branch) is fully
+   exercised by tests.
+
+Rasterize/OCR (S3/S4) remain gated fakes without PIL/tesseract:
 - fake rasterize: a deterministic pseudo-PNG (b"FAKEPNG" + md5 of the
   page text) — a stand-in binary multimodal column.
 - fake OCR: extracts a marker payload ("[[OCR:...]]") if present,
@@ -86,12 +92,19 @@ def parse_pdf_pages(binary_df: DataFrame, doc_id_col: str = "doc_id") -> DataFra
     use_real = _have_fitz()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .pdf_text import extract_pdf_pages_text
+
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf[doc_id_col], pdf["content"]):
                 content = bytes(content) if content is not None else b""
                 if use_real:
                     pages = _real_parse_pages(content)
+                elif content.startswith(b"%PDF"):
+                    # real PDF, no fitz: pure-Python text-layer parse
+                    pages = [
+                        (t, _fake_png(t)) for t in extract_pdf_pages_text(content)
+                    ]
                 else:
                     pages = [(t, _fake_png(t)) for t in _fake_parse_pages(content)]
                 for i, (text, png) in enumerate(pages):

@@ -32,6 +32,61 @@ def test_parse_pages_explodes_formfeed(spark):
     assert all(r["page_png"].startswith(b"FAKEPNG:") for r in rows)
 
 
+PAGES_FIXTURE = [
+    "Hello PDF world\nsecond line with (parens) and back\\slash",
+    "Page two: the quick brown fox",
+    "Page three has\nthree\nlines",
+]
+
+
+def test_pure_python_pdf_roundtrip():
+    """A REAL (tiny, generated) PDF parses back to its exact page
+    texts via the stdlib-only extractor — both uncompressed and
+    Flate-compressed streams."""
+    from pdf_using_hugging_face_and_vector_database_spark.sources.pdf_text import (
+        extract_pdf_pages_text,
+        make_pdf,
+    )
+
+    for compress in (False, True):
+        blob = make_pdf(PAGES_FIXTURE, compress=compress)
+        assert blob.startswith(b"%PDF") and b"%%EOF" in blob
+        assert extract_pdf_pages_text(blob) == PAGES_FIXTURE, f"compress={compress}"
+
+
+def test_pure_python_pdf_hex_strings():
+    """Hex-string show ops (<...> Tj) decode too."""
+    from pdf_using_hugging_face_and_vector_database_spark.sources.pdf_text import (
+        extract_pdf_pages_text,
+        make_pdf,
+    )
+
+    blob = make_pdf(["placeholder"])
+    hexed = blob.replace(b"(placeholder) Tj", b"<686578206F6B> Tj")
+    assert extract_pdf_pages_text(hexed) == ["hex ok"]
+
+
+def test_parse_pdf_pages_real_pdf_binary(spark):
+    """S2 end-to-end on actual PDF bytes through the Spark path: the
+    mapInPandas parser must route %PDF content to the pure extractor
+    and keep the (doc_id, page_no, page_text) contract."""
+    from pdf_using_hugging_face_and_vector_database_spark.sources.pdf_text import (
+        make_pdf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, make_pdf(PAGES_FIXTURE, compress=True)), (2, make_pdf(["solo page"]))],
+        "doc_id long, content binary",
+    )
+    rows = parse_pdf_pages(df).orderBy("doc_id", "page_no").collect()
+    assert [(r["doc_id"], r["page_no"], r["page_text"]) for r in rows] == [
+        (1, 0, PAGES_FIXTURE[0]),
+        (1, 1, PAGES_FIXTURE[1]),
+        (1, 2, PAGES_FIXTURE[2]),
+        (2, 0, "solo page"),
+    ]
+
+
 def test_concat_pages_order_correct(spark):
     # feed pages in scrambled order; concat must sort by page_no
     pages = spark.createDataFrame(
