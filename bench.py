@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "token_counts",
     "neardup_embedding",
     "upsert_compact",
+    "upsert_bucketed",
     "pages_roundtrip",
     "tpch_q1_pricing",
     "rollup_pricing",

@@ -23,6 +23,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def upsert_cocluster(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str = "id",
+    version_col: str = "ingest_version",
+) -> DataFrame:
+    """MERGE for an id-bucketed table: full-outer join on ``id`` with a
+    per-pair version comparison — same last-writer-wins result as
+    :func:`upsert`, different physical shape. When ``existing`` is a
+    bucketed table (io.write_bucketed), its side of the join reads
+    buckets directly with NO Exchange; only the (small) batch shuffles
+    to match — or broadcasts. The union+window rewrite in
+    :func:`upsert` shuffles the WHOLE table every merge; this is the
+    one Delta/Iceberg MERGE actually executes on clustered storage,
+    and the 100 TB repeated-ingest path (plan-asserted in
+    tests/test_io_scale.py). Requires batch ids unique (true of any
+    compacted batch; pre-compact with :func:`upsert` if not).
+    """
+    payload = [c for c in existing.columns if c != id_col]
+    e = existing.select(id_col, F.struct(*payload).alias("__e"))
+    b = batch.select(id_col, F.struct(*payload).alias("__b"))
+    j = e.join(b, id_col, "full_outer")
+    win = (
+        F.when(F.col("__b").isNull(), F.col("__e"))
+        .when(F.col("__e").isNull(), F.col("__b"))
+        .when(
+            F.col(f"__b.{version_col}") >= F.col(f"__e.{version_col}"),
+            F.col("__b"),
+        )
+        .otherwise(F.col("__e"))
+    )
+    return j.select(id_col, win.alias("__w")).select(id_col, "__w.*")
+
+
 def upsert(
     existing: DataFrame,
     batch: DataFrame,

@@ -607,6 +607,9 @@ SELECT id, ingest_version,
 FROM ranked WHERE rn = 1
 """
 
+    # same LWW semantics through the bucketed-storage merge path
+    sql["upsert_bucketed"] = sql["upsert_compact"]
+
     sql["setops_parts"] = """
 WITH cat AS (SELECT p_partkey AS partkey FROM part),
      sold AS (SELECT l_partkey AS partkey FROM lineitem)

@@ -51,4 +51,7 @@ def has_take_ordered(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange")
+    """Number of Exchange operators (counted via the formatted plan's
+    numbered operator headers, so the tree line and its detail block
+    aren't double-counted)."""
+    return len(re.findall(r"\(\d+\) Exchange", formatted_plan(df)))

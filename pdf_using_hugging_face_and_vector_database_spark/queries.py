@@ -818,15 +818,9 @@ def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------- write semantics (S8 upsert) ----------------
 
-def upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8 — idempotent last-writer-wins upsert (reference
-    `streamlit_app.py:106-112` upsert semantics, minus the silent
-    batch-skip of :117-121): existing table v1, a batch that updates
-    every 5th doc (uppercased text, v2) and inserts new ids; compact
-    keeps the highest (version, is_batch) per id."""
-    from .operators.upsert import upsert
-    from .functions.hashing import md5_int
-
+def _upsert_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared S8 fixture: existing table v1; a batch that updates every
+    5th doc (uppercased text, v2) and inserts new ids."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     existing = docs.select(
         F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
@@ -843,8 +837,47 @@ def upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit(2).cast("long").alias("ingest_version"),
     )
-    batch = updates.unionByName(inserts)
+    return existing, updates.unionByName(inserts)
+
+
+def upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — idempotent last-writer-wins upsert (reference
+    `streamlit_app.py:106-112` upsert semantics, minus the silent
+    batch-skip of :117-121): compact keeps the highest
+    (version, is_batch) per id."""
+    from .functions.hashing import md5_int
+    from .operators.upsert import upsert
+
+    existing, batch = _upsert_fixture(spark, sf_dir)
     out = upsert(existing, batch)
+    return out.select(
+        "id", "ingest_version", md5_int(F.col("text"), 12).alias("content_fp48")
+    )
+
+
+def upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 at storage level, end-to-end: the existing table is WRITTEN
+    id-bucketed (io.write_bucketed), then merged with the batch via the
+    co-clustered full-outer-join MERGE — the big side reads its buckets
+    with no Exchange (plan-asserted in tests/test_io_scale.py); only
+    the small batch moves. Same LWW result as upsert_compact, so the
+    same oracle values check the whole write->read->merge loop."""
+    import os as _os
+
+    from .functions.hashing import md5_int
+    from .io import write_bucketed
+    from .operators.upsert import upsert_cocluster
+
+    existing, batch = _upsert_fixture(spark, sf_dir)
+    base = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"upsert_bucketed_{base}"
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".tmp_tables"
+    )
+    write_bucketed(
+        existing, name, _os.path.join(root, name), buckets=8, by=("id",)
+    )
+    out = upsert_cocluster(spark.table(name), batch)
     return out.select(
         "id", "ingest_version", md5_int(F.col("text"), 12).alias("content_fp48")
     )
@@ -1021,6 +1054,7 @@ QUERIES = {
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "pages_roundtrip": pages_roundtrip,
     "upsert_compact": upsert_compact,
+    "upsert_bucketed": upsert_bucketed,
     "setops_parts": setops_parts,
     "q6_revenue_band": q6_revenue_band,
     "orders_calendar": orders_calendar,

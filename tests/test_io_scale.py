@@ -38,6 +38,44 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert all("source=" in f for f in files)
 
 
+def test_bucketed_merge_shuffles_only_batch(spark, sf_dir, tmp_path):
+    """upsert_cocluster over an id-bucketed existing table: the big
+    side reads buckets with no Exchange; only the batch side shuffles
+    (exactly one Exchange with broadcast disabled). Result matches the
+    union+window upsert row-for-row."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        upsert,
+        upsert_cocluster,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.select(
+        F.concat(F.lit("doc-"), "doc_id").alias("id"),
+        "text",
+        F.lit(1).cast("long").alias("ingest_version"),
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("doc-"), "doc_id").alias("id"),
+        F.upper(F.col("text")).alias("text"),
+        F.lit(2).cast("long").alias("ingest_version"),
+    )
+    write_bucketed(existing, "b_upsert", str(tmp_path / "b_upsert"), buckets=4, by=("id",))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = upsert_cocluster(spark.table("b_upsert"), batch)
+        assert count_shuffles(merged) == 1, formatted_plan(merged)
+        got = {r["id"]: (r["ingest_version"], r["text"]) for r in merged.collect()}
+        want = {
+            r["id"]: (r["ingest_version"], r["text"])
+            for r in upsert(existing, batch).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_upsert")
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key: the join must read buckets
     directly — zero Exchange in the plan (vs 2 for unbucketed)."""
