@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "q3_ann_recall",
     "q4_filtered_topk",
     "q5_fetch_by_ids",
+    "q5_delete_by_ids",
+    "media_pipeline",
+    "video_frame_sample",
     "chunker_stride",
     "chunker_separator",
     "chunk_metadata",

@@ -177,5 +177,6 @@ def media_features(decoded: DataFrame, raster_col: str = "raster") -> DataFrame:
         "height",
         F.length(F.col(raster_col)).alias("raster_bytes"),
         F.sha2(F.col(raster_col).cast("binary"), 256).alias("raster_sha256"),
+        F.lower(F.hex(F.col(raster_col))).alias("raster_hex"),
         (F.col("width") * F.col("height")).alias("pixels"),
     )

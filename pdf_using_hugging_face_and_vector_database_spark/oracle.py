@@ -246,6 +246,40 @@ SELECT vec_id, label, len(embedding)::INT AS dim
 FROM embeddings WHERE vec_id IN ({ids})
 """
 
+    sql["q5_delete_by_ids"] = f"""
+SELECT vec_id, label, len(embedding)::INT AS dim
+FROM embeddings WHERE vec_id NOT IN ({ids})
+"""
+
+    # multimodal plumbing twins: the fake decode kernel derives dims
+    # and raster from md5 of the content bytes (see
+    # operators/multimodal.py), so the whole decode->feature chain is
+    # reproducible: width/height from the digest's first two bytes,
+    # raster = digest('<text>:raster') * 4 (hex = md5 hex repeated).
+    from .queries import FRAME_EVERY, N_FRAMES_MOD
+
+    b0 = "('0x' || substr(md5(text), 1, 2))::INT"
+    b1 = "('0x' || substr(md5(text), 3, 2))::INT"
+    sql["media_pipeline"] = f"""
+SELECT doc_id AS media_id,
+       (16 + {b0} % 64)::INT AS width,
+       (16 + {b1} % 64)::INT AS height,
+       64::INT AS raster_bytes,
+       ((16 + {b0} % 64) * (16 + {b1} % 64))::INT AS pixels,
+       repeat(md5(text || ':raster'), 4) AS raster_hex
+FROM documents
+"""
+
+    # max_frames=8 never binds: n_frames = doc_id % {N_FRAMES_MOD} < 40
+    # -> at most ceil(40/10)=4 sampled frames per video
+    sql["video_frame_sample"] = f"""
+SELECT doc_id AS media_id, f::INT AS frame_no,
+       md5(text || ':frame:' || f::VARCHAR) AS frame_md5
+FROM (
+  SELECT doc_id, text, unnest(range(0, doc_id % {N_FRAMES_MOD}, {FRAME_EVERY})) AS f
+  FROM documents)
+"""
+
     sql["chunker_stride"] = f"""
 WITH chunks AS ({_chunks_cte()})
 SELECT doc_id, chunk_index, chunk_text FROM chunks

@@ -126,6 +126,18 @@ def q5_fetch_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_delete_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 delete — anti-filter rewrite of delete-by-id (Delta MERGE
+    DELETE at cluster scale); the surviving table is the checked
+    output, so a delete that under- or over-removes turns red."""
+    from .operators.search import delete_by_ids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return delete_by_ids(emb, FETCH_IDS).select(
+        "vec_id", "label", F.size("embedding").alias("dim")
+    )
+
+
 # ---------------- ingest pipeline (S/T/P families) ----------------
 
 def chunker_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +197,61 @@ def chunk_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("metadata", "source").alias("md_source"),
         F.size("metadata").alias("n_keys"),
         F.concat_ws(",", F.array_sort(F.map_keys("metadata"))).alias("md_keys"),
+    )
+
+
+N_FRAMES_MOD = 40         # synthetic per-video frame count: doc_id % MOD
+FRAME_EVERY = 10
+FRAME_MAX = 8
+
+
+def _media_table(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
+    """Deterministic media fixture derived from documents: content =
+    the utf-8 text bytes as an opaque binary payload (the fixture set
+    has no real image/audio parquet; both engines derive the same
+    bytes). meta carries the typed per-modality fields."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("doc_id") % N_FRAMES_MOD).cast("int").alias("n_frames"),
+            F.lit(f"{modality}/fake").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode->feature chain, driver-checked: binary content
+    -> mapInPandas decode (the REAL Arrow batch path; the fake kernel's
+    md5-derived dims/raster are bit-reproducible in DuckDB) -> JVM-side
+    features. Verifies schema, batching, and the binary column
+    round-trip — everything except the codec itself."""
+    from .operators.multimodal import decode_images, media_features
+
+    media = _media_table(spark, sf_dir, "image")
+    feats = media_features(decode_images(media))
+    # raster_hex (not sha256): DuckDB's sha256 is VARCHAR-only, and the
+    # hex form checks the same bytes
+    return feats.select(
+        "media_id", "width", "height", "raster_bytes", "pixels", "raster_hex"
+    )
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (every Nth frame, capped): the
+    per-frame explode happens inside the Arrow batch; frames are
+    content-addressed (md5), so the DuckDB twin reproduces them."""
+    from .operators.multimodal import sample_video_frames
+
+    media = _media_table(spark, sf_dir, "video")
+    frames = sample_video_frames(media, every_nth=FRAME_EVERY, max_frames=FRAME_MAX)
+    return frames.select(
+        "media_id", "frame_no", F.lower(F.hex("frame")).alias("frame_md5")
     )
 
 
@@ -1026,6 +1093,7 @@ QUERIES = {
     "q2_knn_join": q2_knn_join,
     "q4_filtered_topk": q4_filtered_topk,
     "q5_fetch_by_ids": q5_fetch_by_ids,
+    "q5_delete_by_ids": q5_delete_by_ids,
     "chunker_stride": chunker_stride,
     "chunk_metadata": chunk_metadata,
     "pipeline_vectors": pipeline_vectors,
@@ -1060,6 +1128,8 @@ QUERIES = {
     "orders_calendar": orders_calendar,
     "percentiles_acctbal": percentiles_acctbal,
     "events_json_props": events_json_props,
+    "media_pipeline": media_pipeline,
+    "video_frame_sample": video_frame_sample,
     "rolling_fingerprint": rolling_fingerprint,
     "clicks_before_purchase": clicks_before_purchase,
     "cube_pricing": cube_pricing,
