@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "top_parts_per_brand",
     "customer_segments",
     "events_hourly",
+    "stream_events_hourly",
+    "stream_dedup_keys",
     "setops_parts",
     "q6_revenue_band",
     "orders_calendar",

@@ -821,4 +821,12 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2
 """
 
+    # stream == batch, as a driver row: the bounded streaming replay
+    # must reproduce the batch aggregation exactly
+    sql["stream_events_hourly"] = sql["events_hourly"]
+
+    sql["stream_dedup_keys"] = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
     return sql

@@ -883,6 +883,29 @@ def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------- streaming (driver-visible, bounded replay) ----------------
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, driver-checked: the watermarked tumbling-
+    window agg runs the finite events fixture to completion through a
+    memory sink and must equal the BATCH answer — the oracle is the
+    same SQL as events_hourly, so stream==batch parity is a green/red
+    driver row, not just a pytest."""
+    from .streaming.windows import run_stream_to_memory
+
+    return run_stream_to_memory(spark, sf_dir, query_name="q_stream_events_hourly")
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark-bounded dedup, driver-checked on the key
+    SET: which physical row survives per key is arrival-order-
+    dependent, but the emitted key coverage must equal batch DISTINCT."""
+    from .streaming.dedup import run_dedup_to_memory
+
+    out = run_dedup_to_memory(spark, sf_dir, query_name="q_stream_dedup_keys")
+    return out.select("user_id", "event_type").distinct()
+
+
 # ---------------- write semantics (S8 upsert) ----------------
 
 def _upsert_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -1114,6 +1137,8 @@ QUERIES = {
     "top_parts_per_brand": top_parts_per_brand,
     "customer_segments": customer_segments,
     "events_hourly": events_hourly,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_dedup_keys": stream_dedup_keys,
     "rollup_pricing": rollup_pricing,
     "semi_anti_customers": semi_anti_customers,
     "asof_join_events": asof_join_events,

@@ -25,7 +25,12 @@ def hourly_event_counts_stream(events: DataFrame, watermark: str = "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # decimal-routed double sum: partial aggregation order (and
+            # micro-batch boundaries) can't perturb the result, so the
+            # stream is bit-identical to the batch twin and its oracle
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias(
+                "total_value"
+            ),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
