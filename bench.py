@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "neardup_simhash",
     "neardup_jaccard",
     "token_counts",
+    "vocab_top_tokens",
+    "tfidf_top_terms",
+    "sample_docs_hash",
+    "approx_distinct_parts",
     "neardup_embedding",
     "upsert_compact",
     "upsert_bucketed",

@@ -505,6 +505,44 @@ SELECT doc_id,
 FROM documents
 """
 
+    from .queries import SAMPLE_PCT, TFIDF_TOP, VOCAB_TOP
+
+    sql["vocab_top_tokens"] = f"""
+SELECT token, count(*) AS n_occurrences
+FROM (SELECT unnest({toks}) AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {VOCAB_TOP}
+"""
+
+    sql["tfidf_top_terms"] = f"""
+WITH dt AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dft.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, df, tfidf, rnk::INT AS rank FROM ranked WHERE rnk <= {TFIDF_TOP}
+"""
+
+    sample_bucket = "('0x' || substr(md5('sample:' || doc_id), 1, 6))::BIGINT % 100"
+    sql["sample_docs_hash"] = f"""
+SELECT doc_id,
+       ({sample_bucket})::INT AS sample_bucket,
+       length(text)::INT AS n_chars
+FROM documents
+WHERE {sample_bucket} < {SAMPLE_PCT}
+"""
+
+    sql["approx_distinct_parts"] = """
+SELECT count(DISTINCT l_partkey) AS n_exact, TRUE AS err_ok FROM lineitem
+"""
+
     sql["neardup_embedding"] = f"""
 SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        round({_cos('l.embedding', 'r.embedding', EMBED_DIM)}, 6) AS cosine_sim

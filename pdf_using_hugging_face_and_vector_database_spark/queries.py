@@ -883,6 +883,92 @@ def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------- corpus statistics / curation (training-pipeline ops) -------------
+
+VOCAB_TOP = 50
+TFIDF_TOP = 3
+SAMPLE_PCT = 15
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global token frequencies, top-N. Explode ->
+    one groupBy(token) with map-side partial counts -> TakeOrdered.
+    At 100 TB this is the standard two-phase count (the explode stays
+    in-task; only (token, partial_count) rows shuffle)."""
+    from .functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(VOCAB_TOP)
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per document, top-3 terms: tf from one explode+groupBy,
+    document frequency from the distinct (doc, term) pairs, smooth idf
+    = ln((N+1)/(df+1)) + 1 (sklearn's formulation — public knowledge),
+    window top-k per doc. Three shuffles total (term stats reused via
+    one aggregation); the df table is tiny (vocabulary-sized) and
+    broadcasts back onto the doc-term table."""
+    from .functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension of idf; one cheap action
+    dt = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = dt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df_t), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def sample_docs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling: keep a doc iff
+    md5('sample:'||doc_id) mod 100 < PCT — deterministic across
+    engines, runs, AND cluster sizes (unlike df.sample, whose result
+    depends on partitioning). The curation primitive for held-out
+    splits: membership is a pure function of the key."""
+    from .functions.hashing import md5_int
+
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = md5_int(F.concat(F.lit("sample:"), F.col("doc_id"))) % 100
+    return docs.filter(bucket < SAMPLE_PCT).select(
+        "doc_id", bucket.cast("int").alias("sample_bucket"), F.length("text").alias("n_chars")
+    )
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch with a checked error bound: HyperLogLog++ distinct-part
+    count vs the exact COUNT(DISTINCT), one row (n_exact, err_ok).
+    The oracle recomputes n_exact and asserts err_ok TRUE, so a sketch
+    regression >10x its 2% target rsd turns red. At 100 TB the sketch
+    is the only affordable answer; this query keeps it honest."""
+    li = read_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_approx"),
+    ).head()
+    err_ok = abs(row["n_approx"] - row["n_exact"]) <= 0.10 * row["n_exact"]
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .agg(F.countDistinct("l_partkey").alias("n_exact"))
+        .select("n_exact", F.lit(bool(err_ok)).alias("err_ok"))
+    )
+
+
 # ---------------- streaming (driver-visible, bounded replay) ----------------
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,6 +1217,10 @@ QUERIES = {
     "neardup_simhash": neardup_simhash,
     "neardup_jaccard": neardup_jaccard,
     "token_counts": token_counts,
+    "vocab_top_tokens": vocab_top_tokens,
+    "tfidf_top_terms": tfidf_top_terms,
+    "sample_docs_hash": sample_docs_hash,
+    "approx_distinct_parts": approx_distinct_parts,
     "neardup_embedding": neardup_embedding,
     "tpch_q1_pricing": tpch_q1_pricing,
     "revenue_by_nation": revenue_by_nation,
