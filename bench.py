@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "rollup_pricing",
     "semi_anti_customers",
+    "salted_join_segments",
     "asof_join_events",
     "pivot_order_status",
     "sessionize_events",

@@ -605,6 +605,15 @@ SELECT c_mktsegment,
 FROM customer GROUP BY c_mktsegment
 """
 
+    # plain-join twin: the salting rewrite must be result-invariant
+    sql["salted_join_segments"] = f"""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       {_dsum('o_totalprice')} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
     sql["asof_join_events"] = """
 WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

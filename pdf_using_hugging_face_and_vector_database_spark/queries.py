@@ -605,6 +605,27 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.py): orders salt on
+    o_orderkey, customer replicates per salt, join on (custkey, salt) —
+    a hot customer's orders spread over n_salt shuffle partitions. The
+    oracle is the PLAIN join, proving the salting rewrite is
+    result-invariant."""
+    from .operators.skew import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice", "o_orderkey"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(orders, cust, on="custkey", spread_col="o_orderkey", n_salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
 def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts by priority x status (explicit value list —
     at scale an unbounded pivot is a full distinct scan first)."""
@@ -1240,6 +1261,7 @@ QUERIES = {
     "stream_dedup_keys": stream_dedup_keys,
     "rollup_pricing": rollup_pricing,
     "semi_anti_customers": semi_anti_customers,
+    "salted_join_segments": salted_join_segments,
     "asof_join_events": asof_join_events,
     "pivot_order_status": pivot_order_status,
     "sessionize_events": sessionize_events,
