@@ -119,6 +119,26 @@ def test_fetch_pushes_isin(spark, sf_dir):
     assert has_pushed_filters(df, "vec_id")
 
 
+def test_vocab_topn_is_take_ordered(spark, sf_dir):
+    """Vocabulary top-N: partial counts map-side, then TakeOrdered —
+    never a global sort of the token table."""
+    assert has_take_ordered(Q.vocab_top_tokens(spark, sf_dir))
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    """The vocabulary-sized document-frequency table must broadcast
+    back onto the doc-term table, not shuffle it."""
+    assert has_broadcast_join(Q.tfidf_top_terms(spark, sf_dir))
+
+
+def test_multimodal_chains_are_shuffle_free(spark, sf_dir):
+    """Decode -> feature and frame-sample run inside the Arrow batch:
+    per-row maps, zero Exchange."""
+    assert count_shuffles(Q.media_pipeline(spark, sf_dir)) == 0
+    assert count_shuffles(Q.video_frame_sample(spark, sf_dir)) == 0
+    assert count_shuffles(Q.sample_docs_hash(spark, sf_dir)) == 0
+
+
 def test_q6_all_predicates_pushed(spark, sf_dir):
     """Q6-shape scan query: every predicate (date range, discount
     band, quantity cap) reaches the parquet reader, and the scan reads
