@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "events_json_props",
     "rolling_fingerprint",
     "clicks_before_purchase",
+    "clicks_in_purchase_window",
     "cube_pricing",
     "session_windows_native",
 ]

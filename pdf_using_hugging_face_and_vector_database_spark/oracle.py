@@ -829,6 +829,18 @@ FROM (
 WHERE event_type = 'purchase'
 """
 
+    # DuckDB plans the BETWEEN predicate natively (IEJoin); the Spark
+    # side must reproduce it through the banded equi-join rewrite
+    sql["clicks_in_purchase_window"] = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
     sql["cube_pricing"] = f"""
 SELECT l_returnflag, l_linestatus,
        {_dsum('l_quantity')} AS sum_qty,

@@ -869,6 +869,38 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clicks_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (operators/rangejoin.py): every
+    (purchase, click) PAIR where the same user's click falls within the
+    hour before the purchase — the pair-producing sibling of the
+    range-frame window in clicks_before_purchase. Buckets make it an
+    equi-join; DuckDB's native IEJoin is the oracle."""
+    from .operators.rangejoin import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    out = range_join(
+        clicks, purchases, point_ts="c_ts", start_col="w_start", end_col="w_end",
+        on=("user_id",), bucket_seconds=3600,
+    )
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
 def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all 2^k grouping sets in one pass — the
     rollup_pricing sibling): per (returnflag x linestatus), each
@@ -1278,6 +1310,7 @@ QUERIES = {
     "video_frame_sample": video_frame_sample,
     "rolling_fingerprint": rolling_fingerprint,
     "clicks_before_purchase": clicks_before_purchase,
+    "clicks_in_purchase_window": clicks_in_purchase_window,
     "cube_pricing": cube_pricing,
     "session_windows_native": session_windows_native,
     "q3_ann_build": q3_ann_build,

@@ -48,3 +48,46 @@ def test_hot_key_spreads_over_salts(spark):
 def test_explode_salt_replicates(spark):
     _, small = _skewed(spark)
     assert explode_salt(small, 8).count() == small.count() * 8
+
+
+def test_range_join_banded_matches_naive(spark):
+    """Banded interval join == naive conditional join, including both
+    inclusive boundaries and intervals spanning many buckets."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, 1, f"2024-01-01 0{h}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(0, 0), (0, 30), (1, 0), (2, 15), (3, 59), (4, 0)]
+        )],
+        "pid long, user_id long, c_ts string",
+    ).withColumn("c_ts", F.col("c_ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),  # 2 buckets
+            (101, 1, "2024-01-01 00:30:00", "2024-01-01 03:59:00"),  # 4 buckets
+            (102, 2, "2024-01-01 00:00:00", "2024-01-01 23:00:00"),  # other key
+        ],
+        "iid long, user_id long, w_start string, w_end string",
+    ).withColumn("w_start", F.col("w_start").cast("timestamp")).withColumn(
+        "w_end", F.col("w_end").cast("timestamp")
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "c_ts", "w_start", "w_end", on=("user_id",)
+        ).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (points.user_id == intervals.user_id)
+            & (points.c_ts >= intervals.w_start)
+            & (points.c_ts <= intervals.w_end),
+        ).collect()
+    }
+    assert got == naive
+    assert (0, 100) in got and (2, 100) in got  # both boundaries inclusive
+    assert (5, 102) not in got  # key mismatch filtered
