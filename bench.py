@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "pages_roundtrip",
     "tpch_q1_pricing",
     "rollup_pricing",
+    "grouping_sets_pricing",
+    "above_avg_customers",
     "semi_anti_customers",
     "salted_join_segments",
     "asof_join_events",

@@ -598,6 +598,26 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+    sql["grouping_sets_pricing"] = f"""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag, l_linestatus)::INT AS gid,
+       {_dsum('l_quantity')} AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+"""
+
+    sql["above_avg_customers"] = f"""
+WITH scored AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         round(CAST(SUM(CAST(c_acctbal AS {DEC})) OVER w AS DOUBLE)
+               / COUNT(*) OVER w, 6) AS seg_avg
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment))
+SELECT c_custkey, c_mktsegment, c_acctbal, seg_avg
+FROM scored WHERE c_acctbal > seg_avg
+"""
+
     sql["semi_anti_customers"] = """
 SELECT c_mktsegment,
        count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,

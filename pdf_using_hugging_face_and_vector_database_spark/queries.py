@@ -541,6 +541,44 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube): the
+    (flag, status) cells plus the per-status margin only, with
+    grouping_id disambiguating NULL-as-total from NULL data. One
+    map-side expansion, one shuffle regardless of set count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+               COUNT(1) AS n_rows
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+        """
+    )
+
+
+def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (customers above their own segment's
+    average balance), decorrelated into one window pass — the rewrite
+    Spark and every MPP engine want: the correlated scalar subquery
+    would re-aggregate per outer row; the window computes each
+    segment's average once in a single shuffle."""
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    seg_avg = (
+        F.sum(F.col("c_acctbal").cast(DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        cust.withColumn("seg_avg", F.round(seg_avg, 6))
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal", "seg_avg")
+    )
+
+
 def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi / left-anti joins: per market segment, how many
     customers have >=1 order vs none. The two joins share one shuffle
@@ -1292,6 +1330,8 @@ QUERIES = {
     "stream_events_hourly": stream_events_hourly,
     "stream_dedup_keys": stream_dedup_keys,
     "rollup_pricing": rollup_pricing,
+    "grouping_sets_pricing": grouping_sets_pricing,
+    "above_avg_customers": above_avg_customers,
     "semi_anti_customers": semi_anti_customers,
     "salted_join_segments": salted_join_segments,
     "asof_join_events": asof_join_events,
