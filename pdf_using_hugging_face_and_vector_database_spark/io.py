@@ -32,10 +32,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ts_cols = {"events": ["ts"]}.get(name, [])
     if ts_cols:
         # Session requirement: TIMESTAMP(NANOS) parquet columns need
-        # spark.sql.legacy.parquet.nanosAsLong=true. session.get_spark
-        # sets it at construction; an externally built session (the
-        # driver's) may not — set it ONLY when absent so this reader
-        # never silently flips an explicit caller setting.
+        # spark.sql.legacy.parquet.nanosAsLong=true — the fixture is
+        # unreadable without it, so this reader enables it when the
+        # session doesn't already have it on. NOTE: "explicitly set to
+        # false" is indistinguishable from "unset" through conf.get, so
+        # a caller wanting raw nanos longs must bypass read_table and
+        # read the parquet directly.
         conf = "spark.sql.legacy.parquet.nanosAsLong"
         if spark.conf.get(conf, "false") != "true":
             spark.conf.set(conf, "true")

@@ -119,11 +119,7 @@ class IvfIndex:
         return self
 
     def probe_cells(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
-        scores = []
-        for i, c in enumerate(self.centroids):
-            scores.append((sum(float(a) * b for a, b in zip(query_vec, c)), i + 1))
-        scores.sort(key=lambda t: (-t[0], t[1]))
-        return [cell for _, cell in scores[:nprobe]]
+        return nearest_cells(self.centroids, query_vec, nprobe)
 
     def query(
         self,
@@ -133,14 +129,43 @@ class IvfIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
     ) -> DataFrame:
-        from .search import query_vector_lit
-
-        cells = self.probe_cells(query_vec, nprobe)
-        cand = self.assigned.filter(F.col("cell").isin(cells))
-        scored = cand.withColumn(
-            "score", cosine(F.col(vec_col), query_vector_lit(query_vec))
+        return topk_in_cells(
+            self.assigned, self.centroids, query_vec, k, nprobe, vec_col, id_col
         )
-        return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k).drop("cell")
+
+
+def nearest_cells(
+    centroids: list[list[float]], query_vec: Sequence[float], nprobe: int
+) -> list[int]:
+    """1-based ids of the nprobe max-dot-product cells (tie -> lower id).
+    Shared by the in-memory index and the persisted-index probe so the
+    two paths can never drift."""
+    scores = []
+    for i, c in enumerate(centroids):
+        scores.append((sum(float(a) * b for a, b in zip(query_vec, c)), i + 1))
+    scores.sort(key=lambda t: (-t[0], t[1]))
+    return [cell for _, cell in scores[:nprobe]]
+
+
+def topk_in_cells(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: Sequence[float],
+    k: int,
+    nprobe: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the nprobe nearest cells of an assigned corpus and re-rank
+    exactly inside them (shared probe kernel)."""
+    from .search import query_vector_lit
+
+    cells = nearest_cells(centroids, query_vec, nprobe)
+    cand = assigned.filter(F.col("cell").isin(cells))
+    scored = cand.withColumn(
+        "score", cosine(F.col(vec_col), query_vector_lit(query_vec))
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k).drop("cell")
 
 
 def ann_topk_ivf(
@@ -165,6 +190,28 @@ def ivf_index_path(sf_dir: str, n_cells: int = 16, root: str | None = None) -> s
     return os.path.join(root or INDEX_ROOT, f"ivf_{base}_k{n_cells}")
 
 
+def dataset_fingerprint(path: str, salt: str = "") -> str:
+    """Cheap staleness key for a parquet file/dir: total size + latest
+    mtime (+ a caller salt for derivation constants). A regenerated
+    fixture or changed constants produce a different fingerprint, so a
+    persisted index built from old data is detected and rebuilt rather
+    than silently served."""
+    import glob
+
+    total, latest = 0, 0.0
+    paths = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*"))
+    )
+    for p in paths:
+        try:
+            st = os.stat(p)
+            total += st.st_size
+            latest = max(latest, st.st_mtime)
+        except OSError:
+            pass
+    return f"{total}:{latest:.0f}:{salt}"
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -172,28 +219,51 @@ def build_ivf_index(
     iters: int = 2,
     dim: int = 64,
     vec_col: str = "embedding",
+    fingerprint: str = "",
 ) -> "IvfIndex":
     """S6 index BUILD, persisted: fit IVF, write the assigned corpus
     partitioned by ``cell`` (so probes prune whole partitions —
     PartitionFilters, plan-asserted in tests/test_plans.py) and the
     centroids as JSON next to it. At 100 TB this is the batch index
     job; probes then touch ~nprobe/n_cells of the files.
+
+    Crash-safe ordering: centroids.json is REMOVED before the data
+    overwrite and re-written (atomically) last, so a rebuild that dies
+    mid-way leaves a visibly-absent index (rebuilt on next use), never
+    old centroids pointing at new partitions.
     """
     idx = IvfIndex(k=n_cells, iters=iters, dim=dim).fit(df, vec_col)
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, "centroids.json")
+    if os.path.exists(marker):
+        os.remove(marker)
     idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "assigned")
     )
-    meta = {"n_cells": n_cells, "iters": iters, "dim": dim, "centroids": idx.centroids}
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, "centroids.json.tmp")
+    meta = {
+        "n_cells": n_cells,
+        "iters": iters,
+        "dim": dim,
+        "fingerprint": fingerprint,
+        "centroids": idx.centroids,
+    }
+    tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "centroids.json"))
+    os.replace(tmp, marker)
     return idx
 
 
-def ivf_index_exists(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "centroids.json"))
+def ivf_index_exists(path: str, fingerprint: str | None = None) -> bool:
+    """True iff a readable index is present AND (when given) its stored
+    source fingerprint matches — stale indexes count as absent."""
+    marker = os.path.join(path, "centroids.json")
+    try:
+        with open(marker) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return fingerprint is None or meta.get("fingerprint") == fingerprint
 
 
 def probe_ivf_index(
@@ -207,24 +277,15 @@ def probe_ivf_index(
 ) -> DataFrame:
     """S6/Q3 probe: nearest ``nprobe`` cells chosen driver-side from
     the stored centroids (n_cells tiny), then a partition-pruned scan
-    of only those cells, exact re-rank inside. No index rebuild — the
-    read path is what repeated queries pay."""
-    from .search import query_vector_lit
-
+    of only those cells, exact re-rank inside (shared kernel
+    :func:`topk_in_cells` — cannot drift from the in-memory index).
+    No index rebuild — the read path is what repeated queries pay."""
     with open(os.path.join(path, "centroids.json")) as f:
         meta = json.load(f)
-    scores = []
-    for i, c in enumerate(meta["centroids"]):
-        scores.append((sum(float(a) * b for a, b in zip(query_vec, c)), i + 1))
-    scores.sort(key=lambda t: (-t[0], t[1]))
-    cells = [cell for _, cell in scores[:nprobe]]
-
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
-    cand = assigned.filter(F.col("cell").isin(cells))
-    scored = cand.withColumn(
-        "score", cosine(F.col(vec_col), query_vector_lit(query_vec))
+    return topk_in_cells(
+        assigned, meta["centroids"], query_vec, k, nprobe, vec_col, id_col
     )
-    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k).drop("cell")
 
 
 class BrpLshIndex:

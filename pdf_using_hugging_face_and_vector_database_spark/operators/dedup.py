@@ -277,6 +277,7 @@ def neardup_representatives(
         # and overflow-safe for long ids at any corpus size.
         sum_expr = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         prev_sum = labels.agg(sum_expr).head()["s"]
+        converged = False
         for _ in range(max_rounds):
             # EAGER localCheckpoint per round (the Pregel shape): the
             # O(n) label table materializes fully and its lineage is
@@ -287,8 +288,18 @@ def neardup_representatives(
             labels = one_round(labels).localCheckpoint(eager=True)
             s = labels.agg(sum_expr).head()["s"]
             if s == prev_sum:
+                converged = True
                 break
             prev_sum = s
+        if not converged:
+            # refuse to return split groups silently: the caller asked
+            # for the fixpoint (and any oracle computing true connected
+            # components would mismatch without explanation)
+            raise RuntimeError(
+                f"neardup_representatives did not converge within "
+                f"max_rounds={max_rounds}; raise max_rounds or pass an "
+                f"explicit rounds= to accept a bounded radius"
+            )
     return labels.select(F.col(id_col), F.col("label").alias("group_rep"))
 
 

@@ -74,10 +74,15 @@ def _fake_resize(raster: bytes, w: int, h: int, tw: int, th: int) -> bytes:
     return hashlib.md5(raster + _struct.pack("<4i", w, h, tw, th)).digest()
 
 
-def decode_images(media: DataFrame, out_col: str = "raster") -> DataFrame:
+def decode_images(
+    media: DataFrame, out_col: str = "raster", force_fake: bool = False
+) -> DataFrame:
     """image binary -> decoded raster + measured dims. Real PIL when
-    importable; deterministic fake otherwise (same schema/batching)."""
-    use_real = _have_pil()
+    importable; deterministic fake otherwise (same schema/batching).
+    ``force_fake`` pins the md5 kernel regardless of what's installed —
+    required by oracle-checked queries whose DuckDB twin reproduces the
+    fake arithmetic (and whose fixture payloads aren't real images)."""
+    use_real = _have_pil() and not force_fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if use_real:

@@ -41,7 +41,17 @@ def range_join(
     ends, matching SQL BETWEEN) and the ``on`` keys are equal. Output
     columns = points ∪ intervals (minus the helper bucket). Column
     names must be disjoint apart from ``on``.
+
+    Inner-only: with the verify predicate applied AFTER the join, an
+    outer join's null-extended rows would be filtered back out,
+    silently degrading to inner semantics — refuse rather than lie.
+    (An outer variant needs the predicate inside the join condition.)
     """
+    if how != "inner":
+        raise NotImplementedError(
+            "range_join supports how='inner' only; the post-join verify "
+            "filter would drop an outer join's null-extended rows"
+        )
     w_us = F.lit(int(bucket_seconds) * 1_000_000)
     p = points.withColumn(
         BUCKET_COL, F.floor(F.unix_micros(F.col(point_ts)) / w_us)

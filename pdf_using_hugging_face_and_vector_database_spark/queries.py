@@ -234,7 +234,10 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import decode_images, media_features
 
     media = _media_table(spark, sf_dir, "image")
-    feats = media_features(decode_images(media))
+    # force_fake: the fixture payloads are text bytes, not decodable
+    # images, and the oracle mirrors the fake kernel — this query must
+    # not flip behavior if Pillow happens to be installed
+    feats = media_features(decode_images(media, force_fake=True))
     # raster_hex (not sha256): DuckDB's sha256 is VARCHAR-only, and the
     # hex form checks the same bytes
     return feats.select(
@@ -1176,11 +1179,15 @@ def q3_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell histogram (rows-only: k-means isn't SQL-expressible)."""
     import os as _os
 
-    from .operators.ann import build_ivf_index, ivf_index_path
+    from .io import table_path
+    from .operators.ann import build_ivf_index, dataset_fingerprint, ivf_index_path
 
     emb = read_table(spark, sf_dir, "embeddings")
     path = ivf_index_path(sf_dir, ANN_CELLS)
-    build_ivf_index(emb, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM)
+    fp = dataset_fingerprint(table_path(sf_dir, "embeddings"))
+    build_ivf_index(
+        emb, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM, fingerprint=fp
+    )
     assigned = spark.read.parquet(_os.path.join(path, "assigned"))
     return (
         assigned.groupBy("cell")
@@ -1193,17 +1200,22 @@ def q3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 — ANN top-10 probing the PERSISTED IVF index (built by
     q3_ann_build; built here once if missing): nprobe/16 cells read
     via partition pruning (plan-asserted), exact re-rank inside."""
+    from .io import table_path
     from .operators.ann import (
         build_ivf_index,
+        dataset_fingerprint,
         ivf_index_exists,
         ivf_index_path,
         probe_ivf_index,
     )
 
     path = ivf_index_path(sf_dir, ANN_CELLS)
-    if not ivf_index_exists(path):
+    fp = dataset_fingerprint(table_path(sf_dir, "embeddings"))
+    if not ivf_index_exists(path, fp):
         emb = read_table(spark, sf_dir, "embeddings")
-        build_ivf_index(emb, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM)
+        build_ivf_index(
+            emb, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM, fingerprint=fp
+        )
     qv = det_embed_py(QUERY_TEXT, EMBED_DIM)
     out = probe_ivf_index(spark, path, qv, k=10, nprobe=ANN_NPROBE)
     return out.select("vec_id", "label", F.round("score", 6).alias("score"))
@@ -1215,8 +1227,10 @@ def q3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the exact top-k in DuckDB (bit-identical derived
     embeddings + cosine) and asserts recall_ok TRUE — so an index
     regression that drops recall below 0.9 turns this row red."""
+    from .io import table_path
     from .operators.ann import (
         build_ivf_index,
+        dataset_fingerprint,
         ivf_index_exists,
         ivf_index_path,
         probe_ivf_index,
@@ -1224,8 +1238,15 @@ def q3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = clustered_embeddings(spark, sf_dir)
     path = ivf_index_path(sf_dir, ANN_CELLS) + "_clustered"
-    if not ivf_index_exists(path):
-        build_ivf_index(corpus, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM)
+    # derivation constants join the fingerprint: changing ALPHA or the
+    # label count must invalidate the persisted clustered index
+    fp = dataset_fingerprint(
+        table_path(sf_dir, "embeddings"), salt=f"a{ANN_ALPHA}:l{ANN_N_LABELS}"
+    )
+    if not ivf_index_exists(path, fp):
+        build_ivf_index(
+            corpus, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM, fingerprint=fp
+        )
     qv = [float(x) for x in corpus.filter(F.col("vec_id") == 0).head()["embedding"]]
     approx = probe_ivf_index(
         spark, path, qv, k=ANN_RECALL_K, nprobe=ANN_RECALL_NPROBE

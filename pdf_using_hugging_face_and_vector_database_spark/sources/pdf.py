@@ -101,10 +101,18 @@ def parse_pdf_pages(binary_df: DataFrame, doc_id_col: str = "doc_id") -> DataFra
                 if use_real:
                     pages = _real_parse_pages(content)
                 elif content.startswith(b"%PDF"):
-                    # real PDF, no fitz: pure-Python text-layer parse
-                    pages = [
-                        (t, _fake_png(t)) for t in extract_pdf_pages_text(content)
-                    ]
+                    # real PDF, no fitz: pure-Python text-layer parse.
+                    # Malformed/unsupported PDFs (corrupt Flate, object
+                    # streams, encryption) degrade to ONE empty page —
+                    # reference error semantics (errors -> "",
+                    # streamlit_app.py:84-86) and the doc stays visible
+                    # for the S4 OCR-fallback branch instead of
+                    # vanishing or killing the job.
+                    try:
+                        texts = extract_pdf_pages_text(content) or [""]
+                    except Exception:
+                        texts = [""]
+                    pages = [(t, _fake_png(t)) for t in texts]
                 else:
                     pages = [(t, _fake_png(t)) for t in _fake_parse_pages(content)]
                 for i, (text, png) in enumerate(pages):

@@ -32,7 +32,8 @@ import re
 import zlib
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _STR_OR_OP_RE = re.compile(
     rb"(\((?:\\.|[^\\()])*\))|(<[0-9A-Fa-f\s]*>)|(TJ|Tj|T\*|Td|TD|'|\")"
 )
@@ -132,11 +133,27 @@ def _page_leaves(objs: dict[int, bytes], node: int) -> list[int]:
 
 
 def _stream_bytes(body: bytes) -> bytes:
-    m = _STREAM_RE.search(body)
+    m = _STREAM_START_RE.search(body)
     if not m:
         return b""
-    data = m.group(1)
-    if b"/FlateDecode" in body.split(b"stream", 1)[0]:
+    start = m.end()
+    # /Length is authoritative (the spec requires it): slicing by it is
+    # the only way to keep stream data that ENDS in \r or \n — a
+    # regex trimming "\r?\n endstream" eats a real trailing 0x0d and
+    # truncates ~1/256 of Flate streams (confirmed crash). Fall back
+    # to the endstream scan (trailing EOL stripped) only when /Length
+    # is an indirect reference this mini-parser doesn't chase.
+    lm = _LENGTH_RE.search(body[: m.start()])
+    if lm:
+        data = body[start : start + int(lm.group(1))]
+    else:
+        end = body.find(b"endstream", start)
+        data = body[start : end if end != -1 else len(body)]
+        if data.endswith(b"\n"):
+            data = data[:-1]
+        if data.endswith(b"\r"):
+            data = data[:-1]
+    if b"/FlateDecode" in body[: m.start()]:
         data = zlib.decompress(data)
     return data
 

@@ -54,6 +54,33 @@ def test_pure_python_pdf_roundtrip():
         assert extract_pdf_pages_text(blob) == PAGES_FIXTURE, f"compress={compress}"
 
 
+def test_pure_python_pdf_flate_stream_ending_in_cr():
+    """Regression: a Flate stream whose compressed bytes end in 0x0d
+    must not be truncated by EOL trimming — /Length is authoritative.
+    ("xxx1503" compresses to a stream ending in 0x0d.)"""
+    from pdf_using_hugging_face_and_vector_database_spark.sources.pdf_text import (
+        extract_pdf_pages_text,
+        make_pdf,
+    )
+    import zlib
+
+    text = "xxx1503"
+    assert zlib.compress(
+        f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+    ).endswith(b"\r")  # the fixture actually exercises the edge
+    assert extract_pdf_pages_text(make_pdf([text], compress=True)) == [text]
+
+
+def test_parse_pdf_pages_malformed_pdf_degrades_to_empty_page(spark):
+    """A %PDF payload the mini-parser can't handle (corrupt stream)
+    degrades to one empty page — reference error semantics — instead
+    of crashing the job or dropping the document."""
+    bad = b"%PDF-1.4\n1 0 obj << /Length 9999 /Filter /FlateDecode >>\nstream\nnot-flate\nendstream\nendobj\ntrailer << /Root 1 0 R >>"
+    df = spark.createDataFrame([(9, bad)], "doc_id long, content binary")
+    rows = parse_pdf_pages(df).collect()
+    assert [(r["doc_id"], r["page_no"], r["page_text"]) for r in rows] == [(9, 0, "")]
+
+
 def test_pure_python_pdf_hex_strings():
     """Hex-string show ops (<...> Tj) decode too."""
     from pdf_using_hugging_face_and_vector_database_spark.sources.pdf_text import (
@@ -61,8 +88,11 @@ def test_pure_python_pdf_hex_strings():
         make_pdf,
     )
 
-    blob = make_pdf(["placeholder"])
-    hexed = blob.replace(b"(placeholder) Tj", b"<686578206F6B> Tj")
+    # equal-length substitution: /Length is authoritative for stream
+    # extents, so the patched bytes must keep the stream size unchanged
+    blob = make_pdf(["placeholder1"])
+    hexed = blob.replace(b"(placeholder1) Tj", b"<686578206F6B> Tj")
+    assert hexed != blob
     assert extract_pdf_pages_text(hexed) == ["hex ok"]
 
 
