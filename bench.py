@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "sessionize_events",
     "distinct_parts_per_supplier",
     "revenue_by_nation",
+    "top_unshipped_orders",
+    "local_supplier_volume",
     "top_parts_per_brand",
     "customer_segments",
     "events_hourly",
