@@ -211,7 +211,7 @@ def neardup_representatives(
     num_hashes: int = 16,
     bands: int = 4,
     rounds: int | None = None,
-    max_rounds: int = 12,
+    max_rounds: int = 32,
 ) -> DataFrame:
     """Near-dup GROUPS instead of pairs: every doc maps to its group
     representative — the MIN id in its connected component of the
@@ -264,7 +264,33 @@ def neardup_representatives(
         joined = banded.join(lbls, id_col)
         w = Window.partitionBy("band_index", "band_sig")
         bucket_min = joined.withColumn("bucket_label", F.min("label").over(w))
-        return bucket_min.groupBy(id_col).agg(F.min("bucket_label").alias("label"))
+        hopped = bucket_min.groupBy(id_col).agg(
+            F.min("bucket_label").alias("label")
+        )
+        # pointer jumps (path halving): label(d) <- label(label(d)).
+        # The bucket hop alone advances the min label ONE bucket-hop
+        # per round; duplicate chains at sf0.1 build components of a
+        # few hundred docs whose diameter exceeds any fixed budget
+        # (observed: 14+ hop-rounds). Composing each hop with two
+        # jumps shrinks the distance to the component min
+        # geometrically — O(log diameter) rounds, the standard
+        # Pregel / union-find path-halving mix. Each jump is one
+        # self-join of the O(n) label table.
+        out = hopped
+        for _ in range(2):
+            parents = out.select(
+                F.col(id_col).alias("__p_doc"), F.col("label").alias("__p")
+            )
+            out = (
+                out.join(parents, out["label"] == parents["__p_doc"], "left")
+                .select(
+                    F.col(id_col),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("__p"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+        return out
 
     if rounds is not None:
         for _ in range(rounds):

@@ -99,13 +99,45 @@ def test_neardup_representatives_chain_fixpoint(spark):
         for r in neardup_representatives(df, num_hashes=16, bands=4).collect()
     }
     assert fix == {d: 1 for d in range(1, 6)}, fix
+    # (bounded-radius split behavior is pinned on the 40-link chain
+    # below — one round's hop+jumps radius already covers 5 links)
+
+
+def test_neardup_representatives_long_chain_converges(spark):
+    """A 40-link chain must collapse to one representative WITHIN the
+    round budget — pins the pointer-jumping (path-halving) speedup:
+    hop-only propagation would need ~40 rounds and raise."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        neardup_representatives,
+    )
+
+    n = 40
+
+    def band_val(d, b):
+        if d <= n - 1 and b == d % 4:
+            return [90000 + d] * 4
+        if d >= 2 and b == (d - 1) % 4:
+            return [90000 + d - 1] * 4
+        return [d * 1000 + b] * 4
+
+    rows = [
+        (d, [x for b in range(4) for x in band_val(d, b)]) for d in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, minhash array<bigint>")
+    fix = {
+        r["doc_id"]: r["group_rep"]
+        for r in neardup_representatives(df, num_hashes=16, bands=4).collect()
+    }
+    assert fix == {d: 1 for d in range(1, n + 1)}
+    # a bounded single round (hop + doubling jumps, radius ~5) cannot
+    # reach across 39 links — the far end stays split
     bounded = {
         r["doc_id"]: r["group_rep"]
         for r in neardup_representatives(
-            df, num_hashes=16, bands=4, rounds=2
+            df, num_hashes=16, bands=4, rounds=1
         ).collect()
     }
-    assert bounded[5] != 1  # radius-2 propagation leaves the chain split
+    assert bounded[n] != 1
 
 
 def test_signatures_agg_matches_fold(spark):
