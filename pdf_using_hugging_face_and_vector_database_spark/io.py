@@ -46,6 +46,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer div: nanos exceed double precision (2^53)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            # fixture generations vary: TIMESTAMP(MICROS, no tz) surfaces
+            # as TIMESTAMP_NTZ, which unix_micros/windowing reject.
+            # Session tz is pinned to UTC, so the cast is value-identical
+            # to the nanos->micros path above.
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

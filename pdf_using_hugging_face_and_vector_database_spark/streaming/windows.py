@@ -63,6 +63,10 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     )
     if isinstance(static_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(static_schema["ts"].dataType, T.TimestampNTZType):
+        # micros-NTZ fixture generation; UTC session makes the cast
+        # value-identical to the nanos path (see io.read_table)
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return stream
 
 
