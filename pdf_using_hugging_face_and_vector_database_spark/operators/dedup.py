@@ -204,6 +204,38 @@ def minhash_candidate_pairs(
     return pairs.select("id_a", "id_b", est.alias("jaccard_est"))
 
 
+def _large_star(D: DataFrame) -> DataFrame:
+    """One large-star step (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node attaches its LARGER neighbors to
+    the minimum of its closed neighborhood. Input/output edge lists are
+    directed ``(hi, lo)`` with hi > lo; the step preserves connectivity
+    and strictly flattens tall trees."""
+    sym = D.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+        D.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    # v > u >= m, so the emitted (v, m) edge is already (hi, lo)-ordered
+    return (
+        sym.join(m.hint("shuffle_hash"), "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(D: DataFrame) -> DataFrame:
+    """One small-star step: every node points its SMALLER neighbors
+    (and itself) at the minimum of those — the union-find "hook" move.
+    lo >= m for every joined row, so outputs stay (hi, lo)-ordered."""
+    m = D.groupBy("hi").agg(F.min("lo").alias("m"))
+    j = D.join(m.hint("shuffle_hash"), "hi")
+    a = j.where(F.col("lo") != F.col("m")).select(
+        F.col("lo").alias("hi"), F.col("m").alias("lo")
+    )
+    b = j.select(F.col("hi"), F.col("m").alias("lo"))
+    return a.unionByName(b).distinct()
+
+
 def neardup_representatives(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -212,121 +244,157 @@ def neardup_representatives(
     bands: int = 4,
     rounds: int | None = None,
     max_rounds: int = 32,
+    nodes: DataFrame | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup GROUPS instead of pairs: every doc maps to its group
     representative — the MIN id in its connected component of the
-    shared-LSH-bucket graph, computed by min-label propagation
-    iterated TO FIXPOINT (``rounds=None``, the default: stop when a
-    round changes zero labels, bounded by ``max_rounds``). Pass an
-    explicit ``rounds`` to cap the propagation radius instead (a
-    duplicate *chain* longer than the radius then stays split — only
-    safe when chains are known short).
+    shared-LSH-bucket graph — via alternating large-star / small-star
+    contraction (Kiveris et al.) run TO FIXPOINT by default.
 
     Why groups: a corpus with k-way duplicate groups has O(k²) near-dup
     *pairs* per group — at 500k docs with 100-way groups that is 60M
     pairs (measured). The representative mapping is O(n) output and is
     what a dedup pipeline actually consumes (keep rep, drop rest).
 
-    Each round is: explode bands -> window-min over bucket ->
-    groupBy-min over doc. All integer, all codegen'd. The min label
-    advances one bucket-hop per round, so fixpoint arrives within the
-    min-id doc's eccentricity in the bucket graph — real dup chains
-    are short (a chain needs each link to share a band with the next
-    but not the one after), and ``max_rounds`` bounds pathological
-    corpora. The per-round convergence check is one cheap action over
-    the O(n) label table (limit-1 count of changed labels).
+    Shape (the round-2 version re-joined the full n×bands banded table
+    every label-propagation round — 82.8 s at sf0.1):
+
+    1. **Bucket contraction, once.** Each LSH bucket is a clique for
+       connectivity, so it contracts to a star: edges
+       ``(doc, bucket_min)``, deduplicated — O(n·bands) single-long
+       pairs, no band-signature arrays. The banded table is touched
+       exactly once. Preserves components exactly.
+    2. **Alternating star rounds over the edge list only.** Each round
+       is one large-star + one small-star — two groupBy+join passes
+       over the shrinking edge table. Unlike min-label propagation
+       (which walks one graph hop per round and needed 18 rounds on
+       the sf0.1 chain structure), the alternation contracts the graph
+       itself and converges in O(log² n) rounds (6 measured at sf0.1).
+       At fixpoint the edge list IS the answer: a star forest
+       ``doc -> component_min``.
+
+    **Iteration hygiene — why each round materializes to parquet in a
+    scratch dir:** Spark's size-only stats estimator computes a join's
+    ``sizeInBytes`` as the *product* of its children's, and
+    checkpoint/localCheckpoint PRESERVE estimated stats — so a
+    self-joining iteration squares the BigInt estimate every round;
+    around round 18 the planner burns minutes multiplying million-digit
+    BigIntegers (measured: 0.2 s/round exploding to 140 s/round, flat
+    plans, no GC — the hot frames are BigInteger.multiplyToomCook3
+    under SizeInBytesOnlyStatsPlanVisitor.visitJoin). A parquet
+    round-trip resets stats to real file sizes AND truncates lineage —
+    it is also exactly what a cluster deployment wants (reliable
+    checkpoint on shared storage; pass ``scratch_dir``).
+
+    ``rounds=N`` caps the alternation instead (a long duplicate chain
+    may then stay split — only safe when chains are known short).
+    ``nodes`` optionally supplies the full id universe (one column
+    ``id_col``) so ``sigs`` need not be re-derived for the final
+    label join; singletons keep their own id as representative.
+    The convergence witness is exact: the (count, sum(hi), sum(lo))
+    decimal triple of the edge list is stable across a round only at
+    the star-forest fixpoint; ``max_rounds`` bounds pathological
+    corpora and non-convergence raises rather than returning split
+    groups silently.
     """
+    import shutil
+    import tempfile
+
     from pyspark.sql import Window
 
     from ..caching import persist_tracked
 
+    spark = sigs.sparkSession
     rows_per_band = num_hashes // bands
-    # cache the signature table once: banded AND the initial labels
-    # derive from it, and the fixpoint loop's actions would otherwise
-    # recompute the (expensive) shingle+hash lineage every round
-    sigs = persist_tracked(sigs)
-    banded = persist_tracked(
-        sigs.select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.slice(
-                        sig_col, b * F.lit(rows_per_band) + F.lit(1), rows_per_band
-                    ),
-                )
-            ).alias("band_index", "band_sig"),
-        )
+    if nodes is None:
+        # the final label join needs the id universe; cache sigs so it
+        # is not re-derived through the (expensive) shingle lineage
+        sigs = persist_tracked(sigs)
+        nodes = sigs.select(id_col)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    sig_col, b * F.lit(rows_per_band) + F.lit(1), rows_per_band
+                ),
+            )
+        ).alias("band_index", "band_sig"),
     )
-    labels = sigs.select(F.col(id_col), F.col(id_col).alias("label"))
+    w = Window.partitionBy("band_index", "band_sig")
+    star = (
+        banded.withColumn("__bmin", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("__bmin"))
+        .select(F.col(id_col).alias("hi"), F.col("__bmin").alias("lo"))
+        .distinct()
+    )
 
-    def one_round(lbls: DataFrame) -> DataFrame:
-        joined = banded.join(lbls, id_col)
-        w = Window.partitionBy("band_index", "band_sig")
-        bucket_min = joined.withColumn("bucket_label", F.min("label").over(w))
-        hopped = bucket_min.groupBy(id_col).agg(
-            F.min("bucket_label").alias("label")
-        )
-        # pointer jumps (path halving): label(d) <- label(label(d)).
-        # The bucket hop alone advances the min label ONE bucket-hop
-        # per round; duplicate chains at sf0.1 build components of a
-        # few hundred docs whose diameter exceeds any fixed budget
-        # (observed: 14+ hop-rounds). Composing each hop with two
-        # jumps shrinks the distance to the component min
-        # geometrically — O(log diameter) rounds, the standard
-        # Pregel / union-find path-halving mix. Each jump is one
-        # self-join of the O(n) label table.
-        out = hopped
-        for _ in range(2):
-            parents = out.select(
-                F.col(id_col).alias("__p_doc"), F.col("label").alias("__p")
-            )
-            out = (
-                out.join(parents, out["label"] == parents["__p_doc"], "left")
-                .select(
-                    F.col(id_col),
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("__p"), F.col("label"))
-                    ).alias("label"),
+    own_scratch = scratch_dir is None
+    if own_scratch:
+        scratch_dir = tempfile.mkdtemp(prefix="sparkgraft_cc_")
+    try:
+        star.write.mode("overwrite").parquet(scratch_dir + "/edges_0")
+        D = spark.read.parquet(scratch_dir + "/edges_0")
+        triple = [
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("hi").cast("decimal(38,0)")).alias("sh"),
+            F.sum(F.col("lo").cast("decimal(38,0)")).alias("sl"),
+        ]
+        if rounds is not None:
+            for rnd in range(rounds):
+                out = _small_star(_large_star(D))
+                out.write.mode("overwrite").parquet(
+                    scratch_dir + f"/edges_{rnd % 2 + 1}"
                 )
+                D = spark.read.parquet(scratch_dir + f"/edges_{rnd % 2 + 1}")
+        else:
+            prev = None
+            converged = False
+            for rnd in range(max_rounds):
+                out = _small_star(_large_star(D))
+                out.write.mode("overwrite").parquet(
+                    scratch_dir + f"/edges_{rnd % 2 + 1}"
+                )
+                D = spark.read.parquet(scratch_dir + f"/edges_{rnd % 2 + 1}")
+                st = D.agg(*triple).head()
+                key = (st["c"], st["sh"], st["sl"])
+                if key == prev:
+                    converged = True
+                    break
+                prev = key
+            if not converged:
+                raise RuntimeError(
+                    f"neardup_representatives did not converge within "
+                    f"max_rounds={max_rounds}; raise max_rounds or pass an "
+                    f"explicit rounds= to accept a bounded contraction"
+                )
+        # star forest -> labels; min(lo) per hi is a no-op at fixpoint
+        # but keeps bounded-rounds output well-defined
+        roots = D.groupBy("hi").agg(F.min("lo").alias("__root"))
+        labels = (
+            nodes.join(
+                roots.select(
+                    F.col("hi").alias(id_col), F.col("__root")
+                ).hint("shuffle_hash"),
+                id_col,
+                "left",
             )
-        return out
-
-    if rounds is not None:
-        for _ in range(rounds):
-            labels = one_round(labels)
-    else:
-        # Convergence witness: every label only ever DECREASES (a doc's
-        # own label is in every bucket it joins), so the exact sum of
-        # labels is strictly decreasing until fixpoint — one cheap agg
-        # per round instead of a changed-rows join. Decimal sum: exact
-        # and overflow-safe for long ids at any corpus size.
-        sum_expr = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        prev_sum = labels.agg(sum_expr).head()["s"]
-        converged = False
-        for _ in range(max_rounds):
-            # EAGER localCheckpoint per round (the Pregel shape): the
-            # O(n) label table materializes fully and its lineage is
-            # cut, so later rounds never re-derive earlier ones — a
-            # lazy persist + partial action here caused an exponential
-            # recompute cascade (measured 94s vs 9s at sf0.1). On a
-            # cluster use checkpoint() to a reliable dir instead.
-            labels = one_round(labels).localCheckpoint(eager=True)
-            s = labels.agg(sum_expr).head()["s"]
-            if s == prev_sum:
-                converged = True
-                break
-            prev_sum = s
-        if not converged:
-            # refuse to return split groups silently: the caller asked
-            # for the fixpoint (and any oracle computing true connected
-            # components would mismatch without explanation)
-            raise RuntimeError(
-                f"neardup_representatives did not converge within "
-                f"max_rounds={max_rounds}; raise max_rounds or pass an "
-                f"explicit rounds= to accept a bounded radius"
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__root"), F.col(id_col)).alias("group_rep"),
             )
-    return labels.select(F.col(id_col), F.col("label").alias("group_rep"))
+        )
+        if own_scratch:
+            # pin the result before the scratch files disappear (single
+            # checkpoint, not iterated — the stats pitfall above needs
+            # compounding rounds to bite)
+            labels = labels.localCheckpoint(eager=True)
+        return labels
+    finally:
+        if own_scratch:
+            shutil.rmtree(scratch_dir, ignore_errors=True)
 
 
 def simhash_agg(

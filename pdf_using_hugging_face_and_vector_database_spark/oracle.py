@@ -21,6 +21,7 @@ from __future__ import annotations
 from .functions.text import LANG_MARKERS
 from .queries import (
     ANN_ALPHA,
+    ANN_JOIN_COS,
     ANN_N_LABELS,
     ANN_RECALL_K,
     CHUNK_OVERLAP,
@@ -38,6 +39,7 @@ from .queries import (
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
     SIMHASH_MAXH,
+    WORD_NGRAM,
 )
 from .functions.hashing import P_MINHASH, det_embed_py, minhash_params
 
@@ -240,6 +242,23 @@ SELECT {ANN_RECALL_K}::INT AS k,
 FROM topk
 """
 
+    # q3_ann_lsh_join: DuckDB recomputes the EXACT cosine>=threshold
+    # pair set (count + sorted digest, bit-identical rounding); the
+    # Spark side folds its measured LSH-join recall/precision >= 0.9
+    # into booleans that must match these TRUE constants.
+    sql["q3_ann_lsh_join"] = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round({_cos('a.embedding', 'b.embedding', EMBED_DIM)}, 6) >= {ANN_JOIN_COS!r}),
+strs AS (SELECT id_a::VARCHAR || ':' || id_b::VARCHAR AS p FROM pairs)
+SELECT count(*) AS n_exact_pairs,
+       coalesce(string_agg(p, ',' ORDER BY p), '') AS pair_digest,
+       TRUE AS recall_ok,
+       TRUE AS precision_ok
+FROM strs
+"""
+
     ids = ", ".join(str(x) for x in FETCH_IDS)
     sql["q5_fetch_by_ids"] = f"""
 SELECT vec_id, label, len(embedding)::INT AS dim
@@ -367,14 +386,15 @@ SELECT sha256(text) AS content_hash,
 FROM documents GROUP BY sha256(text)
 """
 
+    mh_cols = ", ".join(
+        f"minhash[{k + 1}]::BIGINT AS mh{k:02d}" for k in range(MINHASH_HASHES)
+    )
     sql["minhash_signatures"] = f"""
 WITH hashed AS (
   SELECT doc_id, {_element_hashes(_ngrams('text', NGRAM))} AS hs FROM documents),
 sigs AS (
   SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS minhash FROM hashed)
-SELECT doc_id,
-       array_to_string(minhash, '-') AS minhash_sig,
-       minhash[1]::BIGINT AS mh_first
+SELECT doc_id, {mh_cols}
 FROM sigs
 """
 
@@ -404,12 +424,13 @@ SELECT id_a, id_b, {est} AS jaccard_est
 FROM pairs WHERE {est} >= 0.5
 """
 
-    # Fixpoint twin: the Spark side iterates min-label propagation to
-    # convergence, whose fixpoint is the MIN id per connected component
-    # of the shared-bucket graph — computed here exactly via a
-    # recursive CTE over per-bucket star edges (doc <-> bucket-min
-    # doc; star edges preserve connectivity with O(n * bands) edges
-    # instead of O(bucket²) cliques).
+    # Fixpoint twin: the Spark side runs alternating large/small-star
+    # contraction to convergence, whose fixpoint is the MIN id per
+    # connected component of the shared-bucket graph — computed here
+    # exactly via a recursive CTE over per-bucket star edges
+    # (doc <-> bucket-min doc; star edges preserve connectivity with
+    # O(n * bands) edges instead of O(bucket²) cliques). WORD shingles,
+    # matching the Spark side.
     sql["neardup_groups"] = f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
@@ -417,7 +438,7 @@ WITH RECURSIVE corpus AS (
   SELECT doc_id + 100000 AS doc_id,
          substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
   FROM documents),
-hashed AS (SELECT doc_id, {_element_hashes(_ngrams('text', NGRAM))} AS hs FROM corpus),
+hashed AS (SELECT doc_id, {_element_hashes(_word_ngrams('text', WORD_NGRAM))} AS hs FROM corpus),
 sigs AS (SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS sig FROM hashed),
 banded AS (
   SELECT doc_id, b::INT AS band_index,
@@ -461,7 +482,6 @@ SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
 FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= {SIMHASH_MAXH}
 """
 
-    from .queries import WORD_NGRAM
 
     ga, gb = _word_ngrams("l.text", WORD_NGRAM), _word_ngrams("r.text", WORD_NGRAM)
     sql["neardup_jaccard"] = f"""

@@ -68,6 +68,14 @@ ANN_RECALL_NPROBE = 4
 ANN_RECALL_K = 10
 ANN_ALPHA = 0.6
 ANN_N_LABELS = 10         # fixture label cardinality (0..9, all SFs)
+# LSH similarity-join sizing: cosine>=0.45 keeps the exact pair set
+# small but non-trivial on the uniform-sphere fixture (14 pairs at
+# sf0.01, 144 at sf0.1 — measured in DuckDB); wide buckets + 8 tables
+# push per-pair miss probability below 1e-3 at the matching euclidean
+# radius sqrt(2*0.55) ~= 1.05, so the 0.9 recall gate has margin.
+ANN_JOIN_COS = 0.45
+ANN_JOIN_BUCKET_LEN = 2.0
+ANN_JOIN_TABLES = 8
 
 
 def _dsum(col) -> F.Column:
@@ -290,18 +298,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures, projected to driver-hashable scalars: the
     operator returns array<long>, but the driver's pandas canonicalizer
-    can't factorize list cells — emit a '-'-joined digest plus the
-    first component (typed long) instead. Operator API unchanged."""
+    can't factorize list cells — emit one typed long column per
+    signature component. Operator API unchanged. (The previous
+    '-'-joined string digest ran concat_ws over a transform() HOF —
+    CodegenFallback, interpreted per row, +70% on the bench;
+    element_at stays inside whole-stage codegen.)"""
     from .operators.dedup import minhash_signatures_agg
 
     docs = read_table(spark, sf_dir, "documents")
     sigs = minhash_signatures_agg(docs, num_hashes=MINHASH_HASHES, ngram=NGRAM)
     return sigs.select(
         "doc_id",
-        F.concat_ws(
-            "-", F.transform("minhash", lambda x: x.cast("string"))
-        ).alias("minhash_sig"),
-        F.element_at("minhash", 1).alias("mh_first"),
+        *[
+            F.element_at("minhash", k + 1).alias(f"mh{k:02d}")
+            for k in range(MINHASH_HASHES)
+        ],
     )
 
 
@@ -334,16 +345,24 @@ def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup at scale shape: per-doc group representative via
-    LSH-bucket min-label propagation iterated to FIXPOINT (O(n) output
-    — pairwise output is O(group²)). The oracle computes true
-    connected components of the shared-bucket graph with a recursive
-    CTE, so convergence itself is driver-checked."""
+    LSH-bucket star contraction + alternating large/small-star
+    connected components, run to FIXPOINT (O(n) output — pairwise
+    output is O(group²)). The oracle computes true connected
+    components of the shared-bucket graph with a recursive CTE, so
+    convergence itself is driver-checked. WORD shingles (same choice
+    as neardup_jaccard): ~7x fewer md5 calls than char-7 on prose —
+    the signature build dominated this query's cost."""
     from .operators.dedup import minhash_signatures_agg, neardup_representatives
 
     corpus = neardup_corpus(spark, sf_dir)
-    sigs = minhash_signatures_agg(corpus, num_hashes=MINHASH_HASHES, ngram=NGRAM)
+    sigs = minhash_signatures_agg(
+        corpus, num_hashes=MINHASH_HASHES, ngram=WORD_NGRAM, shingle="word"
+    )
     return neardup_representatives(
-        sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS
+        sigs,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        nodes=corpus.select("doc_id"),
     )
 
 
@@ -1331,6 +1350,50 @@ def q3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/Q3 corpus×corpus similarity JOIN, driver-visible: MLlib
+    approxSimilarityJoin (BucketedRandomProjectionLSH over L2-normalized
+    vectors) at cosine >= ANN_JOIN_COS, gated against the exact pair
+    set — the same oracle pattern as q3_ann_recall. Output is one row:
+    the exact pair count + sorted pair digest (DuckDB recomputes both
+    bit-identically) and recall/precision booleans the Spark side
+    measures; the oracle asserts them TRUE, so an LSH regression that
+    drops either below 0.9 turns this row red.
+
+    The exact side here is the unblocked O(n²) verify — test-scale
+    truth computation only. At corpus scale the LSH join IS the
+    product path (sub-quadratic candidates, exact distance filter);
+    you never materialize the unblocked exact join."""
+    from .caching import persist_tracked
+    from .operators.ann import BrpLshIndex
+    from .operators.dedup import embedding_neardup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = persist_tracked(
+        embedding_neardup_pairs(
+            emb, block_col=None, threshold=ANN_JOIN_COS
+        ).select("id_a", "id_b")
+    )
+    idx = BrpLshIndex(
+        bucket_length=ANN_JOIN_BUCKET_LEN, num_hash_tables=ANN_JOIN_TABLES
+    ).fit(emb)
+    approx = idx.similarity_self_join(max_cos_dist=1.0 - ANN_JOIN_COS)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    overlap = len(exact_pairs & approx_pairs)
+    recall_ok = (not exact_pairs) or overlap / len(exact_pairs) >= 0.9
+    precision_ok = (not approx_pairs) or overlap / len(approx_pairs) >= 0.9
+    pair_str = F.concat_ws(":", "id_a", "id_b")
+    return exact.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.concat_ws(",", F.sort_array(F.collect_list(pair_str))).alias(
+            "pair_digest"
+        ),
+        F.lit(recall_ok).alias("recall_ok"),
+        F.lit(precision_ok).alias("precision_ok"),
+    )
+
+
 # ---------------- rows-only checked (non-SQL-expressible) ----------------
 
 
@@ -1385,7 +1448,27 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------- registry ----------------
 
+# Registry order IS driver certification order: the round-2 driver
+# stopped after the first 50 entries, so every query the driver has not
+# yet certified (the round-2 tail — including rolling_fingerprint, the
+# only round-1 red, whose fix was verified locally but never by the
+# driver) runs FIRST. Previously-green queries follow.
 QUERIES = {
+    # --- driver-uncertified as of round 2: run first ---
+    "rolling_fingerprint": rolling_fingerprint,
+    "chunker_separator": chunker_separator,
+    "q3_ann_recall": q3_ann_recall,
+    "media_pipeline": media_pipeline,
+    "video_frame_sample": video_frame_sample,
+    "clicks_before_purchase": clicks_before_purchase,
+    "clicks_in_purchase_window": clicks_in_purchase_window,
+    "cube_pricing": cube_pricing,
+    "session_windows_native": session_windows_native,
+    "q3_ann_build": q3_ann_build,
+    "q3_ann_ivf": q3_ann_ivf,
+    "q3_ann_lsh": q3_ann_lsh,
+    "q3_ann_lsh_join": q3_ann_lsh_join,
+    # --- driver-green in round 2 ---
     "q1_cosine_topk": q1_cosine_topk,
     "q2_knn_join": q2_knn_join,
     "q4_filtered_topk": q4_filtered_topk,
@@ -1436,16 +1519,4 @@ QUERIES = {
     "orders_calendar": orders_calendar,
     "percentiles_acctbal": percentiles_acctbal,
     "events_json_props": events_json_props,
-    "media_pipeline": media_pipeline,
-    "video_frame_sample": video_frame_sample,
-    "rolling_fingerprint": rolling_fingerprint,
-    "clicks_before_purchase": clicks_before_purchase,
-    "clicks_in_purchase_window": clicks_in_purchase_window,
-    "cube_pricing": cube_pricing,
-    "session_windows_native": session_windows_native,
-    "q3_ann_build": q3_ann_build,
-    "q3_ann_ivf": q3_ann_ivf,
-    "q3_ann_recall": q3_ann_recall,
-    "q3_ann_lsh": q3_ann_lsh,
-    "chunker_separator": chunker_separator,
 }
