@@ -339,6 +339,26 @@ class BrpLshIndex:
             self._fitted_df, other_fitted, eucl, distCol="eucl_dist"
         )
 
+    def similarity_self_join(
+        self, max_cos_dist: float, id_col: str = "vec_id"
+    ) -> DataFrame:
+        """Corpus×corpus near-neighbor pairs (id_a < id_b) within a
+        cosine-distance threshold — the Q2/Q3 similarity-JOIN surface
+        the reference's index DDL implies (streamlit_app.py:49). LSH
+        bucketing makes candidate generation sub-quadratic (pairs only
+        meet if they share a bucket in SOME hash table); the exact
+        euclidean filter inside approxSimilarityJoin keeps precision
+        exact, so only recall is approximate."""
+        joined = self.similarity_join(self._fitted_df, max_cos_dist)
+        return (
+            joined.select(
+                F.col(f"datasetA.{id_col}").alias("id_a"),
+                F.col(f"datasetB.{id_col}").alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
 
 def random_projection_buckets(
     df: DataFrame,
