@@ -70,12 +70,13 @@ ANN_ALPHA = 0.6
 ANN_N_LABELS = 10         # fixture label cardinality (0..9, all SFs)
 # LSH similarity-join sizing: cosine>=0.45 keeps the exact pair set
 # small but non-trivial on the uniform-sphere fixture (14 pairs at
-# sf0.01, 144 at sf0.1 — measured in DuckDB); wide buckets + 8 tables
-# push per-pair miss probability below 1e-3 at the matching euclidean
-# radius sqrt(2*0.55) ~= 1.05, so the 0.9 recall gate has margin.
+# sf0.01, 144 at sf0.1 — measured in DuckDB). bucket_length/tables
+# swept at both SFs (seed fixed, so recall is deterministic per SF):
+# 1.0/4 measures recall 1.0 @ sf0.01 and 0.993 @ sf0.1 against the
+# 0.9 gate, at ~2.5x less join cost than the wide-bucket 2.0/8 start.
 ANN_JOIN_COS = 0.45
-ANN_JOIN_BUCKET_LEN = 2.0
-ANN_JOIN_TABLES = 8
+ANN_JOIN_BUCKET_LEN = 1.0
+ANN_JOIN_TABLES = 4
 
 
 def _dsum(col) -> F.Column:
