@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "q3_ann_ivf",
     "q3_ann_recall",
     "q3_ann_lsh_join",
+    "pii_scrub",
+    "pack_sequences",
+    "contamination_check",
     "q4_filtered_topk",
     "q5_fetch_by_ids",
     "q5_delete_by_ids",

@@ -1,0 +1,131 @@
+"""Corpus-curation operators a large-scale training-data pipeline runs
+between ingest and training (north-star family, BASELINE.json): PII
+scrubbing, sequence packing, benchmark-contamination detection.
+
+All three are pure relational/SQL shapes — no UDFs — so they stay in
+whole-stage codegen and are oracle-checkable in DuckDB verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+
+# Deliberately simple patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{4}[0-9-]*"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact email addresses and phone-shaped digit runs, reporting
+    per-document redaction counts. 100 TB shape: one projection, no
+    shuffle — the scan's natural parallelism is the whole story; the
+    regexes run codegen'd JVM-side (never a Python UDF)."""
+    text = F.col(text_col)
+    n_email = F.regexp_count(text, F.lit(EMAIL_RE))
+    n_phone = F.regexp_count(text, F.lit(PHONE_RE))
+    clean = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        (n_email + n_phone).cast("int").alias("n_redactions"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 256,
+    n_groups: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (LLM context
+    packing). Documents are hash-partitioned into ``n_groups``
+    independent streams (``id % n_groups`` — deterministic and
+    engine-portable), then packed in id order by cumulative token
+    count: ``pack_id = floor(tokens_before / budget)``.
+
+    Scale shape: the window partitions by pack_group, so the cumsum
+    parallelizes across groups instead of serializing on one global
+    ordering — at 100 TB a single orderBy() window is the bottleneck
+    this avoids. The cumsum rule is the streaming-friendly
+    "split-fill" variant (a pack may overflow by at most one document,
+    marked in ``overflowed``); exact next-fit needs per-group
+    sequential state (applyInPandas) and changes nothing about the
+    distribution strategy."""
+    n_tok = token_count(F.col(text_col)).alias("n_tokens")
+    base = df.select(
+        F.col(id_col), (F.col(id_col) % n_groups).alias("pack_group"), n_tok
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "pack_group",
+        "n_tokens",
+        F.floor(before / budget).cast("int").alias("pack_id"),
+        ((before % budget) + F.col("n_tokens") > budget).alias("overflowed"),
+    )
+
+
+def _word_ngrams_exploded(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) rows of word n-grams via the codegen'd explode shape
+    (same rationale as dedup.minhash_signatures_agg: transform() HOFs
+    are CodegenFallback)."""
+    from ..functions.text import tokens
+
+    toked = df.select(id_col, tokens(F.col(text_col)).alias("__t"))
+    n_pos = F.greatest(F.size("__t") - F.lit(n - 1), F.lit(1))
+    exploded = toked.select(
+        id_col, "__t", F.explode(F.sequence(F.lit(1), n_pos)).alias("pos")
+    )
+    gram = F.concat_ws(
+        " ", *[F.get("__t", F.col("pos") - 1 + F.lit(j)) for j in range(n)]
+    )
+    return exploded.select(id_col, gram.alias("gram"))
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the C4/Dolma shape): flag corpus
+    documents sharing any word ``n``-gram with a benchmark document.
+    Returns one row per contaminated (corpus_doc, bench_doc) pair with
+    the count of distinct shared grams.
+
+    Scale shape: the benchmark side is small by definition — its
+    DISTINCT gram set broadcasts, so the corpus-side explode never
+    shuffles; the only aggregation keys on (corpus id, bench id).
+    """
+    corpus_grams = _word_ngrams_exploded(corpus, n, text_col, id_col).select(
+        F.col(id_col).alias("corpus_doc"), "gram"
+    )
+    bench_grams = (
+        _word_ngrams_exploded(benchmark, n, text_col, id_col)
+        .select(F.col(id_col).alias("bench_doc"), "gram")
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )

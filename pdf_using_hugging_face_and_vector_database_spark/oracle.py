@@ -379,6 +379,63 @@ SELECT doc_id,
 FROM hashed
 """
 
+    # curation family (operators/curation.py — regexes chosen to parse
+    # identically under Java regex and RE2; DuckDB regexp_replace needs
+    # the explicit 'g' flag to match Spark's replace-all default)
+    from .operators.curation import EMAIL_RE, PHONE_RE
+    from .queries import CONTAM_NGRAM, PACK_BUDGET, PACK_GROUPS
+
+    email_sql = EMAIL_RE  # single-quoted SQL strings keep backslashes raw
+    sql["pii_scrub"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-0142'
+         ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{email_sql}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       (len(regexp_extract_all(text, '{email_sql}'))
+        + len(regexp_extract_all(text, '{PHONE_RE}')))::INT AS n_redactions,
+       len(regexp_extract_all(text, '{email_sql}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}'))::INT AS n_phones
+FROM aug
+"""
+
+    sql["pack_sequences"] = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {PACK_GROUPS} AS pack_group,
+         len({toks})::INT AS n_tokens
+  FROM documents),
+w AS (
+  SELECT *, coalesce(SUM(n_tokens) OVER (
+      PARTITION BY pack_group ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM base)
+SELECT doc_id, pack_group, n_tokens,
+       (before // {PACK_BUDGET})::INT AS pack_id,
+       ((before % {PACK_BUDGET}) + n_tokens > {PACK_BUDGET}) AS overflowed
+FROM w
+"""
+
+    sql["contamination_check"] = f"""
+WITH bench AS (
+  SELECT doc_id + 500000 AS doc_id,
+         substr(text, 1, (length(text) // 2)::INT) AS text
+  FROM documents WHERE doc_id % 97 = 0),
+cg AS (
+  SELECT doc_id AS corpus_doc, unnest({_word_ngrams('text', CONTAM_NGRAM)}) AS gram
+  FROM documents),
+bg AS (
+  SELECT DISTINCT doc_id AS bench_doc, gram FROM (
+    SELECT doc_id, unnest({_word_ngrams('text', CONTAM_NGRAM)}) AS gram FROM bench))
+SELECT cg.corpus_doc, bg.bench_doc,
+       count(DISTINCT cg.gram) AS n_shared_grams
+FROM cg JOIN bg ON cg.gram = bg.gram
+GROUP BY cg.corpus_doc, bg.bench_doc
+"""
+
     sql["dedup_exact"] = """
 SELECT sha256(text) AS content_hash,
        MIN(doc_id) AS kept_doc_id,

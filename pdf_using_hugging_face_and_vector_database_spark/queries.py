@@ -77,6 +77,10 @@ ANN_N_LABELS = 10         # fixture label cardinality (0..9, all SFs)
 ANN_JOIN_COS = 0.45
 ANN_JOIN_BUCKET_LEN = 1.0
 ANN_JOIN_TABLES = 4
+# curation family sizing
+PACK_BUDGET = 256         # tokens per packed sequence
+PACK_GROUPS = 32          # parallel packing streams (id % PACK_GROUPS)
+CONTAM_NGRAM = 8          # word-gram width for decontamination
 
 
 def _dsum(col) -> F.Column:
@@ -287,6 +291,59 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return fingerprint(docs)
+
+
+# ---------------- curation family ----------------
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus. The fixture has no PII, so every
+    5th document is deterministically augmented with an email and a
+    phone-shaped run (both engines build the same augmented text);
+    the scrub then redacts and counts. Pure projection — no shuffle,
+    no UDF (operators/curation.py)."""
+    from .operators.curation import scrub_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0142"),
+        ),
+    ).otherwise(F.col("text"))
+    return scrub_pii(docs.select("doc_id", aug.alias("text")))
+
+
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM context packing: hash-grouped cumulative-token bin
+    assignment (PACK_BUDGET tokens per pack, PACK_GROUPS parallel
+    streams — the window never serializes on a global ordering)."""
+    from .operators.curation import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, budget=PACK_BUDGET, n_groups=PACK_GROUPS
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a synthetic benchmark set (every
+    97th doc, first half of its text, ids offset) is matched against
+    the corpus on shared word CONTAM_NGRAM-grams — each benchmark doc
+    must at least rediscover its own source. Broadcast bench-gram
+    join; the corpus side never shuffles."""
+    from .operators.curation import contamination_hits
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(500000)).alias("doc_id"),
+        F.col("text")
+        .substr(F.lit(1), (F.length("text") / 2).cast("int"))
+        .alias("text"),
+    )
+    return contamination_hits(docs, bench, n=CONTAM_NGRAM)
 
 
 # ---------------- dedup family ----------------
@@ -1469,6 +1526,9 @@ QUERIES = {
     "q3_ann_ivf": q3_ann_ivf,
     "q3_ann_lsh": q3_ann_lsh,
     "q3_ann_lsh_join": q3_ann_lsh_join,
+    "pii_scrub": pii_scrub,
+    "pack_sequences": pack_sequences_q,
+    "contamination_check": contamination_check,
     # --- driver-green in round 2 ---
     "q1_cosine_topk": q1_cosine_topk,
     "q2_knn_join": q2_knn_join,

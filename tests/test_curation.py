@@ -1,0 +1,97 @@
+"""Curation operator family: PII scrub, sequence packing,
+contamination detection (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark.operators.curation import (
+    contamination_hits,
+    pack_sequences,
+    scrub_pii,
+)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@corp.example.org today"),
+            (2, "call 555-0199-22 or 212-5551"),
+            (3, "no pii here"),
+            (4, "two mails a@b.io c@d.co and 999-1234"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 0
+    assert "<EMAIL>" in out[1]["clean_text"]
+    assert "jane" not in out[1]["clean_text"]
+    assert out[2]["n_phones"] == 2 and "<PHONE>" in out[2]["clean_text"]
+    assert out[3]["n_redactions"] == 0 and out[3]["clean_text"] == "no pii here"
+    assert out[4]["n_redactions"] == 3
+
+
+def test_scrub_pii_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_budget_arithmetic(spark):
+    # one group (ids all ≡ 1 mod 32), token counts 3,3,3 with budget 5:
+    # before = 0,3,6 -> packs 0,0,1; the middle doc overflows pack 0
+    df = spark.createDataFrame(
+        [(1, "a b c"), (33, "d e f"), (65, "g h i")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, budget=5, n_groups=32).collect()
+    }
+    assert all(r["pack_group"] == 1 for r in out.values())
+    assert [out[i]["pack_id"] for i in (1, 33, 65)] == [0, 0, 1]
+    assert [out[i]["overflowed"] for i in (1, 33, 65)] == [False, True, False]
+
+
+def test_pack_sequences_groups_are_independent(spark):
+    # same token stream in two groups packs identically
+    rows = [(i, "w " * 10) for i in range(0, 8)]
+    out = pack_sequences(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        budget=25,
+        n_groups=2,
+    ).collect()
+    by_group = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        by_group.setdefault(r["pack_group"], []).append(r["pack_id"])
+    assert by_group[0] == by_group[1]
+
+
+def test_contamination_hits_finds_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different words about sorting networks here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = contamination_hits(corpus, bench, n=8).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["corpus_doc"], row["bench_doc"]) == (1, 900)
+    assert row["n_shared_grams"] >= 1
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "a b c d e f g h")], "doc_id long, text string")
+    plan = (
+        contamination_hits(corpus, bench, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
