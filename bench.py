@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "pack_sequences",
     "contamination_check",
+    "merge_parts",
     "q4_filtered_topk",
     "q5_fetch_by_ids",
     "q5_delete_by_ids",

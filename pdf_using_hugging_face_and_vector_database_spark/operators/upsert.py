@@ -57,6 +57,85 @@ def upsert_cocluster(
     return j.select(id_col, win.alias("__w")).select(id_col, "__w.*")
 
 
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str = "id",
+    matched_update=None,
+    matched_delete=None,
+    insert_unmatched: bool = True,
+) -> DataFrame:
+    """Full MERGE semantics on plain tables — the general form of
+    Delta/Iceberg ``MERGE INTO target USING source ON key`` without a
+    transactional format in the container:
+
+    - ``matched_delete(t, s) -> Column``: matched rows where this is
+      true are dropped (WHEN MATCHED AND <cond> THEN DELETE);
+    - ``matched_update(t, s) -> dict[col, Column]``: remaining matched
+      rows get these assignments (WHEN MATCHED THEN UPDATE SET);
+    - ``insert_unmatched``: source rows with no target match are
+      inserted (WHEN NOT MATCHED THEN INSERT) — source must carry the
+      target's columns;
+    - unmatched target rows always survive.
+
+    ``t`` / ``s`` are struct columns exposing the respective side's
+    payload fields. Like Delta, a source with duplicate keys is an
+    ERROR (raise_error evaluated inside the plan — lazily, at
+    execution time), because two sources matching one target row make
+    the update non-deterministic.
+
+    100 TB shape: one full-outer shuffle join on the key (or
+    shuffle-free when the target is id-bucketed, as upsert_cocluster's
+    plan test pins); everything else is a projection. The rewrite of a
+    write-side MERGE into a read-side plan is exactly what
+    Delta/Iceberg execute under the hood — swap in ``MERGE INTO`` on a
+    real lakehouse table and the call sites don't change.
+    """
+    payload = [c for c in target.columns if c != key]
+    t_side = target.select(key, F.struct(*payload).alias("__t"))
+    # per-key source cardinality, carried through the join so the
+    # duplicate-source error fires lazily like Delta's
+    w_cnt = Window.partitionBy(key)
+    s_side = source.select(
+        key,
+        F.struct(*payload).alias("__s"),
+        F.count(F.lit(1)).over(w_cnt).alias("__s_cnt"),
+    )
+    j = t_side.join(s_side, key, "full_outer")
+    t, s = F.col("__t"), F.col("__s")
+    guarded_s = F.when(
+        F.col("__s_cnt") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("merge_into: multiple source rows match target key "),
+                F.col(key).cast("string"),
+            )
+        ).cast(t_side.schema["__t"].dataType),
+    ).otherwise(s)
+    matched = t.isNotNull() & s.isNotNull()
+    delete_cond = (
+        matched & matched_delete(t, guarded_s)
+        if matched_delete is not None
+        else F.lit(False)
+    )
+    if matched_update is not None:
+        assignments = matched_update(t, guarded_s)
+        updated = F.struct(
+            *[assignments.get(c, t[c]).alias(c) for c in payload]
+        )
+    else:
+        updated = t
+    row = (
+        F.when(matched, updated)
+        .when(t.isNotNull(), t)
+        .otherwise(guarded_s)  # source-only -> insert
+    )
+    out = j.filter(~delete_cond)
+    if not insert_unmatched:
+        out = out.filter(t.isNotNull())
+    return out.select(key, row.alias("__r")).select(key, "__r.*")
+
+
 def upsert(
     existing: DataFrame,
     batch: DataFrame,

@@ -436,6 +436,33 @@ FROM cg JOIN bg ON cg.gram = bg.gram
 GROUP BY cg.corpus_doc, bg.bench_doc
 """
 
+    # MERGE twin: left-join applies update/delete to matched target
+    # rows, anti-join supplies the inserts — the read-side rewrite a
+    # lakehouse MERGE executes internally.
+    sql["merge_parts"] = """
+WITH src AS (
+  SELECT p_partkey, p_name, p_brand, p_type,
+         p_size + 1 AS p_size, p_retailprice + 1.0 AS p_retailprice
+  FROM part WHERE p_partkey % 3 = 0
+  UNION ALL
+  SELECT p_partkey + 1000000 AS p_partkey, 'NEW ' || p_name AS p_name,
+         p_brand, p_type, p_size, p_retailprice
+  FROM part WHERE p_partkey % 10 = 0),
+upd AS (
+  SELECT t.p_partkey, t.p_name, t.p_brand, t.p_type,
+         CASE WHEN s.p_partkey IS NOT NULL THEN s.p_size ELSE t.p_size END AS p_size,
+         CASE WHEN s.p_partkey IS NOT NULL THEN s.p_retailprice ELSE t.p_retailprice END AS p_retailprice,
+         (s.p_partkey IS NOT NULL AND s.p_size % 7 = 0) AS __del
+  FROM part t LEFT JOIN src s ON t.p_partkey = s.p_partkey),
+ins AS (
+  SELECT s.* FROM src s ANTI JOIN part t ON s.p_partkey = t.p_partkey)
+SELECT p_partkey, p_name, p_brand, p_type, p_size::INT AS p_size, p_retailprice
+FROM upd WHERE NOT __del
+UNION ALL
+SELECT p_partkey, p_name, p_brand, p_type, p_size::INT AS p_size, p_retailprice
+FROM ins
+"""
+
     sql["dedup_exact"] = """
 SELECT sha256(text) AS content_hash,
        MIN(doc_id) AS kept_doc_id,

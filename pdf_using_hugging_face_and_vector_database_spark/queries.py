@@ -346,6 +346,43 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(docs, bench, n=CONTAM_NGRAM)
 
 
+def merge_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 general form — full MERGE (matched-update / matched-delete /
+    not-matched-insert) on the part table: every 3rd part gets a price
+    and size bump (update), bumped sizes divisible by 7 are dropped
+    (delete), and every 10th part re-enters under a new key (insert).
+    The DuckDB oracle expresses the same MERGE as
+    left-join + anti-join + union — the rewrite Delta executes under
+    the hood (operators/upsert.merge_into)."""
+    from .operators.upsert import merge_into
+
+    part = read_table(spark, sf_dir, "part")
+    upd = (
+        part.filter(F.col("p_partkey") % 3 == 0)
+        .withColumn("p_size", F.col("p_size") + F.lit(1))
+        .withColumn("p_retailprice", F.col("p_retailprice") + F.lit(1.0))
+    )
+    ins = part.filter(F.col("p_partkey") % 10 == 0).select(
+        (F.col("p_partkey") + F.lit(1000000)).alias("p_partkey"),
+        F.concat(F.lit("NEW "), F.col("p_name")).alias("p_name"),
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    )
+    return merge_into(
+        part,
+        upd.unionByName(ins),
+        key="p_partkey",
+        matched_update=lambda t, s: {
+            "p_size": s["p_size"],
+            "p_retailprice": s["p_retailprice"],
+        },
+        matched_delete=lambda t, s: s["p_size"] % 7 == 0,
+        insert_unmatched=True,
+    )
+
+
 # ---------------- dedup family ----------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,6 +1566,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "pack_sequences": pack_sequences_q,
     "contamination_check": contamination_check,
+    "merge_parts": merge_parts,
     # --- driver-green in round 2 ---
     "q1_cosine_topk": q1_cosine_topk,
     "q2_knn_join": q2_knn_join,

@@ -29,3 +29,61 @@ def test_upsert_same_version_batch_wins(spark):
     batch = _tbl(spark, [("a", "new-a", 1)])
     out = upsert(existing, batch).collect()
     assert out[0]["text"] == "new-a"
+
+
+def test_merge_into_update_delete_insert(spark):
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        merge_into,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, price double",
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c2", 31.0), (9, "new", 90.0)],
+        "id long, name string, price double",
+    )
+    out = {
+        r["id"]: r
+        for r in merge_into(
+            target,
+            source,
+            key="id",
+            matched_update=lambda t, s: {"price": s["price"]},
+            matched_delete=lambda t, s: s["name"] == "c2",
+        ).collect()
+    }
+    assert set(out) == {1, 2, 9}          # 3 deleted, 9 inserted
+    assert out[1]["price"] == 10.0        # untouched target survives
+    assert out[2]["price"] == 21.0        # updated...
+    assert out[2]["name"] == "b"          # ...but only assigned columns
+    assert out[9]["name"] == "new"        # insert carries source payload
+
+
+def test_merge_into_no_insert_mode(spark):
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        merge_into,
+    )
+
+    target = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    source = spark.createDataFrame([(2, 2.0)], "id long, v double")
+    out = merge_into(target, source, key="id", insert_unmatched=False).collect()
+    assert [r["id"] for r in out] == [1]
+
+
+def test_merge_into_duplicate_source_keys_error(spark):
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        merge_into,
+    )
+
+    target = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "id long, v double")
+    with pytest.raises(Exception) as ei:
+        merge_into(
+            target, dup, key="id",
+            matched_update=lambda t, s: {"v": s["v"]},
+        ).collect()
+    assert "multiple source rows" in str(ei.value)
