@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "contamination_check",
     "merge_parts",
+    "stream_session_windows",
     "q4_filtered_topk",
     "q5_fetch_by_ids",
     "q5_delete_by_ids",

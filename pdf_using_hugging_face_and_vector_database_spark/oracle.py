@@ -1039,6 +1039,8 @@ FROM events GROUP BY 1, 2
     # stream == batch, as a driver row: the bounded streaming replay
     # must reproduce the batch aggregation exactly
     sql["stream_events_hourly"] = sql["events_hourly"]
+    # stream==batch sessionization parity: same operator, same oracle
+    sql["stream_session_windows"] = sql["session_windows_native"]
 
     sql["stream_dedup_keys"] = """
 SELECT DISTINCT user_id, event_type FROM events

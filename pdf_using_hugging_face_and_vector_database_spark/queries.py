@@ -1257,6 +1257,17 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, query_name="q_stream_events_hourly")
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based session windows, driver-checked: the same
+    F.session_window aggregation as session_windows_native run through
+    Structured Streaming over the finite fixture — its oracle IS the
+    batch oracle, so stream==batch sessionization parity is a
+    green/red driver row."""
+    from .streaming.windows import run_sessions_to_memory
+
+    return run_sessions_to_memory(spark, sf_dir, query_name="q_stream_sessions")
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming watermark-bounded dedup, driver-checked on the key
     SET: which physical row survives per key is arrival-order-
@@ -1567,6 +1578,7 @@ QUERIES = {
     "pack_sequences": pack_sequences_q,
     "contamination_check": contamination_check,
     "merge_parts": merge_parts,
+    "stream_session_windows": stream_session_windows,
     # --- driver-green in round 2 ---
     "q1_cosine_topk": q1_cosine_topk,
     "q2_knn_join": q2_knn_join,

@@ -41,6 +41,49 @@ def hourly_event_counts_stream(events: DataFrame, watermark: str = "10 minutes")
     )
 
 
+def session_windows_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming gap-based sessionization — the same F.session_window
+    operator as the batch twin (queries.session_windows_native), so
+    stream==batch parity is oracle-checkable. State is keyed by
+    (user_id, session); in production append mode + watermark bound
+    it; the bounded-replay harness runs complete mode over the finite
+    fixture."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_sessions_to_memory(
+    spark, sf_dir: str, query_name: str = "sessions_stream"
+) -> DataFrame:
+    """Drive the streaming sessionization over the finite fixture."""
+    agg = session_windows_stream(read_events_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def read_events_stream(spark, sf_dir: str) -> DataFrame:
     """Streaming read of the events fixture (parquet directory source).
 

@@ -22,3 +22,26 @@ def test_stream_matches_batch(spark, sf_dir):
         n_batch, v_batch = batch_rows[k]
         assert n_stream == n_batch, k
         assert abs(v_stream - v_batch) < 1e-6, k
+
+
+def test_stream_sessions_match_batch(spark, sf_dir):
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        session_windows_native,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.streaming.windows import (
+        run_sessions_to_memory,
+    )
+
+    stream_rows = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in run_sessions_to_memory(spark, sf_dir).collect()
+    }
+    batch_rows = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in session_windows_native(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
