@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "merge_parts",
     "stream_session_windows",
+    "embed_quantize",
     "q4_filtered_topk",
     "q5_fetch_by_ids",
     "q5_delete_by_ids",

@@ -379,6 +379,29 @@ SELECT doc_id,
 FROM hashed
 """
 
+    # int8 quantization twin: identical double arithmetic; DuckDB's
+    # round() on doubles is half-away-from-zero == Spark's HALF_UP
+    sql["embed_quantize"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))),
+                  1e-12) / 127.0 AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v,
+           x -> least(greatest(round(x / scale), -127.0), 127.0)::INT) AS qv
+  FROM base)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       list_sum(qv)::BIGINT AS q_sum,
+       list_min(qv)::INT AS q_min,
+       list_max(qv)::INT AS q_max,
+       round(list_max(list_transform(range(1, {EMBED_DIM + 1}),
+             i -> abs(qv[i]::DOUBLE * scale - v[i]))), 9) AS max_abs_err
+FROM q
+"""
+
     # curation family (operators/curation.py — regexes chosen to parse
     # identically under Java regex and RE2; DuckDB regexp_replace needs
     # the explicit 'g' flag to match Spark's replace-all default)

@@ -293,6 +293,43 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs)
 
 
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector quantization with a reconstruction-error report:
+    per-vector symmetric scale, round-clamp to [-127,127], dequantize,
+    and emit exact integer summaries (sum/min/max of codes) plus the
+    max absolute reconstruction error. Every step is deterministic
+    double arithmetic shared with the DuckDB oracle. At 100 TB this is
+    the 4x embedding-column storage cut; the error column is the gate
+    a pipeline checks before serving int8."""
+    from .functions.vector import int8_quantize, int8_reconstruct
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / F.lit(127.0)
+    ).alias("__scale")
+    base = emb.select("vec_id", v.alias("__v"), scale)
+    q = int8_quantize(F.col("__v"), F.col("__scale"))
+    based = base.select("vec_id", "__v", "__scale", q.alias("__q"))
+    recon = int8_reconstruct(F.col("__q"), F.col("__scale"))
+    max_err = F.array_max(
+        F.zip_with(F.col("__v"), recon, lambda a, b: F.abs(a - b))
+    )
+    return based.select(
+        "vec_id",
+        F.round("__scale", 9).alias("scale"),
+        F.aggregate(
+            F.col("__q"), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.array_min("__q").alias("q_min"),
+        F.array_max("__q").alias("q_max"),
+        F.round(max_err, 9).alias("max_abs_err"),
+    )
+
+
 # ---------------- curation family ----------------
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,6 +1616,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "merge_parts": merge_parts,
     "stream_session_windows": stream_session_windows,
+    "embed_quantize": embed_quantize,
     # --- driver-green in round 2 ---
     "q1_cosine_topk": q1_cosine_topk,
     "q2_knn_join": q2_knn_join,

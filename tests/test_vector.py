@@ -45,3 +45,38 @@ def test_unit_sphere_euclid_cosine_equivalence(spark, sf_dir):
     chk = pairs.select((sq - (2.0 - 2.0 * cosine("va", "vb"))).alias("diff")).collect()
     # fixture vectors are float32-normalized: norms are 1 ± ~1e-7
     assert all(abs(r["diff"]) < 1e-5 for r in chk)
+
+
+def test_int8_quantize_roundtrip_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_using_hugging_face_and_vector_database_spark.functions.vector import (
+        int8_quantize,
+        int8_reconstruct,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.127, 0.0]), (2, [1.0, -1.0, 0.003, 0.9999])],
+        "vec_id long, v array<double>",
+    )
+    scale = (
+        F.greatest(F.array_max(F.transform("v", F.abs)), F.lit(1e-12)) / 127.0
+    )
+    base = df.select("vec_id", "v", scale.alias("s"))
+    q = int8_quantize(F.col("v"), F.col("s"))
+    out = base.select(
+        "vec_id",
+        "s",
+        F.array_max(F.transform(q, F.abs)).alias("qmax"),
+        F.array_max(
+            F.zip_with(
+                F.col("v"),
+                int8_reconstruct(q, F.col("s")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("err"),
+    ).collect()
+    for r in out:
+        assert r["qmax"] <= 127
+        # round-to-nearest: reconstruction error <= scale/2 (+ float eps)
+        assert r["err"] <= r["s"] / 2 + 1e-12, r
