@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "merge_parts",
     "stream_session_windows",
     "embed_quantize",
+    "dedup_pipeline",
+    "approx_percentiles_gate",
     "q4_filtered_topk",
     "q5_fetch_by_ids",
     "q5_delete_by_ids",

@@ -565,6 +565,48 @@ reach(doc_id, r) AS (
 SELECT doc_id, MIN(r)::BIGINT AS group_rep FROM reach GROUP BY doc_id
 """
 
+    # dedup capstone: groups via the same recursive-CTE connected
+    # components, then the survivor rule (max tokens, ties to min id)
+    sql["dedup_pipeline"] = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
+  FROM documents),
+hashed AS (SELECT doc_id, {_element_hashes(_word_ngrams('text', WORD_NGRAM))} AS hs FROM corpus),
+sigs AS (SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS sig FROM hashed),
+banded AS (
+  SELECT doc_id, b::INT AS band_index,
+         list_slice(sig, b * {rows_per_band} + 1, (b + 1) * {rows_per_band}) AS band_sig
+  FROM (SELECT doc_id, sig, unnest(range(0, {MINHASH_BANDS})) AS b FROM sigs)),
+star AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band_index, band_sig) AS bmin
+  FROM banded),
+edges AS (
+  SELECT DISTINCT doc_id AS src, bmin AS dst FROM star WHERE doc_id <> bmin
+  UNION
+  SELECT DISTINCT bmin AS src, doc_id AS dst FROM star WHERE doc_id <> bmin),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id AS r FROM sigs
+  UNION
+  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+groups AS (SELECT doc_id, MIN(r)::BIGINT AS group_rep FROM reach GROUP BY doc_id),
+toks AS (SELECT doc_id, len({_tokens('text')})::INT AS n_tokens FROM corpus),
+j AS (SELECT g.group_rep, g.doc_id, t.n_tokens
+      FROM groups g JOIN toks t ON g.doc_id = t.doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY group_rep ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM j)
+SELECT group_rep,
+       count(*) AS n_members,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc,
+       max(n_tokens) AS survivor_tokens,
+       count(*) - 1 AS n_dropped
+FROM ranked GROUP BY group_rep
+"""
+
     sh_width = SIMHASH_BITS // SIMHASH_CHUNKS
     sh_mask = (1 << sh_width) - 1
     sh_nhex = max(6, (SIMHASH_BITS + 3) // 4)
@@ -912,6 +954,19 @@ SELECT c_mktsegment,
        round(quantile_cont(c_acctbal, 0.75), 6) AS p75,
        round({_dsum('c_acctbal')} / count(*), 6) AS mean_acctbal,
        count(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+    # sketch-gate twin: DuckDB recomputes the exact percentiles; the
+    # Spark side folds its measured approx-vs-exact error into a
+    # boolean asserted TRUE (same pattern as q3_ann_recall)
+    sql["approx_percentiles_gate"] = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+       round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+       round(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+       TRUE AS sketch_ok
 FROM customer
 GROUP BY c_mktsegment
 """

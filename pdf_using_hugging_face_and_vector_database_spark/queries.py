@@ -498,6 +498,37 @@ def neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup consumer path: signatures -> LSH bucket graph
+    -> connected-component groups -> pick ONE survivor per group (max
+    token count, ties to the smaller id) — what a training-data
+    pipeline actually executes before tokenization. One row per group
+    with the survivor and the drop count; the oracle recomputes groups
+    via recursive-CTE connected components and the same survivor rule."""
+    from .caching import persist_tracked
+    from .functions.text import token_count
+    from .operators.dedup import minhash_signatures_agg, neardup_representatives
+
+    corpus = persist_tracked(neardup_corpus(spark, sf_dir))
+    sigs = minhash_signatures_agg(
+        corpus, num_hashes=MINHASH_HASHES, ngram=WORD_NGRAM, shingle="word"
+    )
+    reps = neardup_representatives(
+        sigs,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        nodes=corpus.select("doc_id"),
+    )
+    toks = corpus.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    j = reps.join(toks, "doc_id")
+    return j.groupBy("group_rep").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("max_by(doc_id, struct(n_tokens, -doc_id))").alias("survivor_doc"),
+        F.max("n_tokens").alias("survivor_tokens"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+    )
+
+
 def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the synthetic corpus: 48-bit
     fingerprints, banded Hamming equi-join (pigeonhole-complete for
@@ -1049,6 +1080,35 @@ def percentiles_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct(0.75).alias("p75"),
         F.round(_dsum(F.col("c_acctbal")) / n, 6).alias("mean_acctbal"),
         n.alias("n_customers"),
+    )
+
+
+def approx_percentiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch variant of percentiles_acctbal with an error
+    gate: approx_percentile (GK sketch — no per-group sort, the
+    100 TB drop-in) must land within 2% relative error of the exact
+    interpolated percentile. Output carries the exact values (oracle
+    recomputes them) plus the measured gate as a boolean the oracle
+    asserts TRUE — the same pattern as the ANN recall rows."""
+    cust = read_table(spark, sf_dir, "customer")
+
+    def pct(p: float) -> F.Column:
+        return F.round(F.expr(f"percentile(c_acctbal, {p})"), 6)
+
+    def apx(p: float) -> F.Column:
+        return F.expr(f"approx_percentile(c_acctbal, {p}, 1000)")
+
+    spread = F.max("c_acctbal") - F.min("c_acctbal")
+    gate = (
+        (F.abs(apx(0.5) - F.expr("percentile(c_acctbal, 0.5)")) <= 0.02 * spread)
+        & (F.abs(apx(0.25) - F.expr("percentile(c_acctbal, 0.25)")) <= 0.02 * spread)
+        & (F.abs(apx(0.75) - F.expr("percentile(c_acctbal, 0.75)")) <= 0.02 * spread)
+    )
+    return cust.groupBy("c_mktsegment").agg(
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"),
+        gate.alias("sketch_ok"),
     )
 
 
@@ -1617,6 +1677,8 @@ QUERIES = {
     "merge_parts": merge_parts,
     "stream_session_windows": stream_session_windows,
     "embed_quantize": embed_quantize,
+    "dedup_pipeline": dedup_pipeline,
+    "approx_percentiles_gate": approx_percentiles_gate,
     # --- driver-green in round 2 ---
     "q1_cosine_topk": q1_cosine_topk,
     "q2_knn_join": q2_knn_join,
