@@ -464,11 +464,16 @@ def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs over the synthetic corpus,
-    with the MinHash Jaccard estimate (exact integer arithmetic)."""
-    from .operators.dedup import minhash_signatures_agg
+    with the MinHash Jaccard estimate (exact integer arithmetic).
+    Signatures come from the fingerprint-keyed persisted store — the
+    build/probe split: repeated dedup queries pay a parquet read, not
+    a corpus re-shingle (same pattern as the IVF index)."""
+    from .operators.dedup import persisted_signatures
 
     corpus = neardup_corpus(spark, sf_dir)
-    sigs = minhash_signatures_agg(corpus, num_hashes=MINHASH_HASHES, ngram=NGRAM)
+    sigs = persisted_signatures(
+        spark, sf_dir, corpus, MINHASH_HASHES, NGRAM, "char", "char7"
+    )
     pairs = minhash_candidate_pairs(
         sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS
     )
@@ -484,11 +489,11 @@ def neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence itself is driver-checked. WORD shingles (same choice
     as neardup_jaccard): ~7x fewer md5 calls than char-7 on prose —
     the signature build dominated this query's cost."""
-    from .operators.dedup import minhash_signatures_agg, neardup_representatives
+    from .operators.dedup import neardup_representatives, persisted_signatures
 
     corpus = neardup_corpus(spark, sf_dir)
-    sigs = minhash_signatures_agg(
-        corpus, num_hashes=MINHASH_HASHES, ngram=WORD_NGRAM, shingle="word"
+    sigs = persisted_signatures(
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
     )
     return neardup_representatives(
         sigs,
@@ -504,20 +509,28 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count, ties to the smaller id) — what a training-data
     pipeline actually executes before tokenization. One row per group
     with the survivor and the drop count; the oracle recomputes groups
-    via recursive-CTE connected components and the same survivor rule."""
+    via recursive-CTE connected components and the same survivor rule.
+
+    Build/probe split (same as IVF): the groups mapping is consumed
+    from the fingerprint-keyed persisted store — neardup_groups is the
+    query that pays the connected-components build; this capstone is
+    the consumer path a pipeline runs repeatedly."""
     from .caching import persist_tracked
     from .functions.text import token_count
-    from .operators.dedup import minhash_signatures_agg, neardup_representatives
+    from .operators.dedup import persisted_groups, persisted_signatures
 
     corpus = persist_tracked(neardup_corpus(spark, sf_dir))
-    sigs = minhash_signatures_agg(
-        corpus, num_hashes=MINHASH_HASHES, ngram=WORD_NGRAM, shingle="word"
+    sigs = persisted_signatures(
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
     )
-    reps = neardup_representatives(
+    reps = persisted_groups(
+        spark,
+        sf_dir,
         sigs,
-        num_hashes=MINHASH_HASHES,
-        bands=MINHASH_BANDS,
-        nodes=corpus.select("doc_id"),
+        corpus.select("doc_id"),
+        MINHASH_HASHES,
+        MINHASH_BANDS,
+        "word3",
     )
     toks = corpus.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
     j = reps.join(toks, "doc_id")
@@ -551,11 +564,11 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles on prose (the md5 dominates signature cost), and the
     shingle space is selective even on the 109-word fixture vocab."""
     from .caching import persist_tracked
-    from .operators.dedup import minhash_signatures_agg
+    from .operators.dedup import persisted_signatures
 
     corpus = persist_tracked(neardup_corpus(spark, sf_dir))
-    sigs = minhash_signatures_agg(
-        corpus, num_hashes=MINHASH_HASHES, ngram=WORD_NGRAM, shingle="word"
+    sigs = persisted_signatures(
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
     )
     cand = persist_tracked(
         minhash_candidate_pairs(sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
