@@ -209,3 +209,55 @@ def test_simhash_near_for_similar(spark):
     assert s[0] == s[1]
     assert 0 <= s[0] < 2**16
     assert s[0] != s[2]
+
+
+def test_persisted_signatures_staleness_rebuild(spark, tmp_path, monkeypatch):
+    """The fingerprint-keyed signature store must rebuild when the
+    source data changes and reuse when it doesn't."""
+    import os
+    import time
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators import ann
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        persisted_signatures,
+    )
+
+    monkeypatch.setattr(ann, "INDEX_ROOT", str(tmp_path / "idx"))
+    sf_dir = tmp_path / "sfX"
+    sf_dir.mkdir()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(sf_dir / "documents.parquet"))
+    corpus = spark.read.parquet(str(sf_dir / "documents.parquet"))
+
+    s1 = {
+        r["doc_id"]: r["minhash"]
+        for r in persisted_signatures(
+            spark, str(sf_dir), corpus, 16, 3, "word", "t"
+        ).collect()
+    }
+    marker = os.path.join(str(tmp_path / "idx"), "minhash_sfX_t", "meta.json")
+    mtime1 = os.path.getmtime(marker)
+
+    # unchanged source -> reuse (marker untouched)
+    persisted_signatures(spark, str(sf_dir), corpus, 16, 3, "word", "t").count()
+    assert os.path.getmtime(marker) == mtime1
+
+    # changed source -> rebuild with the new corpus
+    time.sleep(1.1)  # fingerprint uses mtime granularity
+    docs2 = spark.createDataFrame(
+        [(1, "totally different words here now"), (2, "and these too friend")],
+        "doc_id long, text string",
+    )
+    docs2.write.mode("overwrite").parquet(str(sf_dir / "documents.parquet"))
+    corpus2 = spark.read.parquet(str(sf_dir / "documents.parquet"))
+    s2 = {
+        r["doc_id"]: r["minhash"]
+        for r in persisted_signatures(
+            spark, str(sf_dir), corpus2, 16, 3, "word", "t"
+        ).collect()
+    }
+    assert os.path.getmtime(marker) > mtime1
+    assert s1[1] != s2[1]
