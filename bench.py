@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "embed_quantize",
     "dedup_pipeline",
     "approx_percentiles_gate",
+    "stream_clicks_purchases",
     "q4_filtered_topk",
     "q5_fetch_by_ids",
     "q5_delete_by_ids",

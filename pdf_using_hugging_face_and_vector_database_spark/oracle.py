@@ -1075,6 +1075,10 @@ FROM events p JOIN events c
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
+    # stream-stream interval join parity: same pairs as the batch
+    # banded range join, same oracle
+    sql["stream_clicks_purchases"] = sql["clicks_in_purchase_window"]
+
     sql["cube_pricing"] = f"""
 SELECT l_returnflag, l_linestatus,
        {_dsum('l_quantity')} AS sum_qty,

@@ -1378,6 +1378,19 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessions_to_memory(spark, sf_dir, query_name="q_stream_sessions")
 
 
+def stream_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join, driver-checked: the
+    watermarked (clicks ⋈ purchases within 1 hour) join replays the
+    finite fixture in append mode and must equal the batch banded
+    range join — its oracle IS clicks_in_purchase_window's (DuckDB
+    native IEJoin)."""
+    from .streaming.joins import run_interval_join_to_memory
+
+    return run_interval_join_to_memory(
+        spark, sf_dir, query_name="q_stream_clicks_purchases"
+    )
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming watermark-bounded dedup, driver-checked on the key
     SET: which physical row survives per key is arrival-order-
@@ -1692,6 +1705,7 @@ QUERIES = {
     "embed_quantize": embed_quantize,
     "dedup_pipeline": dedup_pipeline,
     "approx_percentiles_gate": approx_percentiles_gate,
+    "stream_clicks_purchases": stream_clicks_purchases,
     # --- driver-green in round 2 ---
     "q1_cosine_topk": q1_cosine_topk,
     "q2_knn_join": q2_knn_join,

@@ -148,3 +148,33 @@ def test_q6_all_predicates_pushed(spark, sf_dir):
         assert has_pushed_filters(df, c), c
     schemas = scan_read_schema(df)
     assert schemas and all("l_orderkey" not in s for s in schemas)
+
+def test_merge_parts_single_fullouter_join(spark, sf_dir):
+    from pdf_using_hugging_face_and_vector_database_spark.queries import merge_parts
+
+    plan = merge_parts(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    # one key-shuffle per side at most, nothing else
+    assert plan.count("Exchange") <= 3
+
+
+def test_pack_sequences_one_grouped_window_shuffle(spark, sf_dir):
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        pack_sequences_q,
+    )
+
+    plan = (
+        pack_sequences_q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly the pack_group hash partitioning; no global-order Exchange
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_embed_quantize_shuffle_free(spark, sf_dir):
+    from pdf_using_hugging_face_and_vector_database_spark.queries import embed_quantize
+
+    plan = (
+        embed_quantize(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

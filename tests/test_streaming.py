@@ -45,3 +45,22 @@ def test_stream_sessions_match_batch(spark, sf_dir):
         for r in session_windows_native(spark, sf_dir).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        clicks_in_purchase_window,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.streaming.joins import (
+        run_interval_join_to_memory,
+    )
+
+    stream_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in run_interval_join_to_memory(spark, sf_dir).collect()
+    }
+    batch_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in clicks_in_purchase_window(spark, sf_dir).collect()
+    }
+    assert stream_pairs == batch_pairs
