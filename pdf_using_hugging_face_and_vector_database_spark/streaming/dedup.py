@@ -36,17 +36,18 @@ def dedup_events_stream(
 def run_dedup_to_memory(
     spark, sf_dir: str, query_name: str = "events_dedup_stream"
 ) -> DataFrame:
-    from .windows import read_events_stream
+    from .windows import read_events_stream, stream_shuffle_partitions
 
     out = dedup_events_stream(read_events_stream(spark, sf_dir))
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")

@@ -60,17 +60,18 @@ def run_interval_join_to_memory(
 ) -> DataFrame:
     """Drive the stream-stream join over the finite fixture (append
     mode — the only mode stream-stream joins support)."""
-    from .windows import read_events_stream
+    from .windows import read_events_stream, stream_shuffle_partitions
 
     out = clicks_in_purchase_window_stream(read_events_stream(spark, sf_dir))
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")

@@ -73,17 +73,18 @@ def run_stateful_to_memory(
 ) -> DataFrame:
     """Drive the stateful operator over the finite events fixture; the
     last emitted row per user is the final state."""
-    from .windows import read_events_stream
+    from .windows import read_events_stream, stream_shuffle_partitions
 
     out = running_user_stats(read_events_stream(spark, sf_dir))
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")

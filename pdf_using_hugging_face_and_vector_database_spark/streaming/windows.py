@@ -11,10 +11,33 @@ accumulating unbounded state.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..schemas import EVENTS
+
+# Streaming state partitioning is fixed at a query's FIRST start (it
+# keys the state store layout), so it must be sized to the stream's
+# key cardinality and throughput — NOT inherited from the batch
+# session's shuffle setting. For the bounded fixture replays 8 is
+# plenty; 32 batch partitions cost 4x in per-partition state-store
+# open/commit overhead (measured 12s -> 3s on the stream-stream join).
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def stream_shuffle_partitions(spark, n: int = STREAM_SHUFFLE_PARTITIONS):
+    """Scope the shuffle-partition setting around a stream start; the
+    batch session value is restored afterwards."""
+    conf = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(conf, old)
 
 
 def hourly_event_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -71,16 +94,17 @@ def run_sessions_to_memory(
 ) -> DataFrame:
     """Drive the streaming sessionization over the finite fixture."""
     agg = session_windows_stream(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -117,14 +141,15 @@ def run_stream_to_memory(spark, sf_dir: str, query_name: str = "events_hourly_st
     """Drive the streaming agg to completion over the (finite) fixture
     and return the result as a DataFrame — the test/demo harness."""
     agg = hourly_event_counts_stream(read_events_stream(spark, sf_dir))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
