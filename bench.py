@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "dedup_pipeline",
     "approx_percentiles_gate",
     "stream_clicks_purchases",
+    "chunker_udtf",
+    "udaf_median_acctbal",
     "q4_filtered_topk",
     "q5_fetch_by_ids",
     "q5_delete_by_ids",

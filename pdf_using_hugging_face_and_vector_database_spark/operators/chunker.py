@@ -111,3 +111,48 @@ def chunk_separator(
         *[F.col(c) for c in keep_cols],
         F.posexplode(split_udf(F.col(text_col))).alias("chunk_index", "chunk_text"),
     )
+
+
+def chunk_stride_udtf(
+    spark,
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 2000,
+    chunk_overlap: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Python UDTF variant of :func:`chunk_stride` — the Spark 4 table
+    function surface (SURVEY §2.5 UDF/UDAF/UDTF row): one LATERAL
+    call per document emits its chunk rows. Same stride arithmetic as
+    the pure-SQL shape, so they share an oracle; row-for-row identical
+    (pinned in tests/test_chunker.py).
+
+    The relational chunker remains the default at scale — a UDTF pays
+    the Python-worker boundary — but the surface matters: it is how a
+    user plugs a tokenizer-aware or semantic splitter into the same
+    LATERAL position without touching the pipeline around it.
+    """
+    from pyspark.sql.functions import udtf
+
+    stride = chunk_size - chunk_overlap
+
+    @udtf(returnType="chunk_index int, chunk_text string")
+    class StrideChunker:
+        def eval(self, text: str):
+            if text is None:
+                return
+            n = len(text)
+            if n <= chunk_size:
+                yield 0, text
+                return
+            count = 1 + ((n - chunk_size + stride - 1) // stride)
+            for i in range(count):
+                yield i, text[i * stride : i * stride + chunk_size]
+
+    spark.udtf.register("stride_chunker_udtf", StrideChunker)
+    view = f"__chunk_udtf_in_{id_col}"
+    df.select(id_col, text_col).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT d.{id_col}, c.chunk_index, c.chunk_text "
+        f"FROM {view} d, LATERAL stride_chunker_udtf(d.{text_col}) c"
+    )

@@ -304,6 +304,19 @@ WITH chunks AS ({_chunks_cte()})
 SELECT doc_id, chunk_index, chunk_text FROM chunks
 """
 
+    # UDTF twin: the Python table function must emit exactly the
+    # relational chunker's rows
+    sql["chunker_udtf"] = sql["chunker_stride"]
+
+    # UDAF twin: pandas grouped-agg median == interpolated quantile
+    sql["udaf_median_acctbal"] = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.5), 6) AS median_acctbal,
+       count(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+"""
+
     sql["chunk_metadata"] = f"""
 WITH chunks AS ({_chunks_cte(extra_cols=", source")})
 SELECT 'doc-' || doc_id || '-' || chunk_index AS id,

@@ -1096,6 +1096,36 @@ def percentiles_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunker_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 via the Spark 4 Python UDTF surface: a LATERAL table
+    function emits chunk rows per document — same stride arithmetic
+    (and the same oracle) as the relational chunker_stride, pinning
+    UDTF==SQL row parity as a driver row."""
+    from .operators.chunker import chunk_stride_udtf
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_stride_udtf(
+        spark, docs, chunk_size=CHUNK_SIZE, chunk_overlap=CHUNK_OVERLAP
+    )
+
+
+def udaf_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the PySpark UDAF surface): exact
+    interpolated median per market segment computed by a vectorized
+    Arrow batch per group; the oracle recomputes it with
+    quantile_cont, so UDAF==SQL aggregation parity is driver-checked.
+    At scale the Arrow grouped-agg path is how custom aggregations
+    (e.g. a sketch merge) plug into groupBy without row-at-a-time
+    Python."""
+    from .functions.udafs import count_udaf, median_udaf
+
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(median_udaf("c_acctbal"), 6).alias("median_acctbal"),
+        count_udaf("c_acctbal").alias("n_customers"),
+    )
+
+
 def approx_percentiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-sketch variant of percentiles_acctbal with an error
     gate: approx_percentile (GK sketch — no per-group sort, the
@@ -1706,6 +1736,8 @@ QUERIES = {
     "dedup_pipeline": dedup_pipeline,
     "approx_percentiles_gate": approx_percentiles_gate,
     "stream_clicks_purchases": stream_clicks_purchases,
+    "chunker_udtf": chunker_udtf,
+    "udaf_median_acctbal": udaf_median_acctbal,
     # --- driver-green in round 2 ---
     "q1_cosine_topk": q1_cosine_topk,
     "q2_knn_join": q2_knn_join,

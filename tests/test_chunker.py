@@ -84,3 +84,26 @@ def test_separator_udf_matches_pure(spark):
         for j, c in enumerate(_split_separator(t, 60, 10, " ")):
             expected.append((i, j, c))
     assert [(r["doc_id"], r["chunk_index"], r["chunk_text"]) for r in out] == expected
+
+
+def test_chunk_stride_udtf_matches_relational(spark, sf_dir):
+    """The Spark 4 UDTF chunker must be row-identical to the pure-SQL
+    stride chunker (they share the driver oracle)."""
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.operators.chunker import (
+        chunk_stride,
+        chunk_stride_udtf,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    rel = sorted(
+        (r["doc_id"], r["chunk_index"], r["chunk_text"])
+        for r in chunk_stride(docs, chunk_size=120, chunk_overlap=20).collect()
+    )
+    udtf = sorted(
+        (r["doc_id"], r["chunk_index"], r["chunk_text"])
+        for r in chunk_stride_udtf(
+            spark, docs, chunk_size=120, chunk_overlap=20
+        ).collect()
+    )
+    assert rel == udtf
