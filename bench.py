@@ -108,9 +108,18 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="bench")
 
-    # warmup: JVM + parquet footer caches + codegen paths
+    # warmup: JVM + parquet footer caches + codegen paths, plus one
+    # tiny applyInPandas job so the Python worker daemon's
+    # pandas/pyarrow import cost (~3 s, measured round 4) is paid here
+    # and never billed to whichever pandas query happens to run first
+    # (or first after an idle reap) inside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     run_to_completion(QUERIES["q5_fetch_by_ids"](spark, sf_dir))
+    spark.createDataFrame([(0, 1.0)], "k long, v double").groupBy(
+        "k"
+    ).applyInPandas(lambda p: p, "k long, v double").write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     # NOTE: this uses the RAW query registry, not the driver-facing
     # __spark_entry__.queries() wrapper — the wrapper's release_caches()
@@ -132,28 +141,37 @@ def main() -> None:
         times[name] = round(min(runs), 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                # harness settings, so cross-round deltas are comparable
-                "method": {
-                    "runs_per_query": 2,
-                    "agg": "min",
-                    "warmup": "1M-row sum + one fetch-by-ids query",
-                    "cache_policy": (
-                        "release_caches + catalog.clearCache before every "
-                        "run, outside the timed window; cold plans measured"
-                    ),
-                    "timed_region": "DataFrame build + noop-sink write",
-                },
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        # harness settings, so cross-round deltas are comparable
+        "method": {
+            "runs_per_query": 2,
+            "agg": "min",
+            "warmup": (
+                "1M-row sum + one fetch-by-ids query + one tiny "
+                "applyInPandas job (python daemon import cost)"
+            ),
+            "cache_policy": (
+                "release_caches + catalog.clearCache before every "
+                "run, outside the timed window; cold plans measured"
+            ),
+            "timed_region": "DataFrame build + noop-sink write",
+        },
+    }
+    # the driver captures stdout's tail and has truncated the head of
+    # this line before (round 3 lost the q1/q2/q3 times); a side file
+    # keeps the full parsed dict recoverable regardless
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_current.queries.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
     spark.stop()
 
 

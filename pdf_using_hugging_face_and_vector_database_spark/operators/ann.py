@@ -184,32 +184,46 @@ def ann_topk_ivf(
     return idx.query(query_vec, k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col)
 
 
+def dataset_dir_key(sf_dir: str) -> str:
+    """Store-directory key for a dataset dir: basename (readable) plus
+    a short hash of the FULL normalized path, so two sf dirs sharing a
+    basename under different parents get distinct stores instead of
+    thrashing/rebuilding each other's."""
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    digest = hashlib.sha256(norm.encode()).hexdigest()[:8]
+    return f"{os.path.basename(norm)}_{digest}"
+
+
 def ivf_index_path(sf_dir: str, n_cells: int = 16, root: str | None = None) -> str:
     """Deterministic on-disk location for one (dataset, n_cells) index."""
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(root or INDEX_ROOT, f"ivf_{base}_k{n_cells}")
+    return os.path.join(root or INDEX_ROOT, f"ivf_{dataset_dir_key(sf_dir)}_k{n_cells}")
 
 
 def dataset_fingerprint(path: str, salt: str = "") -> str:
-    """Cheap staleness key for a parquet file/dir: total size + latest
-    mtime (+ a caller salt for derivation constants). A regenerated
-    fixture or changed constants produce a different fingerprint, so a
-    persisted index built from old data is detected and rebuilt rather
-    than silently served."""
+    """Cheap staleness key for a parquet file/dir: per-file (name, size,
+    mtime_ns) digest (+ a caller salt for derivation constants). A
+    regenerated fixture — even one rewritten within the same second at
+    identical total byte size — or changed constants produce a
+    different fingerprint, so a persisted index built from old data is
+    detected and rebuilt rather than silently served."""
     import glob
+    import hashlib
 
-    total, latest = 0, 0.0
     paths = [path] if os.path.isfile(path) else sorted(
         glob.glob(os.path.join(path, "*"))
     )
+    h = hashlib.sha256()
     for p in paths:
         try:
             st = os.stat(p)
-            total += st.st_size
-            latest = max(latest, st.st_mtime)
         except OSError:
-            pass
-    return f"{total}:{latest:.0f}:{salt}"
+            continue
+        h.update(
+            f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode()
+        )
+    return f"{h.hexdigest()[:16]}:{salt}"
 
 
 def build_ivf_index(

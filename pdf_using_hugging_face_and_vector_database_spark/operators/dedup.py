@@ -169,10 +169,9 @@ def persisted_signatures(
     import os as _os
 
     from ..io import table_path
-    from .ann import INDEX_ROOT, dataset_fingerprint
+    from .ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
 
-    base = _os.path.basename(_os.path.normpath(sf_dir))
-    path = _os.path.join(INDEX_ROOT, f"minhash_{base}_{tag}")
+    path = _os.path.join(INDEX_ROOT, f"minhash_{dataset_dir_key(sf_dir)}_{tag}")
     salt = f"mh:{num_hashes}:{ngram}:{shingle}"
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
     marker = _os.path.join(path, "meta.json")
@@ -218,10 +217,11 @@ def persisted_groups(
     import os as _os
 
     from ..io import table_path
-    from .ann import INDEX_ROOT, dataset_fingerprint
+    from .ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
 
-    base = _os.path.basename(_os.path.normpath(sf_dir))
-    path = _os.path.join(INDEX_ROOT, f"neardup_groups_{base}_{tag}")
+    path = _os.path.join(
+        INDEX_ROOT, f"neardup_groups_{dataset_dir_key(sf_dir)}_{tag}"
+    )
     salt = f"cc:{num_hashes}:{bands}:{tag}"
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
     marker = _os.path.join(path, "meta.json")
@@ -440,10 +440,19 @@ def neardup_representatives(
     try:
         star.write.mode("overwrite").parquet(scratch_dir + "/edges_0")
         D = spark.read.parquet(scratch_dir + "/edges_0")
+        # Convergence witness: count + endpoint sums + an
+        # order-independent content hash (sum of xxhash64(hi, lo)).
+        # The sums alone are necessary but not sufficient — a round
+        # that rewired edges while preserving them would be declared
+        # converged; the per-edge hash sum makes a false fixpoint a
+        # 2^-64-ish collision instead of a plausible event.
         triple = [
             F.count(F.lit(1)).alias("c"),
             F.sum(F.col("hi").cast("decimal(38,0)")).alias("sh"),
             F.sum(F.col("lo").cast("decimal(38,0)")).alias("sl"),
+            F.sum(
+                F.xxhash64(F.col("hi"), F.col("lo")).cast("decimal(38,0)")
+            ).alias("hx"),
         ]
         if rounds is not None:
             for rnd in range(rounds):
@@ -462,7 +471,7 @@ def neardup_representatives(
                 )
                 D = spark.read.parquet(scratch_dir + f"/edges_{rnd % 2 + 1}")
                 st = D.agg(*triple).head()
-                key = (st["c"], st["sh"], st["sl"])
+                key = (st["c"], st["sh"], st["sl"], st["hx"])
                 if key == prev:
                     converged = True
                     break
@@ -655,19 +664,56 @@ def embedding_neardup_pairs(
         df = df.withColumn("__blk", F.lit(0))
         block_col = "__blk"
 
+    # pre-filter margin: the final Spark-side filter is on the value
+    # ROUNDED to 6 decimals (HALF_UP), so a raw sim as low as
+    # threshold - 5e-7 can still round up to pass; the kernel must not
+    # drop it. 1e-6 covers that plus float slack.
+    pre_threshold = threshold - 1e-6
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        # dense matmul per block — the FAISS-shaped inner loop; Arrow
-        # hands us the block columnar, numpy does pairs*dim flops
+        # Dense matmul per block — the FAISS-shaped inner loop; Arrow
+        # hands us the block columnar, numpy/BLAS does pairs*dim flops.
+        # CHUNKED over rows: memory is O(chunk * block), never
+        # O(block^2), and the threshold filter runs per-chunk BEFORE
+        # any pair list materializes — only survivors allocate. A
+        # 10^6-row block costs the same peak memory as a 10^3-row one;
+        # this is what lets the same kernel survive a 100 TB corpus
+        # whose blocking key produces fat blocks.
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
         mat = np.array(pdf[vec_col].tolist(), dtype="float64")
         norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(norms, norms)
-        ia, ib = np.triu_indices(len(ids), 1)
+        # bound the sims slab at chunk*n <= 4M float64s (~32 MB)
+        chunk = max(1, min(4096, 4_000_000 // n))
+        cols = np.arange(n)
+        out_a, out_b, out_s = [], [], []
+        for start in range(0, n - 1, chunk):
+            end = min(start + chunk, n)
+            # same op order as the unchunked form: dot products first,
+            # then elementwise divide by the norm product — keeps the
+            # floats bit-identical to the oracle-verified kernel
+            sims = (mat[start:end] @ mat.T) / np.outer(
+                norms[start:end], norms
+            )
+            keep = (cols[None, :] > np.arange(start, end)[:, None]) & (
+                sims >= pre_threshold
+            )
+            ia, ib = np.nonzero(keep)
+            if len(ia):
+                out_a.append(ids[ia + start])
+                out_b.append(ids[ib])
+                out_s.append(sims[ia, ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
         return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib], "cosine_sim": sims[ia, ib]}
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
+            }
         )
 
     pairs = df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(

@@ -79,10 +79,16 @@ def merge_into(
     - unmatched target rows always survive.
 
     ``t`` / ``s`` are struct columns exposing the respective side's
-    payload fields. Like Delta, a source with duplicate keys is an
-    ERROR (raise_error evaluated inside the plan — lazily, at
-    execution time), because two sources matching one target row make
-    the update non-deterministic.
+    payload fields. Like Delta, multiple source rows matching one
+    target key are an ERROR (raise_error evaluated inside the plan, at
+    execution time), because they make the merge non-deterministic.
+    The guard is unconditional: it fires even when the merge's
+    update/delete callbacks never reference the source struct, and a
+    matched-DELETE predicate cannot filter a duplicate away before the
+    guard sees it. Duplicate source rows that match NO target key
+    follow Delta's NOT-MATCHED semantics instead: each inserts. A NULL
+    ``matched_delete`` predicate keeps the row (SQL MERGE treats NULL
+    as false), never deletes it.
 
     100 TB shape: one full-outer shuffle join on the key (or
     shuffle-free when the target is id-bucketed, as upsert_cocluster's
@@ -103,32 +109,37 @@ def merge_into(
     )
     j = t_side.join(s_side, key, "full_outer")
     t, s = F.col("__t"), F.col("__s")
-    guarded_s = F.when(
-        F.col("__s_cnt") > 1,
-        F.raise_error(
-            F.concat(
-                F.lit("merge_into: multiple source rows match target key "),
-                F.col(key).cast("string"),
-            )
-        ).cast(t_side.schema["__t"].dataType),
-    ).otherwise(s)
     matched = t.isNotNull() & s.isNotNull()
+    # Duplicate-source guard — hoisted to the FIRST branch of the row
+    # projection so it fires for every merge shape, not only those
+    # whose update/delete callbacks happen to reference the source
+    # struct. NULL-safe: target-only rows have __s_cnt NULL → false.
+    dup = F.coalesce(F.col("__s_cnt") > 1, F.lit(False))
+    dup_raise = F.raise_error(
+        F.concat(
+            F.lit("merge_into: multiple source rows match target key "),
+            F.col(key).cast("string"),
+        )
+    ).cast(t_side.schema["__t"].dataType)
+    # NULL predicate == false (SQL MERGE semantics: keep, not delete);
+    # ~dup keeps duplicate rows alive so the guard above raises.
     delete_cond = (
-        matched & matched_delete(t, guarded_s)
+        matched & F.coalesce(matched_delete(t, s), F.lit(False)) & ~dup
         if matched_delete is not None
         else F.lit(False)
     )
     if matched_update is not None:
-        assignments = matched_update(t, guarded_s)
+        assignments = matched_update(t, s)
         updated = F.struct(
             *[assignments.get(c, t[c]).alias(c) for c in payload]
         )
     else:
         updated = t
     row = (
-        F.when(matched, updated)
+        F.when(dup & matched, dup_raise)
+        .when(matched, updated)
         .when(t.isNotNull(), t)
-        .otherwise(guarded_s)  # source-only -> insert
+        .otherwise(s)  # source-only -> insert
     )
     out = j.filter(~delete_cond)
     if not insert_unmatched:

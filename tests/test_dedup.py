@@ -215,7 +215,6 @@ def test_persisted_signatures_staleness_rebuild(spark, tmp_path, monkeypatch):
     """The fingerprint-keyed signature store must rebuild when the
     source data changes and reuse when it doesn't."""
     import os
-    import time
 
     from pdf_using_hugging_face_and_vector_database_spark.operators import ann
     from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
@@ -238,15 +237,20 @@ def test_persisted_signatures_staleness_rebuild(spark, tmp_path, monkeypatch):
             spark, str(sf_dir), corpus, 16, 3, "word", "t"
         ).collect()
     }
-    marker = os.path.join(str(tmp_path / "idx"), "minhash_sfX_t", "meta.json")
+    marker = os.path.join(
+        str(tmp_path / "idx"),
+        f"minhash_{ann.dataset_dir_key(str(sf_dir))}_t",
+        "meta.json",
+    )
     mtime1 = os.path.getmtime(marker)
 
     # unchanged source -> reuse (marker untouched)
     persisted_signatures(spark, str(sf_dir), corpus, 16, 3, "word", "t").count()
     assert os.path.getmtime(marker) == mtime1
 
-    # changed source -> rebuild with the new corpus
-    time.sleep(1.1)  # fingerprint uses mtime granularity
+    # changed source -> rebuild with the new corpus (no sleep needed:
+    # the fingerprint reads st_mtime_ns, so a same-second rewrite at
+    # identical byte size is still detected)
     docs2 = spark.createDataFrame(
         [(1, "totally different words here now"), (2, "and these too friend")],
         "doc_id long, text string",
@@ -261,3 +265,38 @@ def test_persisted_signatures_staleness_rebuild(spark, tmp_path, monkeypatch):
     }
     assert os.path.getmtime(marker) > mtime1
     assert s1[1] != s2[1]
+
+
+def test_dataset_fingerprint_and_dir_key_sensitivity(tmp_path):
+    """ADVICE round 3: the fingerprint must change for a same-size
+    rewrite (mtime_ns) and for renamed files; the store dir key must
+    differ for same-basename dirs under different parents."""
+    import os
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        dataset_dir_key,
+        dataset_fingerprint,
+    )
+
+    d = tmp_path / "data"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    fp1 = dataset_fingerprint(str(d))
+    # same size, rewritten (mtime_ns differs even within one second)
+    f.write_bytes(b"bbbb")
+    fp2 = dataset_fingerprint(str(d))
+    assert fp1 != fp2
+    # same bytes/sizes but a renamed file changes the fingerprint
+    st = os.stat(f)
+    os.rename(f, d / "part-1.parquet")
+    os.utime(d / "part-1.parquet", ns=(st.st_atime_ns, st.st_mtime_ns))
+    fp3 = dataset_fingerprint(str(d))
+    assert fp3 != fp2
+
+    a = tmp_path / "p1" / "sf0.1"
+    b = tmp_path / "p2" / "sf0.1"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    assert dataset_dir_key(str(a)) != dataset_dir_key(str(b))
+    assert dataset_dir_key(str(a)) == dataset_dir_key(str(a) + "/")

@@ -87,3 +87,72 @@ def test_merge_into_duplicate_source_keys_error(spark):
             matched_update=lambda t, s: {"v": s["v"]},
         ).collect()
     assert "multiple source rows" in str(ei.value)
+
+
+def test_merge_into_duplicate_guard_fires_without_source_refs(spark):
+    """ADVICE round 3: a merge whose callbacks never touch the source
+    struct (e.g. insert-only) must STILL error on duplicate matched
+    source keys, not silently duplicate the target row."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        merge_into,
+    )
+
+    target = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "id long, v double")
+    with pytest.raises(Exception) as ei:
+        merge_into(target, dup, key="id").collect()  # no update/delete
+    assert "multiple source rows" in str(ei.value)
+
+
+def test_merge_into_duplicate_guard_survives_delete_predicate(spark):
+    """A matched-DELETE predicate that would drop both duplicate rows
+    must not swallow the duplicate-source error."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        merge_into,
+    )
+
+    target = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "id long, v double")
+    with pytest.raises(Exception) as ei:
+        merge_into(
+            target, dup, key="id",
+            matched_delete=lambda t, s: F.lit(True),
+        ).collect()
+    assert "multiple source rows" in str(ei.value)
+
+
+def test_merge_into_unmatched_duplicates_insert(spark):
+    """Delta NOT-MATCHED semantics: duplicate source keys matching no
+    target row each insert (no error)."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        merge_into,
+    )
+
+    target = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    dup = spark.createDataFrame([(7, 2.0), (7, 3.0)], "id long, v double")
+    out = merge_into(target, dup, key="id").collect()
+    assert sorted(r["id"] for r in out) == [1, 7, 7]
+
+
+def test_merge_into_null_delete_predicate_keeps_row(spark):
+    """SQL MERGE: a NULL WHEN MATCHED AND <cond> evaluates as false —
+    the row is kept (and updated), never deleted."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        merge_into,
+    )
+
+    target = spark.createDataFrame([(1, "x", 1.0)], "id long, tag string, v double")
+    # source tag is NULL -> predicate (s.tag == 'kill') is NULL
+    source = spark.createDataFrame([(1, None, 9.0)], "id long, tag string, v double")
+    out = merge_into(
+        target,
+        source,
+        key="id",
+        matched_update=lambda t, s: {"v": s["v"]},
+        matched_delete=lambda t, s: s["tag"] == "kill",
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] == 9.0
