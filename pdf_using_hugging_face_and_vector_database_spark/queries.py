@@ -1520,8 +1520,14 @@ def clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 — IVF index BUILD as its own query: fit (2 Lloyd passes) and
     persist the assigned corpus partitioned by ``cell``; probes
-    (q3_ann_ivf) then prune partitions instead of rebuilding. Output =
-    per-cell histogram (rows-only: k-means isn't SQL-expressible)."""
+    (q3_ann_ivf) then prune partitions instead of rebuilding.
+
+    Output = seed-independent invariants the oracle re-asserts (the
+    per-cell histogram itself is k-means-init-dependent and stays off
+    the hashed surface): every corpus vector assigned exactly once —
+    total and distinct counts recomputed by DuckDB from the source
+    table — and the nonempty cell count within (0, ANN_CELLS],
+    asserted TRUE."""
     import os as _os
 
     from .io import table_path
@@ -1534,17 +1540,29 @@ def q3_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM, fingerprint=fp
     )
     assigned = spark.read.parquet(_os.path.join(path, "assigned"))
-    return (
-        assigned.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_vecs"))
-        .orderBy("cell")
+    n_cells = F.countDistinct("cell")
+    return assigned.agg(
+        F.count(F.lit(1)).alias("total_assigned"),
+        F.countDistinct("vec_id").alias("distinct_vecs"),
+        ((n_cells >= 1) & (n_cells <= ANN_CELLS)).alias("cells_ok"),
     )
 
 
 def q3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 — ANN top-10 probing the PERSISTED IVF index (built by
     q3_ann_build; built here once if missing): nprobe/16 cells read
-    via partition pruning (plan-asserted), exact re-rank inside."""
+    via partition pruning (plan-asserted), exact re-rank inside.
+
+    Driver-visible output is the invariant row (the returned id SET is
+    k-means-init-dependent): k rows returned; every probe score equals
+    the exact cosine recomputed independently over the source table
+    (guaranteed by the exact re-rank — a distance-kernel bug turns
+    this false); scores descend; and measured recall vs the exact
+    top-10 >= 0.4 — above the 0.375 uniform-random baseline of probing
+    nprobe/ANN_CELLS of the corpus (measured 0.6-0.9 across
+    sf0.001-0.1, round 4; the uniform fixture has no cluster structure
+    for IVF to exploit, so the honest floor is beats-random, not 0.9 —
+    q3_ann_recall holds the 0.9 gate on the clustered corpus)."""
     from .io import table_path
     from .operators.ann import (
         build_ivf_index,
@@ -1556,14 +1574,37 @@ def q3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = ivf_index_path(sf_dir, ANN_CELLS)
     fp = dataset_fingerprint(table_path(sf_dir, "embeddings"))
+    emb = read_table(spark, sf_dir, "embeddings")
     if not ivf_index_exists(path, fp):
-        emb = read_table(spark, sf_dir, "embeddings")
         build_ivf_index(
             emb, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM, fingerprint=fp
         )
     qv = det_embed_py(QUERY_TEXT, EMBED_DIM)
-    out = probe_ivf_index(spark, path, qv, k=10, nprobe=ANN_NPROBE)
-    return out.select("vec_id", "label", F.round("score", 6).alias("score"))
+    probe = probe_ivf_index(spark, path, qv, k=10, nprobe=ANN_NPROBE).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+    rows = probe.collect()  # <= k rows — driver-side gate assembly only
+    scored = emb.select(
+        "vec_id", F.round(cosine(F.col("embedding"), F.array([F.lit(float(x)) for x in qv])), 6).alias("s")
+    )
+    truth = {
+        r["vec_id"]: r["s"]
+        for r in scored.filter(
+            F.col("vec_id").isin([r["vec_id"] for r in rows])
+        ).collect()
+    }
+    scores_exact_ok = all(truth.get(r["vec_id"]) == r["score"] for r in rows)
+    sorted_ok = all(
+        rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1)
+    )
+    exact_ids = {r["vec_id"] for r in topk_cosine(emb, qv, k=10).collect()}
+    recall_ok = len(exact_ids & {r["vec_id"] for r in rows}) / 10 >= 0.4
+    return spark.range(1).select(
+        F.lit(len(rows)).cast("int").alias("k"),
+        F.lit(scores_exact_ok).alias("scores_exact_ok"),
+        F.lit(sorted_ok).alias("sorted_ok"),
+        F.lit(recall_ok).alias("recall_ok"),
+    )
 
 
 def q3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,21 +1694,54 @@ def q3_ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------- rows-only checked (non-SQL-expressible) ----------------
-
-
 def q3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 (MLlib variant) — ANN top-10 via BucketedRandomProjectionLSH
     over L2-normalized vectors (unit sphere: Euclidean order == cosine
-    order; property-tested in tests/test_vector.py). Rows-only checked:
-    LSH bucket boundaries are seed-dependent."""
+    order; property-tested in tests/test_vector.py).
+
+    Driver-visible output is the invariant row (bucket boundaries are
+    projection-dependent, so the id SET is not stable): k rows; every
+    reported distance equals sqrt(2 - 2*cos) recomputed independently
+    (within 2e-6 — two float paths to the same quantity); distances
+    ascend; measured recall vs the exact cosine top-10 >= 0.5
+    (measured 0.8-1.0 across sf0.001-0.1, round 4)."""
+    import math
+
     from .operators.ann import BrpLshIndex
 
     emb = read_table(spark, sf_dir, "embeddings")
     qv = det_embed_py(QUERY_TEXT, EMBED_DIM)
     idx = BrpLshIndex(bucket_length=0.5, num_hash_tables=3).fit(emb)
-    out = idx.query(qv, k=10)
-    return out.select("vec_id", "label", F.round("distCol", 6).alias("eucl_dist"))
+    out = idx.query(qv, k=10).select(
+        "vec_id", F.round("distCol", 6).alias("eucl_dist")
+    )
+    rows = out.collect()  # <= k rows — driver-side gate assembly only
+    scored = emb.select(
+        "vec_id",
+        cosine(F.col("embedding"), F.array([F.lit(float(x)) for x in qv])).alias("s"),
+    )
+    truth = {
+        r["vec_id"]: math.sqrt(max(0.0, 2.0 - 2.0 * r["s"]))
+        for r in scored.filter(
+            F.col("vec_id").isin([r["vec_id"] for r in rows])
+        ).collect()
+    }
+    dists_exact_ok = all(
+        abs(truth.get(r["vec_id"], float("inf")) - r["eucl_dist"]) <= 2e-6
+        for r in rows
+    )
+    sorted_ok = all(
+        rows[i]["eucl_dist"] <= rows[i + 1]["eucl_dist"]
+        for i in range(len(rows) - 1)
+    )
+    exact_ids = {r["vec_id"] for r in topk_cosine(emb, qv, k=10).collect()}
+    recall_ok = len(exact_ids & {r["vec_id"] for r in rows}) / 10 >= 0.5
+    return spark.range(1).select(
+        F.lit(len(rows)).cast("int").alias("k"),
+        F.lit(dists_exact_ok).alias("dists_exact_ok"),
+        F.lit(sorted_ok).alias("sorted_ok"),
+        F.lit(recall_ok).alias("recall_ok"),
+    )
 
 
 def chunker_separator(spark: SparkSession, sf_dir: str) -> DataFrame:
