@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (ANSI, runs on the driver's
-    pre-registered parquet views). Queries missing here (ANN, model
-    embedder, streaming) get the weaker rows-only check by design."""
+    pre-registered parquet views). As of round 4 every registered
+    query has an entry — non-SQL-expressible surfaces (k-means cells,
+    LSH buckets, streaming) emit seed-independent invariant rows whose
+    booleans/counts the oracle re-asserts."""
     return _oracle.oracle_sql()

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_pipeline",
     "approx_percentiles_gate",
     "stream_clicks_purchases",
+    "stream_pdf_ingest",
     "chunker_udtf",
     "udaf_median_acctbal",
     "q4_filtered_topk",

@@ -930,6 +930,17 @@ FROM lineitem GROUP BY l_suppkey
 SELECT doc_id, text FROM documents
 """
 
+    # stream_pdf_ingest: the streamed-and-reassembled PDFs must equal
+    # the source documents exactly; n_pages follows from the 400-char
+    # page split (constants mirrored from streaming/ingest.py)
+    sql["stream_pdf_ingest"] = """
+SELECT doc_id,
+       (CASE WHEN length(text) <= 400 THEN 1
+             ELSE (length(text) + 399) // 400 END)::INT AS n_pages,
+       text
+FROM documents WHERE doc_id < 40
+"""
+
     sql["upsert_compact"] = """
 WITH existing AS (
   SELECT 'doc-' || doc_id AS id, text, 1::BIGINT AS ingest_version, 0 AS is_batch

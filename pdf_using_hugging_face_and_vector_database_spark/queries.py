@@ -1421,6 +1421,38 @@ def stream_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 streaming variant, driver-checked: a landing directory of
+    REAL PDFs (pdf_text.make_pdf: text layer + FlateDecode, derived
+    deterministically from the first 40 documents at 400 chars/page)
+    is streamed through binaryFile readStream -> parse_pdf_pages
+    (the same Arrow-batched kernel as batch) into a memory sink;
+    pages are then reassembled with the T1 concat operator. The
+    oracle recomputes (doc_id, n_pages, text) straight from the
+    documents table, so the whole write -> stream -> parse ->
+    reassemble loop must reproduce the source text EXACTLY to stay
+    green (reference `streamlit_app.py:127,62-63`)."""
+    from .streaming.ingest import run_pdf_ingest_to_memory
+
+    sunk = run_pdf_ingest_to_memory(
+        spark, sf_dir, query_name="q_stream_pdf_ingest"
+    )
+    # one pass: count + T1 order-correct concat (concat_pages shape,
+    # inlined so both aggregates share a single shuffle)
+    return sunk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_pages"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("page_no"), F.col("page_text")))
+                ),
+                lambda s: s["page_text"],
+            ),
+        ).alias("text"),
+    )
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming watermark-bounded dedup, driver-checked on the key
     SET: which physical row survives per key is arrival-order-
@@ -1781,64 +1813,24 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------- registry ----------------
 
-# Registry order IS driver certification order: the round-2 driver
-# stopped after the first 50 entries, so every query the driver has not
-# yet certified (the round-2 tail — including rolling_fingerprint, the
-# only round-1 red, whose fix was verified locally but never by the
-# driver) runs FIRST. Previously-green queries follow.
+# Registry order IS driver certification order (the driver certifies
+# only the first ~50 entries). Rotation policy, set round 4: queries
+# NEW or CHANGED this round always run first, then the queries whose
+# last driver certification is oldest, so that consecutive rounds'
+# files jointly cover all queries with nothing more than 2 rounds
+# stale. Round-4 front: 7 new/changed (stream_pdf_ingest + the 3
+# re-oracled ANN variants + merge/kernel-touched) + the 24-query tail
+# last certified in r1/r2 (top_unshipped_orders .. events_json_props).
 QUERIES = {
-    # --- driver-uncertified as of round 2: run first ---
-    "rolling_fingerprint": rolling_fingerprint,
-    "chunker_separator": chunker_separator,
-    "q3_ann_recall": q3_ann_recall,
-    "media_pipeline": media_pipeline,
-    "video_frame_sample": video_frame_sample,
-    "clicks_before_purchase": clicks_before_purchase,
-    "clicks_in_purchase_window": clicks_in_purchase_window,
-    "cube_pricing": cube_pricing,
-    "session_windows_native": session_windows_native,
+    # --- new or changed in round 4 ---
+    "stream_pdf_ingest": stream_pdf_ingest,
     "q3_ann_build": q3_ann_build,
     "q3_ann_ivf": q3_ann_ivf,
     "q3_ann_lsh": q3_ann_lsh,
-    "q3_ann_lsh_join": q3_ann_lsh_join,
-    "pii_scrub": pii_scrub,
-    "pack_sequences": pack_sequences_q,
-    "contamination_check": contamination_check,
-    "merge_parts": merge_parts,
-    "stream_session_windows": stream_session_windows,
-    "embed_quantize": embed_quantize,
-    "dedup_pipeline": dedup_pipeline,
-    "approx_percentiles_gate": approx_percentiles_gate,
-    "stream_clicks_purchases": stream_clicks_purchases,
-    "chunker_udtf": chunker_udtf,
-    "udaf_median_acctbal": udaf_median_acctbal,
-    # --- driver-green in round 2 ---
-    "q1_cosine_topk": q1_cosine_topk,
-    "q2_knn_join": q2_knn_join,
-    "q4_filtered_topk": q4_filtered_topk,
-    "q5_fetch_by_ids": q5_fetch_by_ids,
-    "q5_delete_by_ids": q5_delete_by_ids,
-    "chunker_stride": chunker_stride,
-    "chunk_metadata": chunk_metadata,
-    "pipeline_vectors": pipeline_vectors,
-    "text_stats": text_stats,
-    "lang_id": lang_id,
-    "corpus_stats": corpus_stats,
-    "doc_fingerprints": doc_fingerprints,
-    "dedup_exact": dedup_exact,
-    "minhash_signatures": minhash_signatures,
-    "neardup_minhash": neardup_minhash,
-    "neardup_groups": neardup_groups,
-    "neardup_simhash": neardup_simhash,
-    "neardup_jaccard": neardup_jaccard,
-    "token_counts": token_counts,
-    "vocab_top_tokens": vocab_top_tokens,
-    "tfidf_top_terms": tfidf_top_terms,
-    "sample_docs_hash": sample_docs_hash,
-    "approx_distinct_parts": approx_distinct_parts,
     "neardup_embedding": neardup_embedding,
-    "tpch_q1_pricing": tpch_q1_pricing,
-    "revenue_by_nation": revenue_by_nation,
+    "merge_parts": merge_parts,
+    "q3_ann_lsh_join": q3_ann_lsh_join,
+    # --- last driver-certified round 1/2: re-certify now ---
     "top_unshipped_orders": top_unshipped_orders,
     "local_supplier_volume": local_supplier_volume,
     "top_parts_per_brand": top_parts_per_brand,
@@ -1863,4 +1855,49 @@ QUERIES = {
     "orders_calendar": orders_calendar,
     "percentiles_acctbal": percentiles_acctbal,
     "events_json_props": events_json_props,
+    # --- driver-green in round 3 (staleness 1 round) ---
+    "rolling_fingerprint": rolling_fingerprint,
+    "chunker_separator": chunker_separator,
+    "q3_ann_recall": q3_ann_recall,
+    "media_pipeline": media_pipeline,
+    "video_frame_sample": video_frame_sample,
+    "clicks_before_purchase": clicks_before_purchase,
+    "clicks_in_purchase_window": clicks_in_purchase_window,
+    "cube_pricing": cube_pricing,
+    "session_windows_native": session_windows_native,
+    "pii_scrub": pii_scrub,
+    "pack_sequences": pack_sequences_q,
+    "contamination_check": contamination_check,
+    "stream_session_windows": stream_session_windows,
+    "embed_quantize": embed_quantize,
+    "dedup_pipeline": dedup_pipeline,
+    "approx_percentiles_gate": approx_percentiles_gate,
+    "stream_clicks_purchases": stream_clicks_purchases,
+    "chunker_udtf": chunker_udtf,
+    "udaf_median_acctbal": udaf_median_acctbal,
+    "q1_cosine_topk": q1_cosine_topk,
+    "q2_knn_join": q2_knn_join,
+    "q4_filtered_topk": q4_filtered_topk,
+    "q5_fetch_by_ids": q5_fetch_by_ids,
+    "q5_delete_by_ids": q5_delete_by_ids,
+    "chunker_stride": chunker_stride,
+    "chunk_metadata": chunk_metadata,
+    "pipeline_vectors": pipeline_vectors,
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "corpus_stats": corpus_stats,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "neardup_minhash": neardup_minhash,
+    "neardup_groups": neardup_groups,
+    "neardup_simhash": neardup_simhash,
+    "neardup_jaccard": neardup_jaccard,
+    "token_counts": token_counts,
+    "vocab_top_tokens": vocab_top_tokens,
+    "tfidf_top_terms": tfidf_top_terms,
+    "sample_docs_hash": sample_docs_hash,
+    "approx_distinct_parts": approx_distinct_parts,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "revenue_by_nation": revenue_by_nation,
 }

@@ -1,0 +1,117 @@
+"""S1 streaming variant — continuous PDF ingest from a landing
+directory (reference `streamlit_app.py:127`: the one-file-per-
+interaction ``st.file_uploader`` loop, made continuous).
+
+binaryFile readStream -> parse pages (mapInPandas) -> memory sink;
+the reassembled text must equal the original documents — the same
+write -> ingest -> parse -> reassemble closed loop as the batch
+pages_roundtrip query, but through Structured Streaming.
+
+Scale: binaryFile streaming splits by file and tracks progress in the
+checkpoint's file log; a production landing zone rotates processed
+files out (or uses ``maxFilesPerTrigger`` for admission control). The
+parse stage is the same Arrow-batched kernel as batch — stream==batch
+by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .windows import stream_shuffle_partitions
+
+# fixture derivation constants (joined into the landing fingerprint)
+PDF_INGEST_DOCS = 40
+PDF_PAGE_CHARS = 400
+
+
+def pdf_landing_dir(spark, sf_dir: str) -> str:
+    """Materialize a deterministic landing directory of REAL PDFs
+    (pdf_text.make_pdf, FlateDecode streams) from the first
+    ``PDF_INGEST_DOCS`` documents, split into ``PDF_PAGE_CHARS``-char
+    pages. Fingerprint-keyed like the persisted indexes: rebuilt when
+    the source table or the derivation constants change, reused
+    otherwise (marker written last, crash-safe).
+
+    The driver-side write loop is test-scale fixture materialization
+    ONLY — at 100 TB the landing zone exists upstream; the streaming
+    plan below is the product path.
+    """
+    from ..io import read_table, table_path
+    from ..operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
+    from ..sources.pdf_text import make_pdf
+
+    path = os.path.join(INDEX_ROOT, f"pdf_landing_{dataset_dir_key(sf_dir)}")
+    salt = f"pdf:{PDF_INGEST_DOCS}:{PDF_PAGE_CHARS}"
+    fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
+    marker = os.path.join(path, "meta.json")
+    ok = False
+    try:
+        with open(marker) as f:
+            ok = json.load(f).get("fingerprint") == fp
+    except (OSError, ValueError):
+        ok = False
+    landing = os.path.join(path, "landing")
+    if not ok:
+        docs = (
+            read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < PDF_INGEST_DOCS)
+            .select("doc_id", "text")
+            .collect()
+        )
+        os.makedirs(landing, exist_ok=True)
+        if os.path.exists(marker):
+            os.remove(marker)
+        for stale in os.listdir(landing):
+            os.remove(os.path.join(landing, stale))
+        for r in docs:
+            text = r["text"]
+            pages = [
+                text[i : i + PDF_PAGE_CHARS]
+                for i in range(0, max(len(text), 1), PDF_PAGE_CHARS)
+            ]
+            blob = make_pdf(pages, compress=True)
+            with open(
+                os.path.join(landing, f"doc_{r['doc_id']:06d}.pdf"), "wb"
+            ) as fh:
+                fh.write(blob)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"fingerprint": fp, "salt": salt}, fh)
+        os.replace(tmp, marker)
+    return landing
+
+
+def run_pdf_ingest_to_memory(
+    spark, sf_dir: str, query_name: str = "pdf_ingest_stream"
+) -> DataFrame:
+    """Stream the landing directory to a memory sink: per-page rows in
+    append mode (no aggregate in the stream — reassembly is a batch
+    step over the sunk table, so the stream needs no watermark and the
+    sink stays bounded by the fixture size)."""
+    from ..sources.binaryfile import read_pdf_dir_stream
+    from ..sources.pdf import parse_pdf_pages
+
+    landing = pdf_landing_dir(spark, sf_dir)
+    stream = read_pdf_dir_stream(spark, landing)
+    with_id = stream.withColumn(
+        "doc_id",
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.pdf$", 1).cast("long"),
+    )
+    pages = parse_pdf_pages(with_id).select("doc_id", "page_no", "page_text")
+    with stream_shuffle_partitions(spark):
+        q = (
+            pages.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

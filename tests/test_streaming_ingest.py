@@ -40,6 +40,29 @@ def test_batch_binaryfile_source_filters_pdfs(spark, tmp_path):
     assert all(r["path"].endswith(".pdf") for r in rows)
 
 
+def test_stream_pdf_ingest_query_reconstructs_documents(spark, tmp_path, monkeypatch):
+    """The registered driver query: landing dir of real PDFs -> stream
+    -> parse -> reassemble must reproduce the source text exactly."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators import ann
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        stream_pdf_ingest,
+    )
+
+    monkeypatch.setattr(ann, "INDEX_ROOT", str(tmp_path / "idx"))
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: r for r in stream_pdf_ingest(spark, sf).collect()}
+    src = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter("doc_id < 40")
+        .collect()
+    }
+    assert set(out) == set(src)
+    for doc_id, text in src.items():
+        assert out[doc_id]["text"] == text
+        assert out[doc_id]["n_pages"] == max(1, -(-len(text) // 400))
+
+
 def test_streaming_ingest_end_to_end(spark, tmp_path):
     d = _landing_dir(tmp_path)
     stream = read_pdf_dir_stream(spark, d)
