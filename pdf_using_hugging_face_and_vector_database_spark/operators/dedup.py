@@ -307,6 +307,66 @@ def minhash_candidate_pairs(
     return pairs.select("id_a", "id_b", est.alias("jaccard_est"))
 
 
+def incremental_candidate_pairs(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    num_hashes: int = 16,
+    bands: int = 4,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) LSH candidate pairs — the dedup
+    shape a production ingest actually runs daily: the corpus signature
+    table is the persisted index (built once per corpus version, see
+    persisted_signatures), and each new batch is banded and joined
+    AGAINST it, never against itself unioned into the corpus.
+
+    Returns (batch_id, corpus_id, jaccard_est) — one row per
+    (batch doc, corpus doc) bucket collision, deduped across bands.
+
+    Scale shape: the corpus side is a parquet scan of the signature
+    store exploded to ``bands`` rows per doc — it never re-shingles
+    text and never self-joins. The batch side (a daily increment,
+    orders of magnitude smaller than the corpus) is broadcast, so the
+    100 TB corpus side is a map-side hash probe with NO shuffle of the
+    corpus at all. At extreme batch sizes set broadcast_batch=False to
+    fall back to a shuffle hash join on (band_index, band_sig).
+    """
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(sig_col).alias(f"__sig_{out_id}"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.slice(
+                        sig_col, b * F.lit(rows_per_band) + F.lit(1), rows_per_band
+                    ),
+                )
+            ).alias("band_index", "band_sig"),
+        )
+
+    c = banded(corpus_sigs, "corpus_id")
+    b = banded(batch_sigs, "batch_id")
+    if broadcast_batch:
+        b = F.broadcast(b)
+    pairs = (
+        c.join(b, ["band_index", "band_sig"])
+        .select("batch_id", "corpus_id", "__sig_batch_id", "__sig_corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("__sig_batch_id", "__sig_corpus_id", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    return pairs.select("batch_id", "corpus_id", est.alias("jaccard_est"))
+
+
 def _large_star(D: DataFrame) -> DataFrame:
     """One large-star step (Kiveris et al., "Connected Components in
     MapReduce and Beyond"): every node attaches its LARGER neighbors to

@@ -189,6 +189,36 @@ SELECT vec_id, label, round(s, 6) AS score
 FROM scored ORDER BY s DESC, vec_id LIMIT 10
 """
 
+    # int8-prefilter + exact re-rank twin: the full two-stage pipeline
+    # (per-vector symmetric quantization, exact integer code dot,
+    # deterministic candidate cut, double-cosine re-rank) replicated
+    # end to end — quantization arithmetic shared with embed_quantize
+    from .queries import ANN_RERANK_CAND
+
+    sql["q3_ann_quantized_rerank"] = f"""
+WITH coded AS (
+  SELECT vec_id, label, v,
+         list_transform(v,
+           x -> least(greatest(round(x / scale), -127.0), 127.0)::INT) AS codes
+  FROM (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))),
+                    1e-12) / 127.0 AS scale
+    FROM embeddings)),
+q AS (SELECT v AS qv, codes AS qcodes FROM coded WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id, c.label, c.v, q.qv,
+         list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+           i -> (c.codes[i] * q.qcodes[i])::BIGINT))::BIGINT AS q_dot
+  FROM coded c CROSS JOIN q),
+cands AS (
+  SELECT * FROM scored ORDER BY q_dot DESC, vec_id LIMIT {ANN_RERANK_CAND}),
+rer AS (
+  SELECT vec_id, label, q_dot, {_cos('v', 'qv', EMBED_DIM)} AS s FROM cands)
+SELECT vec_id, label, q_dot, round(s, 6) AS score
+FROM rer ORDER BY s DESC, vec_id LIMIT 10
+"""
+
     sql["q2_knn_join"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
 scored AS (
@@ -569,6 +599,50 @@ pairs AS (
     ON l.band_index = r.band_index AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id)
 SELECT id_a, id_b, {est} AS jaccard_est
 FROM pairs WHERE {est} >= 0.5
+"""
+
+    # Incremental twin: corpus signed once, batch signed fresh, banded
+    # batch JOIN banded corpus (never a self-join of the union) — the
+    # SQL recomputes both signature sets from scratch, so the Spark
+    # side's persisted-store read must be bit-identical to a rebuild.
+    sql["dedup_incremental"] = f"""
+WITH batch AS (
+  SELECT doc_id + 300000 AS doc_id,
+         substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 5 = 1),
+csigs AS (
+  SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS sig FROM (
+    SELECT doc_id, {_element_hashes(_ngrams('text', NGRAM))} AS hs FROM documents)),
+bsigs AS (
+  SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS sig FROM (
+    SELECT doc_id, {_element_hashes(_ngrams('text', NGRAM))} AS hs FROM batch)),
+cbanded AS (
+  SELECT doc_id, sig, b::INT AS band_index,
+         list_slice(sig, b * {rows_per_band} + 1, (b + 1) * {rows_per_band}) AS band_sig
+  FROM (SELECT doc_id, sig, unnest(range(0, {MINHASH_BANDS})) AS b FROM csigs)),
+bbanded AS (
+  SELECT doc_id, sig, b::INT AS band_index,
+         list_slice(sig, b * {rows_per_band} + 1, (b + 1) * {rows_per_band}) AS band_sig
+  FROM (SELECT doc_id, sig, unnest(range(0, {MINHASH_BANDS})) AS b FROM bsigs)),
+pairs AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         b.sig AS sig_a, c.sig AS sig_b
+  FROM bbanded b JOIN cbanded c
+    ON b.band_index = c.band_index AND b.band_sig = c.band_sig),
+matches AS (
+  SELECT batch_id, corpus_id, {est} AS jaccard_est
+  FROM pairs WHERE {est} >= 0.5),
+agg AS (
+  SELECT batch_id, count(*)::BIGINT AS n_matches, max(jaccard_est) AS best_est
+  FROM matches GROUP BY batch_id)
+SELECT b.doc_id AS batch_id,
+       coalesce(a.n_matches, 0)::BIGINT AS n_matches,
+       round(coalesce(a.best_est, 0.0), 6) AS best_est,
+       coalesce(a.n_matches, 0) > 0 AS is_dup
+FROM batch b LEFT JOIN agg a ON b.doc_id = a.batch_id
 """
 
     # Fixpoint twin: the Spark side runs alternating large/small-star
@@ -1129,6 +1203,10 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     # stream-stream interval join parity: same pairs as the batch
     # banded range join, same oracle
     sql["stream_clicks_purchases"] = sql["clicks_in_purchase_window"]
+
+    # stream-static join parity: identical output contract to the
+    # batch incremental dedup, same oracle
+    sql["stream_dedup_incremental"] = sql["dedup_incremental"]
 
     sql["cube_pricing"] = f"""
 SELECT l_returnflag, l_linestatus,

@@ -16,6 +16,7 @@ sets, not rows).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def dedup_events_stream(
@@ -39,6 +40,126 @@ def run_dedup_to_memory(
     from .windows import read_events_stream, stream_shuffle_partitions
 
     out = dedup_events_stream(read_events_stream(spark, sf_dir))
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+def incremental_dedup_stream(
+    batch_stream: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 16,
+    ngram: int = 7,
+    bands: int = 4,
+) -> DataFrame:
+    """STREAM-STATIC join flavor of incremental dedup: a stream of new
+    documents is signed per-row (stateless array-fold MinHash — no
+    aggregation, so append mode needs no watermark), banded, and inner-
+    joined against the STATIC corpus signature table (the persisted
+    fingerprint-keyed store). Emits one candidate row per (batch doc,
+    corpus doc, band) collision with the exact MinHash Jaccard
+    estimate; cross-band pair dedup is a batch step over the sink
+    (dropDuplicates in-stream would grow unbounded state for no
+    benefit on an append-only candidate feed).
+
+    Scale: the static side is re-read per micro-batch (Spark's
+    stream-static contract — it also picks up corpus-store updates
+    between micro-batches); bucket the signature store by band hash to
+    co-locate the join. Per-micro-batch the stream side is small, so
+    state is zero — this operator is stateless end to end.
+    """
+    from ..operators.dedup import with_minhash
+
+    rows_per_band = num_hashes // bands
+    signed = with_minhash(
+        batch_stream, text_col="text", num_hashes=num_hashes, ngram=ngram
+    )
+    banded = signed.select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("minhash").alias("sig_b"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    "minhash", b * F.lit(rows_per_band) + F.lit(1), rows_per_band
+                ),
+            )
+        ).alias("band_index", "band_sig"),
+    )
+    cbanded = corpus_sigs.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("minhash").alias("sig_c"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    "minhash", b * F.lit(rows_per_band) + F.lit(1), rows_per_band
+                ),
+            )
+        ).alias("band_index", "band_sig"),
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_b", "sig_c", lambda x, y: x == y), lambda eq: eq)
+    ).cast("double") / F.lit(float(num_hashes))
+    return banded.join(cbanded, ["band_index", "band_sig"]).select(
+        "batch_id", "corpus_id", est.alias("jaccard_est")
+    )
+
+
+def run_incremental_dedup_to_memory(
+    spark,
+    sf_dir: str,
+    query_name: str = "incremental_dedup_stream",
+    num_hashes: int = 16,
+    ngram: int = 7,
+    bands: int = 4,
+    trunc: int = 10,
+) -> DataFrame:
+    """Drive the stream-static incremental dedup over the finite batch
+    fixture (same derivation as the batch dedup_incremental query:
+    docs ≡0 mod 5 truncated, ≡1 mod 5 reversed) and return the sunk
+    candidate rows. The caller passes the same constants as the batch
+    twin so the two share one oracle."""
+    import os
+
+    from .windows import stream_shuffle_partitions
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    static_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(static_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    ).select("doc_id", "text")
+    near = stream.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
+        F.substring(F.col("text"), 1, F.length("text") - F.lit(trunc)).alias(
+            "text"
+        ),
+    )
+    novel = stream.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    batch_stream = near.unionByName(novel)
+    from ..operators.dedup import persisted_signatures
+    from ..io import read_table
+
+    corpus = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_sigs = persisted_signatures(
+        spark, sf_dir, corpus, num_hashes, ngram, "char", "char7base"
+    )
+    out = incremental_dedup_stream(
+        batch_stream, corpus_sigs, num_hashes=num_hashes, ngram=ngram, bands=bands
+    )
     with stream_shuffle_partitions(spark):
         q = (
             out.writeStream.outputMode("append")

@@ -300,3 +300,31 @@ def test_dataset_fingerprint_and_dir_key_sensitivity(tmp_path):
     b.mkdir(parents=True)
     assert dataset_dir_key(str(a)) != dataset_dir_key(str(b))
     assert dataset_dir_key(str(a)) == dataset_dir_key(str(a) + "/")
+
+
+def test_incremental_pairs_batch_vs_corpus(spark):
+    """Batch docs match their corpus near-dup source (est >= 0.5) and
+    novel batch docs produce no pair; corpus-corpus pairs never appear
+    (the whole point of the incremental shape)."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        minhash_signatures_agg,
+    )
+
+    corpus = _docs(spark, [BASE, BASE.replace("spark", "flink"), "zebra " * 30])
+    batch = spark.createDataFrame(
+        [(100, BASE[:-8]), (101, "totally unrelated fresh content " * 5)],
+        ["doc_id", "text"],
+    )
+    csigs = minhash_signatures_agg(corpus, num_hashes=16, ngram=4)
+    bsigs = minhash_signatures_agg(batch, num_hashes=16, ngram=4)
+    pairs = incremental_candidate_pairs(
+        csigs, bsigs, num_hashes=16, bands=4
+    ).collect()
+    # every pair is batch-id x corpus-id
+    assert all(r.batch_id >= 100 and r.corpus_id < 100 for r in pairs)
+    strong = {
+        (r.batch_id, r.corpus_id) for r in pairs if r.jaccard_est >= 0.5
+    }
+    assert (100, 0) in strong
+    assert all(b != 101 for b, _ in strong)

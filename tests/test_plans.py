@@ -178,3 +178,54 @@ def test_embed_quantize_shuffle_free(spark, sf_dir):
         embed_quantize(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_incremental_dedup_corpus_never_shuffles(spark, sf_dir, tmp_path):
+    """dedup_incremental: with the corpus signatures coming from the
+    persisted store (the production shape — built once per corpus
+    version), the banded corpus must feed the candidate join as a
+    map-side broadcast probe — zero Exchange between the corpus scan
+    and the join (at 100 TB the corpus side is the whole point;
+    shuffling it would dwarf the query)."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        minhash_signatures_agg,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = str(tmp_path / "sigs")
+    minhash_signatures_agg(docs, num_hashes=8, ngram=4).write.parquet(store)
+    corpus_sigs = spark.read.parquet(store)
+    batch_sigs = minhash_signatures_agg(
+        docs.filter(F.col("doc_id") % 5 == 0), num_hashes=8, ngram=4
+    )
+    pairs = incremental_candidate_pairs(
+        corpus_sigs, batch_sigs, num_hashes=8, bands=4
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # toString prints depth-first: join line, then the left (corpus)
+    # subtree, then the right (batch) subtree starting at its
+    # BroadcastExchange. The corpus branch — every line between the
+    # join and the BroadcastExchange — must be Exchange-free (it is a
+    # plain scan of the persisted signature parquet + posexplode).
+    # The batch branch MAY shuffle internally (its signature groupBy
+    # runs on the small daily increment).
+    lines = plan.splitlines()
+    join_line = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    bcast_line = next(i for i, l in enumerate(lines) if "BroadcastExchange" in l)
+    assert join_line < bcast_line
+    corpus_branch = lines[join_line + 1 : bcast_line]
+    assert not any("Exchange" in l for l in corpus_branch), corpus_branch
+
+
+def test_quantized_rerank_both_stages_take_ordered(spark, sf_dir):
+    """q3_ann_quantized_rerank: both the int8 candidate cut and the
+    exact re-rank must lower to TakeOrderedAndProject (partition-local
+    top-k + driver merge) — a global sort of the corpus at either
+    stage would be the scale-killer."""
+    df = Q.q3_ann_quantized_rerank(spark, sf_dir)
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert tree.count("TakeOrderedAndProject") == 2, tree
+    assert "Sort " not in tree, tree

@@ -24,3 +24,21 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert set(stream_keys) == batch_keys
+
+
+def test_stream_static_incremental_matches_batch(spark, sf_dir):
+    """The stream-static incremental dedup must produce the exact same
+    per-doc verdicts as the batch dedup_incremental query (same
+    persisted corpus store, same fixture derivation) — stream==batch
+    parity at the row level."""
+    from pdf_using_hugging_face_and_vector_database_spark import queries as Q
+
+    stream_rows = {
+        tuple(r)
+        for r in Q.stream_dedup_incremental(spark, sf_dir).collect()
+    }
+    batch_rows = {
+        tuple(r) for r in Q.dedup_incremental(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows  # non-empty

@@ -7,9 +7,12 @@ e ~= 1 is linear (the shape survives), e ~= 2 means something went
 all-pairs. Writes the JSON report to the path given as argv[2]
 (default SCALE_r4.json at the repo root).
 
-Operators (the round-3 verdict's four):
+Operators (the round-3 verdict's four + incremental dedup):
 - minhash_signatures  : explode + one grouped min-agg (docs)
 - neardup_groups      : LSH banding + star-contraction CC (fixpoint)
+- incremental_dedup   : fixed-size batch broadcast-probed against the
+                        Kx corpus signature table (expect e ~= 1:
+                        corpus-scan-bound, corpus never shuffles)
 - q2_knn_join         : 5-query kNN join over the embeddings corpus
 - lsh_similarity_join : MLlib BRP-LSH self-join (candidate generation
                         + exact filter; the q3_ann_lsh_join PRODUCT
@@ -135,6 +138,42 @@ def run_scale(spark, sf_dir: str, factor: int) -> dict:
 
         out["neardup_groups_sec"] = _min_of(2, _run_groups)
         out["neardup_groups"] = groups["n"]
+
+        # incremental dedup: a FIXED-size daily batch probed against
+        # the Kx corpus signature table. Expect exponent ~1 (the cost
+        # is the corpus-side signature scan + map-side broadcast
+        # probe; the corpus never shuffles — plan-asserted in tests).
+        from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+            incremental_candidate_pairs,
+        )
+
+        batch = (
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                F.substring(F.col("text"), 1, F.length("text") - F.lit(10)).alias(
+                    "text"
+                ),
+            )
+        )
+        batch_sigs = minhash_signatures_agg(
+            batch, num_hashes=16, ngram=3, shingle="word", hash_fn="xxhash64"
+        ).persist()
+        out["incremental_batch_docs"] = batch_sigs.count()
+        inc: dict = {}
+
+        def _run_incremental():
+            inc["n"] = (
+                incremental_candidate_pairs(sigs, batch_sigs, num_hashes=16, bands=4)
+                .filter(F.col("jaccard_est") >= 0.5)
+                .count()
+            )
+
+        out["incremental_dedup_sec"] = _min_of(2, _run_incremental)
+        out["incremental_matches"] = inc["n"]
+        batch_sigs.unpersist()
         sigs.unpersist()
 
         queries = emb.filter(F.col("vec_id") < 5).select(
@@ -191,6 +230,7 @@ def main():
     for key in (
         "minhash_signatures_sec",
         "neardup_groups_sec",
+        "incremental_dedup_sec",
         "q2_knn_join_sec",
         "lsh_similarity_join_sec",
     ):
