@@ -147,20 +147,23 @@ def main() -> None:
             t0 = time.time()
             run_to_completion(QUERIES[name](spark, sf_dir))
             runs.append(time.time() - t0)
-        # back-to-back runs share a load window: a SUSTAINED background
-        # spike (minutes, observed round 4: 1 s queries reading 17 s
-        # with both runs slow) defeats min-of-2. One delayed third run
-        # for any suspiciously slow min; legitimate heavy queries just
-        # reproduce their time.
-        if min(runs) > SPIKE_RERUN_SEC:
+        times[name] = round(min(runs), 3)
+
+    # back-to-back runs share a load window: a SUSTAINED background
+    # spike (minutes, observed round 4: 1 s queries reading 17 s with
+    # BOTH runs slow) defeats min-of-2, and an immediate third run
+    # would land inside the same window. Defer one extra run for every
+    # suspiciously slow query to AFTER the whole sweep — minutes
+    # later, outside any bench-start load window; legitimate heavy
+    # queries just reproduce their time.
+    for name in BENCH_QUERIES:
+        if times[name] > SPIKE_RERUN_SEC:
             retried.append(name)
-            time.sleep(2.0)
             release_caches()
             spark.catalog.clearCache()
             t0 = time.time()
             run_to_completion(QUERIES[name](spark, sf_dir))
-            runs.append(time.time() - t0)
-        times[name] = round(min(runs), 3)
+            times[name] = round(min(times[name], time.time() - t0), 3)
 
     total = round(sum(times.values()), 3)
     payload = {

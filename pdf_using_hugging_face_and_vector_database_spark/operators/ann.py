@@ -409,30 +409,18 @@ def random_projection_buckets(
     return df.withColumn(out_col, bucket)
 
 
-def quantized_rerank_topk(
+def int8_codes_of(
     emb: DataFrame,
-    query: DataFrame,
-    k: int = 10,
-    cand_k: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = ("label",),
 ) -> DataFrame:
-    """Two-stage int8-prefilter + exact re-rank top-k — the
-    memory-bandwidth serving trick: stage 1 scans 4x-compressed int8
-    codes and keeps the ``cand_k`` best integer dot products (exact
-    integer arithmetic, ties to min id — fully deterministic); stage 2
-    re-scores ONLY those candidates with exact double cosine. At
-    100 TB the corpus float vectors are never scanned — stage 1 reads
-    the codes column (4x less I/O + SIMD-friendly), stage 2 fetches
-    ``cand_k`` rows. Both stages lower to TakeOrderedAndProject (local
-    top-k per partition + driver merge, no global sort).
-
-    ``query`` must be a 1-row DataFrame with a ``qv`` array column.
-    Every step is pure SQL shared bit-for-bit with the DuckDB oracle
-    (quantization: functions/vector.int8_quantize; HALF_UP rounding
-    matches DuckDB's half-away-from-zero).
-    """
-    from ..functions.vector import cosine, int8_quantize
+    """Project a float-vector table to its int8 codes table
+    (id, extras, codes): per-vector symmetric scale, round-clamp to
+    [-127, 127] (functions/vector.int8_quantize — HALF_UP matches
+    DuckDB's half-away-from-zero). This is the 4x-smaller column a
+    serving deployment persists next to the vectors."""
+    from ..functions.vector import int8_quantize
 
     v = F.transform(vec_col, lambda x: x.cast("double"))
     scale = (
@@ -441,36 +429,152 @@ def quantized_rerank_topk(
         )
         / F.lit(127.0)
     )
-    coded = emb.select(
-        id_col, "label", v.alias("__v"),
-        int8_quantize(v, scale).alias("__codes"),
+    return emb.select(
+        id_col, *extra_cols, int8_quantize(v, scale).alias("codes")
     )
-    qv = F.transform("qv", lambda x: x.cast("double"))
+
+
+def persisted_int8_codes(
+    spark,
+    sf_dir: str,
+    emb: DataFrame,
+    extra_cols: tuple[str, ...] = ("label",),
+    tag: str = "int8",
+) -> DataFrame:
+    """Fingerprint-keyed persisted int8 codes table — the build/probe
+    split for quantized prefilter serving: built once per corpus
+    version, then every query's stage-1 scan reads THIS parquet (4x
+    less I/O than the float column) and never touches the vectors.
+    Same staleness/crash-safety contract as persisted_signatures."""
+    import json as _json
+    import os as _os
+
+    from ..io import table_path
+
+    path = _os.path.join(
+        INDEX_ROOT, f"int8codes_{dataset_dir_key(sf_dir)}_{tag}"
+    )
+    salt = f"int8:{','.join(extra_cols)}:{tag}"
+    fp = dataset_fingerprint(table_path(sf_dir, "embeddings"), salt=salt)
+    marker = _os.path.join(path, "meta.json")
+    ok = False
+    try:
+        with open(marker) as f:
+            ok = _json.load(f).get("fingerprint") == fp
+    except (OSError, ValueError):
+        ok = False
+    data_dir = _os.path.join(path, "codes")
+    if not ok:
+        codes = int8_codes_of(emb, extra_cols=extra_cols)
+        _os.makedirs(path, exist_ok=True)
+        if _os.path.exists(marker):
+            _os.remove(marker)
+        codes.write.mode("overwrite").parquet(data_dir)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"fingerprint": fp, "salt": salt}, f)
+        _os.replace(tmp, marker)
+    return spark.read.parquet(data_dir)
+
+
+def quantized_candidates(
+    codes: DataFrame,
+    query: DataFrame,
+    cand_k: int = 50,
+    id_col: str = "vec_id",
+    query_vec_col: str = "qv",
+    extra_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Stage 1 of quantized re-rank serving (lazy): exact integer dot
+    product of the corpus codes against the query's codes, keep the
+    ``cand_k`` best (ties to min id — fully deterministic). The scan
+    touches ONLY the codes table; lowers to TakeOrderedAndProject
+    (partition-local top-k + driver merge, plan-asserted in tests)."""
+    from ..functions.vector import int8_quantize
+
+    qv = F.transform(query_vec_col, lambda x: x.cast("double"))
     qscale = (
         F.greatest(
             F.array_max(F.transform(qv, lambda x: F.abs(x))), F.lit(1e-12)
         )
         / F.lit(127.0)
     )
-    qcoded = query.select(
-        qv.alias("__qv"), int8_quantize(qv, qscale).alias("__qcodes")
-    )
+    qcoded = query.select(int8_quantize(qv, qscale).alias("__qcodes"))
     # integer dot product over codes: exact, overflow-safe in long
     # (|code| <= 127, so dim 384 tops out at ~6.2e6)
     q_dot = F.aggregate(
-        F.zip_with("__codes", "__qcodes", lambda x, y: (x * y).cast("long")),
+        F.zip_with("codes", "__qcodes", lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    cands = (
-        coded.crossJoin(F.broadcast(qcoded))
+    return (
+        codes.crossJoin(F.broadcast(qcoded))
         .withColumn("q_dot", q_dot)
         .orderBy(F.desc("q_dot"), id_col)
         .limit(cand_k)
+        .select(id_col, *extra_cols, "q_dot")
+    )
+
+
+def quantized_rerank_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    cand_k: int = 50,
+    codes: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = ("label",),
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Two-stage int8-prefilter + exact re-rank top-k — the
+    memory-bandwidth serving shape, executed as build/probe:
+
+    - stage 1 (``quantized_candidates``) scans the int8 ``codes``
+      table (pass the persisted_int8_codes store — 4x less I/O than
+      the float column; derived in-scan from ``emb`` only as a
+      convenience fallback when ``codes`` is None) and keeps the
+      ``cand_k`` best integer dot products;
+    - the ``cand_k`` candidate rows are collected to the driver
+      (bounded by cand_k — same class as the k-centroid collect in
+      IvfIndex) so stage 2 can push an ``isin`` on the ids INTO the
+      vector scan: at 100 TB the re-fetch reads only the row groups
+      containing the candidates, never the corpus;
+    - stage 2 re-scores those rows with exact double cosine and
+      returns the top ``k`` (ties to min id).
+
+    ``query`` must be a 1-row DataFrame with a ``query_vec_col`` array
+    column. Every step is pure SQL shared bit-for-bit with the DuckDB
+    oracle (quantization: functions/vector.int8_quantize).
+    """
+    from ..functions.vector import cosine
+
+    if codes is None:
+        codes = int8_codes_of(
+            emb, vec_col=vec_col, id_col=id_col, extra_cols=extra_cols
+        )
+    cands = quantized_candidates(
+        codes,
+        query,
+        cand_k=cand_k,
+        id_col=id_col,
+        query_vec_col=query_vec_col,
+        extra_cols=extra_cols,
+    )
+    rows = cands.collect()  # cand_k rows — bounded, documented above
+    spark = emb.sparkSession
+    lit = F.broadcast(spark.createDataFrame(rows, schema=cands.schema))
+    fetched = emb.filter(
+        F.col(id_col).isin([r[id_col] for r in rows])
+    ).select(id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("__v"))
+    qv_d = query.select(
+        F.transform(query_vec_col, lambda x: x.cast("double")).alias("__qv")
     )
     return (
-        cands.withColumn("score", cosine(F.col("__v"), F.col("__qv")))
+        fetched.join(lit, id_col)
+        .crossJoin(F.broadcast(qv_d))
+        .withColumn("score", cosine(F.col("__v"), F.col("__qv")))
         .orderBy(F.desc("score"), id_col)
         .limit(k)
-        .select(id_col, "label", "q_dot", "score")
+        .select(id_col, *extra_cols, "q_dot", "score")
     )

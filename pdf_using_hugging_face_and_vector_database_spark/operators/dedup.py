@@ -171,8 +171,13 @@ def persisted_signatures(
     from ..io import table_path
     from .ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
 
+    # ``tag`` names the CORPUS DERIVATION (e.g. 'char7' = the synthetic
+    # neardup union, 'char7base' = plain documents), not just a label —
+    # it is part of both the store path AND the fingerprint salt, so
+    # two derivations with identical hashing constants can never serve
+    # each other's signatures.
     path = _os.path.join(INDEX_ROOT, f"minhash_{dataset_dir_key(sf_dir)}_{tag}")
-    salt = f"mh:{num_hashes}:{ngram}:{shingle}"
+    salt = f"mh:{num_hashes}:{ngram}:{shingle}:{tag}"
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
     marker = _os.path.join(path, "meta.json")
     ok = False
@@ -265,21 +270,13 @@ def minhash_candidate_pairs(
     """
     from ..caching import persist_tracked
 
-    rows_per_band = num_hashes // bands
     # persist: the self-join would otherwise recompute the signature
     # derivation (shingling + hashing) for BOTH sides of the join — at
     # scale you persist the signature table anyway (it is the index).
     # Tracked so caching.release_caches() reclaims it between queries.
     df = persist_tracked(df)
-    banded = df.select(
-        F.col(id_col),
-        F.col(sig_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(sig_col, b * F.lit(rows_per_band) + F.lit(1), rows_per_band),
-            )
-        ).alias("band_index", "band_sig"),
+    banded = banded_signatures(
+        df, id_col, sig_col, num_hashes, bands, id_col, sig_col
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -298,13 +295,71 @@ def minhash_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(float(num_hashes))
+    est = minhash_jaccard_est(F.col("sig_a"), F.col("sig_b"), num_hashes)
     return pairs.select("id_a", "id_b", est.alias("jaccard_est"))
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    num_hashes: int,
+    bands: int,
+    out_id: str,
+    out_sig: str,
+) -> DataFrame:
+    """Shared LSH banding projection: one row per (doc, band) with the
+    band's signature slice. Single source of truth for the band-slice
+    arithmetic — minhash_candidate_pairs, incremental_candidate_pairs,
+    and the streaming incremental dedup all band through here, so the
+    batch and stream paths cannot drift apart."""
+    rows_per_band = num_hashes // bands
+    # bind to the INPUT dataframe's columns (df[...]), not name lookup:
+    # when out_sig == sig_col the name would resolve laterally against
+    # the alias in the same select (Spark internal error)
+    sig = df[sig_col]
+    return df.select(
+        df[id_col].alias(out_id),
+        sig.alias(out_sig),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    sig, b * F.lit(rows_per_band) + F.lit(1), rows_per_band
+                ),
+            )
+        ).alias("band_index", "band_sig"),
+    )
+
+
+def minhash_jaccard_est(sig_a, sig_b, num_hashes: int) -> Column:
+    """MinHash Jaccard estimate = fraction of equal signature
+    components (exact integer comparison, so cross-engine oracles
+    match bit-for-bit)."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
+    ).cast("double") / F.lit(float(num_hashes))
+
+
+def derive_incremental_batch(docs: DataFrame, trunc: int = 10) -> DataFrame:
+    """Shared incremental-dedup batch fixture: docs ≡0 (mod 5)
+    re-enter truncated by ``trunc`` chars under id+300000 (true
+    near-dups of their corpus source) and docs ≡1 (mod 5) re-enter
+    reversed under id+400000 (novel content — negative path). Works on
+    batch AND streaming DataFrames (pure row-local projections); the
+    batch query, the stream-static query, and the DuckDB oracle all
+    derive the same batch through these constants."""
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.length("text") - F.lit(trunc)
+        ).alias("text"),
+    )
+    novel = docs.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    return near.unionByName(novel)
 
 
 def incremental_candidate_pairs(
@@ -333,37 +388,20 @@ def incremental_candidate_pairs(
     corpus at all. At extreme batch sizes set broadcast_batch=False to
     fall back to a shuffle hash join on (band_index, band_sig).
     """
-    rows_per_band = num_hashes // bands
-
-    def banded(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(sig_col).alias(f"__sig_{out_id}"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.slice(
-                        sig_col, b * F.lit(rows_per_band) + F.lit(1), rows_per_band
-                    ),
-                )
-            ).alias("band_index", "band_sig"),
-        )
-
-    c = banded(corpus_sigs, "corpus_id")
-    b = banded(batch_sigs, "batch_id")
+    c = banded_signatures(
+        corpus_sigs, id_col, sig_col, num_hashes, bands, "corpus_id", "__sig_c"
+    )
+    b = banded_signatures(
+        batch_sigs, id_col, sig_col, num_hashes, bands, "batch_id", "__sig_b"
+    )
     if broadcast_batch:
         b = F.broadcast(b)
     pairs = (
         c.join(b, ["band_index", "band_sig"])
-        .select("batch_id", "corpus_id", "__sig_batch_id", "__sig_corpus_id")
+        .select("batch_id", "corpus_id", "__sig_b", "__sig_c")
         .dropDuplicates(["batch_id", "corpus_id"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("__sig_batch_id", "__sig_corpus_id", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(float(num_hashes))
+    est = minhash_jaccard_est(F.col("__sig_b"), F.col("__sig_c"), num_hashes)
     return pairs.select("batch_id", "corpus_id", est.alias("jaccard_est"))
 
 

@@ -493,6 +493,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch doc: match count at jaccard_est ≥ 0.5, best estimate, and
     the keep/drop verdict the ingest pipeline acts on."""
     from .operators.dedup import (
+        derive_incremental_batch,
         incremental_candidate_pairs,
         minhash_signatures_agg,
         persisted_signatures,
@@ -502,18 +503,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_sigs = persisted_signatures(
         spark, sf_dir, corpus, MINHASH_HASHES, NGRAM, "char", "char7base"
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    near = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
-        F.substring(
-            F.col("text"), 1, F.length("text") - F.lit(NEARDUP_TRUNC)
-        ).alias("text"),
-    )
-    novel = docs.filter(F.col("doc_id") % 5 == 1).select(
-        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
-        F.reverse(F.col("text")).alias("text"),
-    )
-    batch = near.unionByName(novel)
+    batch = derive_incremental_batch(corpus, trunc=NEARDUP_TRUNC)
     batch_sigs = minhash_signatures_agg(
         batch, num_hashes=MINHASH_HASHES, ngram=NGRAM
     )
@@ -1542,15 +1532,11 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.max("jaccard_est").alias("best_est"),
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    batch_ids = (
-        docs.filter(F.col("doc_id") % 5 == 0)
-        .select((F.col("doc_id") + F.lit(300000)).alias("batch_id"))
-        .unionByName(
-            docs.filter(F.col("doc_id") % 5 == 1).select(
-                (F.col("doc_id") + F.lit(400000)).alias("batch_id")
-            )
-        )
+    from .operators.dedup import derive_incremental_batch
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_ids = derive_incremental_batch(docs, trunc=NEARDUP_TRUNC).select(
+        F.col("doc_id").alias("batch_id")
     )
     n = F.coalesce("n_matches", F.lit(0).cast("long"))
     return batch_ids.join(agg, "batch_id", "left").select(
@@ -1756,11 +1742,14 @@ def q3_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle replicates the whole pipeline (quantize -> integer
     dot -> candidate cut -> cosine re-rank) bit-for-bit in DuckDB —
     a hash-green ANN row, not just invariants."""
-    from .operators.ann import quantized_rerank_topk
+    from .operators.ann import persisted_int8_codes, quantized_rerank_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
+    codes = persisted_int8_codes(spark, sf_dir, emb)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    out = quantized_rerank_topk(emb, q, k=10, cand_k=ANN_RERANK_CAND)
+    out = quantized_rerank_topk(
+        emb, q, k=10, cand_k=ANN_RERANK_CAND, codes=codes
+    )
     return out.select(
         "vec_id", "label", "q_dot", F.round("score", 6).alias("score")
     )

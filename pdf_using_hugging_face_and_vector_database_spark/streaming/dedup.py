@@ -76,39 +76,22 @@ def incremental_dedup_stream(
     co-locate the join. Per-micro-batch the stream side is small, so
     state is zero — this operator is stateless end to end.
     """
-    from ..operators.dedup import with_minhash
+    from ..operators.dedup import (
+        banded_signatures,
+        minhash_jaccard_est,
+        with_minhash,
+    )
 
-    rows_per_band = num_hashes // bands
     signed = with_minhash(
         batch_stream, text_col="text", num_hashes=num_hashes, ngram=ngram
     )
-    banded = signed.select(
-        F.col("doc_id").alias("batch_id"),
-        F.col("minhash").alias("sig_b"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(
-                    "minhash", b * F.lit(rows_per_band) + F.lit(1), rows_per_band
-                ),
-            )
-        ).alias("band_index", "band_sig"),
+    banded = banded_signatures(
+        signed, "doc_id", "minhash", num_hashes, bands, "batch_id", "sig_b"
     )
-    cbanded = corpus_sigs.select(
-        F.col("doc_id").alias("corpus_id"),
-        F.col("minhash").alias("sig_c"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(
-                    "minhash", b * F.lit(rows_per_band) + F.lit(1), rows_per_band
-                ),
-            )
-        ).alias("band_index", "band_sig"),
+    cbanded = banded_signatures(
+        corpus_sigs, "doc_id", "minhash", num_hashes, bands, "corpus_id", "sig_c"
     )
-    est = F.size(
-        F.filter(F.zip_with("sig_b", "sig_c", lambda x, y: x == y), lambda eq: eq)
-    ).cast("double") / F.lit(float(num_hashes))
+    est = minhash_jaccard_est(F.col("sig_b"), F.col("sig_c"), num_hashes)
     return banded.join(cbanded, ["band_index", "band_sig"]).select(
         "batch_id", "corpus_id", est.alias("jaccard_est")
     )
@@ -139,19 +122,10 @@ def run_incremental_dedup_to_memory(
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     ).select("doc_id", "text")
-    near = stream.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
-        F.substring(F.col("text"), 1, F.length("text") - F.lit(trunc)).alias(
-            "text"
-        ),
-    )
-    novel = stream.filter(F.col("doc_id") % 5 == 1).select(
-        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
-        F.reverse(F.col("text")).alias("text"),
-    )
-    batch_stream = near.unionByName(novel)
-    from ..operators.dedup import persisted_signatures
+    from ..operators.dedup import derive_incremental_batch, persisted_signatures
     from ..io import read_table
+
+    batch_stream = derive_incremental_batch(stream, trunc=trunc)
 
     corpus = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus_sigs = persisted_signatures(

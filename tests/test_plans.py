@@ -196,36 +196,68 @@ def test_incremental_dedup_corpus_never_shuffles(spark, sf_dir, tmp_path):
     store = str(tmp_path / "sigs")
     minhash_signatures_agg(docs, num_hashes=8, ngram=4).write.parquet(store)
     corpus_sigs = spark.read.parquet(store)
-    batch_sigs = minhash_signatures_agg(
+    # batch signatures also from parquet (the stream/batch queries sign
+    # the increment fresh, but its groupBy shuffle is on the SMALL side
+    # and irrelevant here) — with both sides as plain scans, the ONLY
+    # legal Exchange in the whole candidate plan is the batch side's
+    # BroadcastExchange, which is robust to assert plan-wide.
+    bstore = str(tmp_path / "bsigs")
+    minhash_signatures_agg(
         docs.filter(F.col("doc_id") % 5 == 0), num_hashes=8, ngram=4
-    )
+    ).write.parquet(bstore)
+    batch_sigs = spark.read.parquet(bstore)
     pairs = incremental_candidate_pairs(
         corpus_sigs, batch_sigs, num_hashes=8, bands=4
     )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # toString prints depth-first: join line, then the left (corpus)
-    # subtree, then the right (batch) subtree starting at its
-    # BroadcastExchange. The corpus branch — every line between the
-    # join and the BroadcastExchange — must be Exchange-free (it is a
-    # plain scan of the persisted signature parquet + posexplode).
-    # The batch branch MAY shuffle internally (its signature groupBy
-    # runs on the small daily increment).
-    lines = plan.splitlines()
-    join_line = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
-    bcast_line = next(i for i, l in enumerate(lines) if "BroadcastExchange" in l)
-    assert join_line < bcast_line
-    corpus_branch = lines[join_line + 1 : bcast_line]
-    assert not any("Exchange" in l for l in corpus_branch), corpus_branch
+    import re
+
+    # every non-broadcast Exchange must partition on the PAIR keys
+    # (the post-join candidate dedup — small by construction); any
+    # shuffle keyed on the corpus side (doc_id / band) means the
+    # corpus stopped being a map-side probe
+    bad = [
+        l
+        for l in plan.splitlines()
+        if re.search(r"\bExchange\b", l)
+        and "BroadcastExchange" not in l
+        and "batch_id" not in l
+    ]
+    assert not bad, bad
 
 
-def test_quantized_rerank_both_stages_take_ordered(spark, sf_dir):
-    """q3_ann_quantized_rerank: both the int8 candidate cut and the
-    exact re-rank must lower to TakeOrderedAndProject (partition-local
-    top-k + driver merge) — a global sort of the corpus at either
-    stage would be the scale-killer."""
-    df = Q.q3_ann_quantized_rerank(spark, sf_dir)
-    tree = formatted_plan(df).split("\n\n")[0]
-    assert tree.count("TakeOrderedAndProject") == 2, tree
-    assert "Sort " not in tree, tree
+def test_quantized_rerank_serving_shape(spark, sf_dir, tmp_path):
+    """The int8 re-rank serving path, both stages plan-asserted:
+    stage 1 must read ONLY the codes table (never the float embedding
+    column) and lower to TakeOrderedAndProject; stage 2 must push the
+    candidate-id isin into the vector scan (point re-fetch, not a
+    corpus scan) and take its top-k locally — no global sort
+    anywhere."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        int8_codes_of,
+        quantized_candidates,
+        quantized_rerank_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "codes")
+    int8_codes_of(emb).write.parquet(store)
+    codes = spark.read.parquet(store)
+    # literal query vector so the only parquet scans in stage 1 are
+    # the codes table itself
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    q = spark.createDataFrame([(qvec,)], "qv array<double>")
+
+    cands = quantized_candidates(codes, q, cand_k=20)
+    tree1 = formatted_plan(cands).split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree1, tree1
+    schemas = scan_read_schema(cands)
+    assert schemas and all("embedding" not in s for s in schemas), schemas
+
+    out = quantized_rerank_topk(emb, q, k=5, cand_k=20, codes=codes)
+    assert has_pushed_filters(out, "vec_id")
+    tree2 = formatted_plan(out).split("\n\n")[0]
+    assert tree2.count("TakeOrderedAndProject") == 1, tree2
+    assert "Sort " not in tree2, tree2
