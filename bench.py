@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "stream_session_windows",
     "embed_quantize",
     "dedup_pipeline",
+    "curation_pipeline",
     "approx_percentiles_gate",
     "stream_clicks_purchases",
     "stream_pdf_ingest",
@@ -106,9 +107,9 @@ def run_to_completion(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-# a min-of-2 above this triggers one delayed third run (sustained
+# a min-of-2 above this triggers one deferred third run (sustained
 # box-load guard); only the handful of genuinely-heavy queries cross it
-SPIKE_RERUN_SEC = 5.0
+SPIKE_RERUN_SEC = 3.0
 
 
 def main() -> None:

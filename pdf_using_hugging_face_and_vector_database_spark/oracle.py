@@ -721,6 +721,96 @@ SELECT group_rep,
 FROM ranked GROUP BY group_rep
 """
 
+    # capstone twin: the ENTIRE curation chain from scratch — CC
+    # groups (recursive CTE), survivor rule, quality gate, PII scrub,
+    # clean-text token count, pack assignment — so the Spark side's
+    # persisted-store reuse and operator composition must reproduce
+    # every intermediate semantics exactly
+    from .queries import QUALITY_MIN
+
+    sql["curation_pipeline"] = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
+  FROM documents),
+hashed AS (SELECT doc_id, {_element_hashes(_word_ngrams('text', WORD_NGRAM))} AS hs FROM corpus),
+sigs AS (SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS sig FROM hashed),
+banded AS (
+  SELECT doc_id, b::INT AS band_index,
+         list_slice(sig, b * {rows_per_band} + 1, (b + 1) * {rows_per_band}) AS band_sig
+  FROM (SELECT doc_id, sig, unnest(range(0, {MINHASH_BANDS})) AS b FROM sigs)),
+star AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band_index, band_sig) AS bmin
+  FROM banded),
+edges AS (
+  SELECT DISTINCT doc_id AS src, bmin AS dst FROM star WHERE doc_id <> bmin
+  UNION
+  SELECT DISTINCT bmin AS src, doc_id AS dst FROM star WHERE doc_id <> bmin),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id AS r FROM sigs
+  UNION
+  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+cgroups AS (SELECT doc_id, MIN(r)::BIGINT AS group_rep FROM reach GROUP BY doc_id),
+ctoks AS (SELECT doc_id, len({_tokens('text')})::INT AS n_tokens FROM corpus),
+ranked AS (
+  SELECT g.group_rep, g.doc_id,
+         row_number() OVER (
+           PARTITION BY g.group_rep ORDER BY t.n_tokens DESC, g.doc_id ASC) AS rn
+  FROM cgroups g JOIN ctoks t ON g.doc_id = t.doc_id),
+surv AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  JOIN ranked r ON c.doc_id = r.doc_id AND r.rn = 1),
+qbase AS (
+  SELECT doc_id,
+         len({_tokens('text')})::INT AS n_tokens,
+         length(replace(text, ' ', '')) AS non_space,
+         (length(text) - length(replace(replace(replace(replace(replace(replace(text,
+             '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')))::DOUBLE
+           / greatest(length(text)::DOUBLE, 1.0) AS pr
+  FROM surv),
+quality AS (
+  SELECT doc_id,
+         round(least(n_tokens::DOUBLE / 20.0, 1.0) * 0.5
+               + (CASE WHEN (CASE WHEN n_tokens > 0 THEN non_space::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END) >= 3
+                        AND (CASE WHEN n_tokens > 0 THEN non_space::DOUBLE / n_tokens::DOUBLE ELSE 0.0 END) <= 10
+                       THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN pr <= 0.1 THEN 0.2 ELSE 0.0 END), 6) AS quality_score
+  FROM qbase),
+kept AS (
+  SELECT s.doc_id, s.text, q.quality_score
+  FROM surv s JOIN quality q ON s.doc_id = q.doc_id
+  WHERE q.quality_score >= {QUALITY_MIN}),
+aug AS (
+  SELECT doc_id, quality_score,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-0142'
+         ELSE text END AS text
+  FROM kept),
+scrub AS (
+  SELECT doc_id, quality_score,
+         regexp_replace(regexp_replace(text, '{email_sql}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+         (len(regexp_extract_all(text, '{email_sql}'))
+          + len(regexp_extract_all(text, '{PHONE_RE}')))::INT AS n_redactions
+  FROM aug),
+pbase AS (
+  SELECT doc_id, quality_score, n_redactions,
+         doc_id % {PACK_GROUPS} AS pack_group,
+         len({_tokens('clean_text')})::INT AS n_tokens
+  FROM scrub),
+w AS (
+  SELECT *, coalesce(SUM(n_tokens) OVER (
+      PARTITION BY pack_group ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM pbase)
+SELECT doc_id, quality_score, n_redactions, pack_group, n_tokens,
+       (before // {PACK_BUDGET})::INT AS pack_id,
+       ((before % {PACK_BUDGET}) + n_tokens > {PACK_BUDGET}) AS overflowed
+FROM w
+"""
+
     sh_width = SIMHASH_BITS // SIMHASH_CHUNKS
     sh_mask = (1 << sh_width) - 1
     sh_nhex = max(6, (SIMHASH_BITS + 3) // 4)

@@ -82,6 +82,8 @@ ANN_RERANK_CAND = 50      # int8-prefilter candidate pool for re-rank
 PACK_BUDGET = 256         # tokens per packed sequence
 PACK_GROUPS = 32          # parallel packing streams (id % PACK_GROUPS)
 CONTAM_NGRAM = 8          # word-gram width for decontamination
+QUALITY_MIN = 0.95        # capstone quality gate (scores cluster at
+                          # 0.8 / 0.9 / 1.0 — no float-boundary risk)
 
 
 def _dsum(col) -> F.Column:
@@ -589,6 +591,85 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(doc_id, struct(n_tokens, -doc_id))").alias("survivor_doc"),
         F.max("n_tokens").alias("survivor_tokens"),
         (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+    )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation capstone — the full sequence a training-data
+    pipeline runs between ingest and tokenization, as ONE oracle-
+    checked query: near-dup groups (persisted store) → one survivor
+    per group (max tokens, ties to min id) → quality gate
+    (doc_stats composite ≥ QUALITY_MIN) → PII scrub (deterministic
+    email aug on ≡0 mod 5, then redact) → token-count on the CLEAN
+    text → fixed-budget sequence packing. Output: one row per
+    surviving, quality-passing document with its pack assignment.
+
+    Scale shape: groups and signatures come from the persisted
+    stores (built once per corpus version); survivor pick is one
+    grouped agg; quality/scrub are shuffle-free projections; packing
+    windows partition by pack_group (no global ordering). The only
+    shuffles key on group_rep, doc_id (1:1 joins), and pack_group.
+    The oracle replays the WHOLE chain from scratch in DuckDB
+    (recursive-CTE connected components included), so every stage's
+    semantics are pinned, not just the last one."""
+    from .caching import persist_tracked
+    from .functions.text import token_count
+    from .operators.curation import pack_sequences, scrub_pii
+    from .operators.dedup import persisted_groups, persisted_signatures
+    from .operators.text_analysis import doc_stats
+
+    corpus = persist_tracked(neardup_corpus(spark, sf_dir))
+    sigs = persisted_signatures(
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
+    )
+    reps = persisted_groups(
+        spark,
+        sf_dir,
+        sigs,
+        corpus.select("doc_id"),
+        MINHASH_HASHES,
+        MINHASH_BANDS,
+        "word3",
+    )
+    toks = corpus.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    survivors = (
+        reps.join(toks, "doc_id")
+        .groupBy("group_rep")
+        .agg(F.expr("max_by(doc_id, struct(n_tokens, -doc_id))").alias("doc_id"))
+    )
+    surv = corpus.join(survivors.select("doc_id"), "doc_id")
+    quality = doc_stats(surv).select("doc_id", "quality_score")
+    kept = surv.join(
+        quality.filter(F.col("quality_score") >= QUALITY_MIN), "doc_id"
+    )
+    aug = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0142"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = scrub_pii(kept.select("doc_id", aug.alias("text")))
+    packed = pack_sequences(
+        scrubbed,
+        text_col="clean_text",
+        budget=PACK_BUDGET,
+        n_groups=PACK_GROUPS,
+    )
+    return (
+        packed.join(scrubbed.select("doc_id", "n_redactions"), "doc_id")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "quality_score",
+            "n_redactions",
+            "pack_group",
+            "n_tokens",
+            "pack_id",
+            "overflowed",
+        )
     )
 
 
@@ -1942,6 +2023,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "stream_dedup_incremental": stream_dedup_incremental,
     "q3_ann_quantized_rerank": q3_ann_quantized_rerank,
+    "curation_pipeline": curation_pipeline,
     "stream_pdf_ingest": stream_pdf_ingest,
     "q3_ann_build": q3_ann_build,
     "q3_ann_ivf": q3_ann_ivf,

@@ -328,3 +328,28 @@ def test_incremental_pairs_batch_vs_corpus(spark):
     }
     assert (100, 0) in strong
     assert all(b != 101 for b, _ in strong)
+
+
+def test_banded_signatures_partition_signature_exactly(spark):
+    """Property: the band slices partition the signature — concatenating
+    band_sig over band_index 0..bands-1 reproduces the signature
+    exactly, for every (num_hashes, bands) divisible pair. Guards the
+    single-source banding arithmetic every dedup path now shares."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures_agg,
+    )
+
+    docs = _docs(spark, [BASE, BASE[: len(BASE) // 2], "zebra " * 20])
+    for num_hashes, bands in [(16, 4), (16, 8), (12, 3)]:
+        sigs = minhash_signatures_agg(docs, num_hashes=num_hashes, ngram=4)
+        banded = banded_signatures(
+            sigs, "doc_id", "minhash", num_hashes, bands, "doc_id", "minhash"
+        )
+        rows = banded.collect()
+        assert all(len(r.band_sig) == num_hashes // bands for r in rows)
+        by_doc = {}
+        for r in sorted(rows, key=lambda r: (r.doc_id, r.band_index)):
+            by_doc.setdefault(r.doc_id, []).extend(r.band_sig)
+        full = {r.doc_id: list(r.minhash) for r in sigs.collect()}
+        assert by_doc == full

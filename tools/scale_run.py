@@ -143,9 +143,15 @@ def run_scale(spark, sf_dir: str, factor: int) -> dict:
         # the Kx corpus signature table. Expect exponent ~1 (the cost
         # is the corpus-side signature scan + map-side broadcast
         # probe; the corpus never shuffles — plan-asserted in tests).
+        # The corpus sigs are read from PARQUET, not the in-memory
+        # persist above — the production probe pays the store scan.
         from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
             incremental_candidate_pairs,
         )
+
+        sig_store = os.path.join(scratch, "sigs.parquet")
+        sigs.write.mode("overwrite").parquet(sig_store)
+        sigs_pq = spark.read.parquet(sig_store)
 
         batch = (
             read_table(spark, sf_dir, "documents")
@@ -166,7 +172,9 @@ def run_scale(spark, sf_dir: str, factor: int) -> dict:
 
         def _run_incremental():
             inc["n"] = (
-                incremental_candidate_pairs(sigs, batch_sigs, num_hashes=16, bands=4)
+                incremental_candidate_pairs(
+                    sigs_pq, batch_sigs, num_hashes=16, bands=4
+                )
                 .filter(F.col("jaccard_est") >= 0.5)
                 .count()
             )
