@@ -313,6 +313,12 @@ def banded_signatures(
     arithmetic — minhash_candidate_pairs, incremental_candidate_pairs,
     and the streaming incremental dedup all band through here, so the
     batch and stream paths cannot drift apart."""
+    if num_hashes % bands:
+        # a non-divisible split would silently band only the first
+        # bands*(num_hashes//bands) components and weaken recall
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     # bind to the INPUT dataframe's columns (df[...]), not name lookup:
     # when out_sig == sig_col the name would resolve laterally against

@@ -2015,9 +2015,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NEW or CHANGED this round always run first, then the queries whose
 # last driver certification is oldest, so that consecutive rounds'
 # files jointly cover all queries with nothing more than 2 rounds
-# stale. Round-4 front: 7 new/changed (stream_pdf_ingest + the 3
-# re-oracled ANN variants + merge/kernel-touched) + the 24-query tail
-# last certified in r1/r2 (top_unshipped_orders .. events_json_props).
+# stale. Round-4 front: 11 new/changed (dedup_incremental,
+# stream_dedup_incremental, q3_ann_quantized_rerank,
+# curation_pipeline, stream_pdf_ingest, the 3 re-oracled ANN
+# variants, and the merge/kernel-touched trio) + the 24-query tail
+# last certified in r1/r2 (top_unshipped_orders .. events_json_props);
+# the 79-query registry minus this round's first 50 stays covered by
+# CORRECTNESS_r03 (1 round stale, within policy).
 QUERIES = {
     # --- new or changed in round 4 ---
     "dedup_incremental": dedup_incremental,

@@ -353,3 +353,31 @@ def test_banded_signatures_partition_signature_exactly(spark):
             by_doc.setdefault(r.doc_id, []).extend(r.band_sig)
         full = {r.doc_id: list(r.minhash) for r in sigs.collect()}
         assert by_doc == full
+
+
+def test_banded_signatures_rejects_non_divisible(spark):
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures_agg,
+    )
+
+    sigs = minhash_signatures_agg(_docs(spark, [BASE]), num_hashes=10, ngram=4)
+    with pytest.raises(ValueError, match="divisible"):
+        banded_signatures(sigs, "doc_id", "minhash", 10, 4, "id", "sig")
+
+
+def test_incremental_pairs_empty_batch(spark):
+    """An empty daily batch must produce zero pairs, not an error."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        minhash_signatures_agg,
+    )
+
+    corpus = minhash_signatures_agg(_docs(spark, [BASE]), num_hashes=16, ngram=4)
+    empty = corpus.filter("doc_id < 0")
+    assert (
+        incremental_candidate_pairs(corpus, empty, num_hashes=16, bands=4).count()
+        == 0
+    )

@@ -145,3 +145,19 @@ def test_fetch_and_delete(spark, sf_dir):
     left = delete_by_ids(emb, [1, 2, 3])
     assert left.count() == total - 3
     assert left.filter(F.col("vec_id").isin(1, 2, 3)).count() == 0
+
+
+def test_quantized_rerank_empty_corpus(spark):
+    """Re-rank over an empty corpus returns an empty frame (the
+    collect-then-isin path must tolerate zero candidates)."""
+    from pyspark.sql import functions as F
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        quantized_rerank_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, label string, embedding array<double>"
+    )
+    q = spark.createDataFrame([([0.1, 0.2],)], "qv array<double>")
+    assert quantized_rerank_topk(emb, q, k=5, cand_k=10).count() == 0
