@@ -12,7 +12,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int, simhash
-from ..functions.text import LANG_MARKERS, lang_scores, punct_ratio, token_count, tokens
+from ..functions.text import (
+    LANG_MARKERS,
+    lang_scores,
+    punct_ratio,
+    token_count,
+    tokens,
+    word_ngrams,
+)
 
 
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -104,6 +111,130 @@ def fingerprint(
     base = df.select(id_col, md5_int(text, 12).alias("content_fp48"))
     return base.join(bit_sums, id_col).select(
         id_col, "content_fp48", sim.alias("simhash16")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+    min_unique: float = 0.35,
+    max_top: float = 0.10,
+    max_dup: float = 0.05,
+) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, public
+    Gopher paper §A1.1): per-document lexical-diversity and n-gram
+    repetition fractions plus a pass/fail gate — the filter family a
+    training-data pipeline runs before dedup.
+
+    Metrics (simplified but deterministic; overlapping-gram chars are
+    counted once PER OCCURRENCE, not once per position, so the
+    fractions can exceed Gopher's — the thresholds are calibrated to
+    this definition):
+
+    - ``unique_word_frac``   distinct tokens / tokens
+    - ``top{n}gram_char_frac``  chars covered by the most frequent
+      word ``top_n``-gram (count * gram length) / doc chars
+    - ``dup{n}gram_char_frac``  chars in word ``dup_n``-grams occurring
+      >= 2 times (count * gram length summed) / doc chars
+
+    Physical shape: one narrow base projection + two explode ->
+    groupBy(id, gram) -> groupBy(id) branches joined back on the id —
+    all whole-stage-codegen'd integer arithmetic with map-side partial
+    aggregation, the same shingle shape as MinHash signing. At 100 TB
+    each branch is one shuffle keyed by (id, gram), skew-free (gram
+    counts are bounded per doc).
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    base = df.select(
+        id_col,
+        F.length(text).alias("__n_chars"),
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("__n_unique"),
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        grams = df.select(id_col, F.explode(word_ngrams(text, n)).alias("gram"))
+        return grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+    top = gram_counts(top_n).groupBy(id_col).agg(
+        F.max(F.col("cnt") * F.length("gram")).alias("__top_chars")
+    )
+    dup = gram_counts(dup_n).groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("__dup_chars")
+    )
+    joined = base.join(top, id_col).join(dup, id_col)
+    denom_c = F.greatest(F.col("__n_chars"), F.lit(1)).cast("double")
+    uniq = F.col("__n_unique").cast("double") / F.greatest(
+        F.col("n_words"), F.lit(1)
+    ).cast("double")
+    top_frac = F.col("__top_chars").cast("double") / denom_c
+    dup_frac = F.col("__dup_chars").cast("double") / denom_c
+    return joined.select(
+        id_col,
+        "n_words",
+        F.round(uniq, 6).alias("unique_word_frac"),
+        F.round(top_frac, 6).alias(f"top{top_n}gram_char_frac"),
+        F.round(dup_frac, 6).alias(f"dup{dup_n}gram_char_frac"),
+        (
+            (uniq >= min_unique) & (top_frac <= max_top) & (dup_frac <= max_dup)
+        ).alias("passes_repetition"),
+    )
+
+
+def crossdoc_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Cross-document duplicated-span detection at word n-gram
+    granularity — the shingle-level approximation of suffix-array
+    corpus dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): a doc whose spans mostly re-occur in
+    OTHER documents is boilerplate / template / memorization risk even
+    when no whole-doc near-dup fires.
+
+    Per doc: the fraction of its word ``n``-gram occurrences whose gram
+    appears in >= ``min_docs`` distinct documents, and an
+    ``is_boilerplate`` flag at ``flag_frac``.
+
+    Physical shape: explode shingles -> groupBy(gram, id) [map-side
+    partial] -> groupBy(gram) distinct-doc counts -> join back on gram
+    -> groupBy(id). The gram->doc-count join is the corpus-dedup
+    shuffle shape: hash-partitioned on gram, candidates only, never
+    all-pairs; a universal gram contributes at most one row per doc to
+    the join (bounded by |docs|, not occurrences).
+    """
+    text = F.col(text_col)
+    grams = df.select(id_col, F.explode(word_ngrams(text, n)).alias("gram"))
+    per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("n_occ"))
+    gram_docs = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = per_doc.join(gram_docs, "gram")
+    agg = joined.groupBy(id_col).agg(
+        F.sum("n_occ").alias("n_grams"),
+        F.sum(
+            F.when(F.col("n_docs") >= min_docs, F.col("n_occ")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("dup_grams"),
+    )
+    frac = F.col("dup_grams").cast("double") / F.col("n_grams").cast("double")
+    return agg.select(
+        id_col,
+        "n_grams",
+        "dup_grams",
+        F.round(frac, 6).alias("dup_span_frac"),
+        (frac >= flag_frac).alias("is_boilerplate"),
     )
 
 

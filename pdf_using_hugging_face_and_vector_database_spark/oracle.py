@@ -21,6 +21,14 @@ from __future__ import annotations
 from .functions.text import LANG_MARKERS
 from .queries import (
     ANN_ALPHA,
+    CROSSDOC_FLAG_FRAC,
+    CROSSDOC_MIN_DOCS,
+    CROSSDOC_NGRAM,
+    GOPHER_DUP_N,
+    GOPHER_MAX_DUP3,
+    GOPHER_MAX_TOP2,
+    GOPHER_MIN_UNIQUE,
+    GOPHER_TOP_N,
     ANN_JOIN_COS,
     ANN_N_LABELS,
     ANN_RECALL_K,
@@ -447,6 +455,64 @@ SELECT doc_id,
        ('0x' || substr(md5(text), 1, 12))::BIGINT AS content_fp48,
        {_simhash16('hs')} AS simhash16
 FROM hashed
+"""
+
+    # Gopher repetition filters: integer gram counts / integer char
+    # lengths -> every fraction is the same exact double division in
+    # both engines; the pass gate compares those doubles to literal
+    # thresholds, so it cannot straddle a rounding boundary.
+    sql["gopher_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars, len({toks})::INT AS n_words,
+         len(list_distinct({toks})) AS n_unique
+  FROM documents),
+ctop AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({_word_ngrams('text', GOPHER_TOP_N)}) AS gram
+        FROM documents)
+  GROUP BY doc_id, gram),
+top AS (SELECT doc_id, max(cnt * length(gram))::BIGINT AS top_chars
+        FROM ctop GROUP BY doc_id),
+cdup AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({_word_ngrams('text', GOPHER_DUP_N)}) AS gram
+        FROM documents)
+  GROUP BY doc_id, gram),
+dup AS (SELECT doc_id,
+               SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)::BIGINT
+                 AS dup_chars
+        FROM cdup GROUP BY doc_id),
+j AS (
+  SELECT b.doc_id, b.n_words,
+         b.n_unique::DOUBLE / greatest(b.n_words, 1)::DOUBLE AS uniq,
+         t.top_chars::DOUBLE / greatest(b.n_chars, 1)::DOUBLE AS topf,
+         d.dup_chars::DOUBLE / greatest(b.n_chars, 1)::DOUBLE AS dupf
+  FROM base b JOIN top t USING (doc_id) JOIN dup d USING (doc_id))
+SELECT doc_id, n_words,
+       round(uniq, 6) AS unique_word_frac,
+       round(topf, 6) AS top{GOPHER_TOP_N}gram_char_frac,
+       round(dupf, 6) AS dup{GOPHER_DUP_N}gram_char_frac,
+       (uniq >= {GOPHER_MIN_UNIQUE} AND topf <= {GOPHER_MAX_TOP2}
+        AND dupf <= {GOPHER_MAX_DUP3}) AS passes_repetition
+FROM j
+"""
+
+    sql["crossdoc_spans"] = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_word_ngrams('text', CROSSDOC_NGRAM)}) AS gram
+  FROM documents),
+pd AS (SELECT gram, doc_id, count(*) AS n_occ FROM g GROUP BY gram, doc_id),
+gd AS (SELECT gram, count(*) AS n_docs FROM pd GROUP BY gram),
+per AS (
+  SELECT doc_id, SUM(n_occ)::BIGINT AS n_grams,
+         SUM(CASE WHEN n_docs >= {CROSSDOC_MIN_DOCS} THEN n_occ ELSE 0 END)::BIGINT
+           AS dup_grams
+  FROM pd JOIN gd USING (gram) GROUP BY doc_id)
+SELECT doc_id, n_grams, dup_grams,
+       round(dup_grams::DOUBLE / n_grams::DOUBLE, 6) AS dup_span_frac,
+       (dup_grams::DOUBLE / n_grams::DOUBLE) >= {CROSSDOC_FLAG_FRAC}
+         AS is_boilerplate
+FROM per
 """
 
     # int8 quantization twin: identical double arithmetic; DuckDB's

@@ -84,6 +84,20 @@ PACK_GROUPS = 32          # parallel packing streams (id % PACK_GROUPS)
 CONTAM_NGRAM = 8          # word-gram width for decontamination
 QUALITY_MIN = 0.95        # capstone quality gate (scores cluster at
                           # 0.8 / 0.9 / 1.0 — no float-boundary risk)
+# Gopher-style repetition-filter sizing (calibrated on the fixture:
+# top-2-gram char frac spans 0.03-0.33 median 0.07; unique-word frac
+# 0.32-0.75 median 0.46; dup-3-gram frac nonzero for 27/500 docs at
+# sf0.01 — each threshold splits the corpus non-trivially)
+GOPHER_TOP_N = 2
+GOPHER_DUP_N = 3
+GOPHER_MIN_UNIQUE = 0.35
+GOPHER_MAX_TOP2 = 0.10
+GOPHER_MAX_DUP3 = 0.05
+# cross-doc duplicated-span detection (8-word shingles; 47/500 docs at
+# sf0.01 have any cross-doc dup span, all of them >= 50% covered)
+CROSSDOC_NGRAM = 8
+CROSSDOC_MIN_DOCS = 2
+CROSSDOC_FLAG_FRAC = 0.5
 
 
 def _dsum(col) -> F.Column:
@@ -289,6 +303,42 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return corpus_rollup(docs)
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters over the documents
+    corpus: lexical diversity + top-2-gram / duplicate-3-gram char
+    fractions with a pass/fail gate (operators/text_analysis.py
+    repetition_stats). The oracle recomputes every fraction from
+    scratch with DuckDB list/unnest arithmetic."""
+    from .operators.text_analysis import repetition_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_stats(
+        docs,
+        top_n=GOPHER_TOP_N,
+        dup_n=GOPHER_DUP_N,
+        min_unique=GOPHER_MIN_UNIQUE,
+        max_top=GOPHER_MAX_TOP2,
+        max_dup=GOPHER_MAX_DUP3,
+    )
+
+
+def crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection (word-8-gram shingle
+    approximation of suffix-array corpus dedup): per doc, the fraction
+    of shingle occurrences shared with >= 2 distinct docs, plus the
+    boilerplate flag (operators/text_analysis.py
+    crossdoc_duplicate_spans)."""
+    from .operators.text_analysis import crossdoc_duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return crossdoc_duplicate_spans(
+        docs,
+        n=CROSSDOC_NGRAM,
+        min_docs=CROSSDOC_MIN_DOCS,
+        flag_frac=CROSSDOC_FLAG_FRAC,
+    )
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2024,6 +2074,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r03 (1 round stale, within policy).
 QUERIES = {
     # --- new or changed in round 4 ---
+    "gopher_quality": gopher_quality,
+    "crossdoc_spans": crossdoc_spans,
     "dedup_incremental": dedup_incremental,
     "stream_dedup_incremental": stream_dedup_incremental,
     "q3_ann_quantized_rerank": q3_ann_quantized_rerank,

@@ -61,3 +61,65 @@ def test_language_id_fixed_examples(spark):
     )
     out = {r["doc_id"]: r["lang_guess"] for r in language_id(df).collect()}
     assert out == {1: "en", 2: "de"}
+
+
+def test_repetition_stats_repetitive_doc_fails(spark):
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    # "a a a a": 4 tokens, 1 unique (0.25 < 0.35); top 2-gram "a a"
+    # occurs 3x (len 3 -> 9/7 of chars); 3-gram "a a a" occurs 2x
+    # (len 5 -> 10/7). Occurrence-counted fractions exceed 1 by design.
+    df = spark.createDataFrame([(1, "a a a a")], ["doc_id", "text"])
+    r = repetition_stats(df).first()
+    assert r["n_words"] == 4
+    assert r["unique_word_frac"] == 0.25
+    assert r["top2gram_char_frac"] == round(9 / 7, 6)
+    assert r["dup3gram_char_frac"] == round(10 / 7, 6)
+    assert r["passes_repetition"] is False
+
+
+def test_repetition_stats_diverse_doc_passes(spark):
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    text = " ".join(f"w{i}" for i in range(30))  # 30 distinct tokens
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = repetition_stats(df).first()
+    assert r["unique_word_frac"] == 1.0
+    assert r["dup3gram_char_frac"] == 0.0
+    assert r["passes_repetition"] is True
+
+
+def test_crossdoc_spans_duplicate_pair(spark):
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+        crossdoc_duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    other = " ".join(f"o{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, other)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in crossdoc_duplicate_spans(df, n=8).collect()}
+    assert out[1]["dup_span_frac"] == 1.0 and out[1]["is_boilerplate"] is True
+    assert out[2]["dup_span_frac"] == 1.0
+    assert out[3]["dup_span_frac"] == 0.0 and out[3]["is_boilerplate"] is False
+
+
+def test_crossdoc_spans_within_doc_repeat_not_counted(spark):
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+        crossdoc_duplicate_spans,
+    )
+
+    # the 8-gram repeats INSIDE doc 1 only -> n_docs=1 -> no dup spans
+    span = " ".join(f"r{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, span + " " + span), (2, "totally unrelated words here now ok yes no")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in crossdoc_duplicate_spans(df, n=8).collect()}
+    assert out[1]["dup_grams"] == 0
+    assert out[1]["is_boilerplate"] is False
