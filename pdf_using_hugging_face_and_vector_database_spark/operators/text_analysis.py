@@ -18,7 +18,6 @@ from ..functions.text import (
     punct_ratio,
     token_count,
     tokens,
-    word_ngrams,
 )
 
 
@@ -157,7 +156,11 @@ def repetition_stats(
     )
 
     def gram_counts(n: int) -> DataFrame:
-        grams = df.select(id_col, F.explode(word_ngrams(text, n)).alias("gram"))
+        from .curation import _word_ngrams_exploded
+
+        # codegen'd explode-sequence shingling (array-building HOFs are
+        # CodegenFallback; measured 6.2s -> below 2s at sf0.1)
+        grams = _word_ngrams_exploded(df, n, text_col, id_col)
         return grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
 
     top = gram_counts(top_n).groupBy(id_col).agg(
@@ -215,8 +218,9 @@ def crossdoc_duplicate_spans(
     all-pairs; a universal gram contributes at most one row per doc to
     the join (bounded by |docs|, not occurrences).
     """
-    text = F.col(text_col)
-    grams = df.select(id_col, F.explode(word_ngrams(text, n)).alias("gram"))
+    from .curation import _word_ngrams_exploded
+
+    grams = _word_ngrams_exploded(df, n, text_col, id_col)
     per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("n_occ"))
     gram_docs = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     joined = per_doc.join(gram_docs, "gram")
