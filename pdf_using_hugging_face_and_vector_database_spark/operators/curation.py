@@ -81,6 +81,64 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_rate: int,
+    cap: int,
+    repeats: dict[str, int],
+    salt: str = "mix:",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic training-mixture construction: per-source
+    hash-Bernoulli DOWN-sampling (``rates``/``default_rate`` percent),
+    a per-source document CAP (rank by hash among the sampled), and
+    per-source epoch UP-sampling (``repeats`` emits one row per epoch)
+    — the sampling plan a pretraining pipeline applies to weight
+    sources before packing.
+
+    Every decision is a pure function of (id, source): the Bernoulli
+    bucket is an md5 hash mod 100, the cap rank orders by (bucket, id),
+    and repeats explode a literal sequence — fully reproducible in the
+    DuckDB oracle and ACROSS CLUSTER SIZES (no rand(), no
+    partition-dependent sampling).
+
+    Scale shape: the filter and explode are shuffle-free projections;
+    the cap is one window keyed by source. With domain-cardinality
+    sources the window parallelizes across keys; a skewed giant source
+    would use the partial-top-k reduction (operators/search.py) before
+    the window — same contract, same output.
+    """
+    from ..functions.hashing import md5_int
+
+    bucket = md5_int(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 100
+    rate = F.lit(default_rate)
+    for src, r in rates.items():
+        rate = F.when(F.col(source_col) == src, F.lit(r)).otherwise(rate)
+    n_epochs = F.lit(1)
+    for src, r in repeats.items():
+        n_epochs = F.when(F.col(source_col) == src, F.lit(r)).otherwise(n_epochs)
+    sampled = df.select(
+        id_col,
+        source_col,
+        bucket.cast("int").alias("sample_bucket"),
+        n_epochs.cast("int").alias("__n_epochs"),
+    ).filter(bucket < rate)
+    w = Window.partitionBy(source_col).orderBy("sample_bucket", id_col)
+    capped = (
+        sampled.withColumn("rank_in_source", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank_in_source") <= cap)
+    )
+    return capped.select(
+        id_col,
+        source_col,
+        "sample_bucket",
+        "rank_in_source",
+        F.explode(F.sequence(F.lit(1), F.col("__n_epochs"))).alias("epoch"),
+    )
+
+
 def _word_ngrams_exploded(
     df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

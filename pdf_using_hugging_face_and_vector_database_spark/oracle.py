@@ -29,6 +29,11 @@ from .queries import (
     GOPHER_MAX_TOP2,
     GOPHER_MIN_UNIQUE,
     GOPHER_TOP_N,
+    MIX_CAP,
+    MIX_DEFAULT_RATE,
+    MIX_RATES,
+    MIX_REPEATS,
+    MIX_SALT,
     ANN_JOIN_COS,
     ANN_N_LABELS,
     ANN_RECALL_K,
@@ -513,6 +518,30 @@ SELECT doc_id, n_grams, dup_grams,
        (dup_grams::DOUBLE / n_grams::DOUBLE) >= {CROSSDOC_FLAG_FRAC}
          AS is_boilerplate
 FROM per
+"""
+
+    # mixture sampling: every decision is integer hash arithmetic, so
+    # the oracle replays the whole plan (rates, cap rank, epochs)
+    rate_case = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in MIX_RATES.items()
+    )
+    rep_case = " ".join(f"WHEN '{s}' THEN {r}" for s, r in MIX_REPEATS.items())
+    mix_bucket = f"('0x' || substr(md5('{MIX_SALT}' || doc_id), 1, 6))::BIGINT % 100"
+    sql["mixture_sample"] = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         ({mix_bucket})::INT AS sample_bucket,
+         CASE source {rate_case} ELSE {MIX_DEFAULT_RATE} END AS rate,
+         CASE source {rep_case} ELSE 1 END AS n_epochs
+  FROM documents),
+capped AS (
+  SELECT doc_id, source, sample_bucket, n_epochs,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sample_bucket, doc_id)::INT AS rank_in_source
+  FROM base WHERE sample_bucket < rate)
+SELECT doc_id, source, sample_bucket, rank_in_source,
+       unnest(range(1, n_epochs + 1))::INT AS epoch
+FROM capped WHERE rank_in_source <= {MIX_CAP}
 """
 
     # int8 quantization twin: identical double arithmetic; DuckDB's

@@ -98,6 +98,14 @@ GOPHER_MAX_DUP3 = 0.05
 CROSSDOC_NGRAM = 8
 CROSSDOC_MIN_DOCS = 2
 CROSSDOC_FLAG_FRAC = 0.5
+# mixture-sampling plan: named per-source percent rates (default for
+# the long tail), a per-source doc cap that BINDS at sf0.01 (25
+# docs/source -> src0 keeps 15), and 2-epoch upsampling of src0
+MIX_RATES = {"src0": 100, "src1": 80, "src2": 60, "src3": 40}
+MIX_DEFAULT_RATE = 25
+MIX_CAP = 15
+MIX_REPEATS = {"src0": 2}
+MIX_SALT = "mix:"
 
 
 def _dsum(col) -> F.Column:
@@ -338,6 +346,25 @@ def crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=CROSSDOC_NGRAM,
         min_docs=CROSSDOC_MIN_DOCS,
         flag_frac=CROSSDOC_FLAG_FRAC,
+    )
+
+
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling over documents:
+    per-source hash-Bernoulli rates + per-source cap + epoch
+    upsampling (operators/curation.py mixture_sample). Every decision
+    is a pure function of (doc_id, source), so the DuckDB oracle
+    replays the whole plan including the rank cut."""
+    from .operators.curation import mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs,
+        rates=MIX_RATES,
+        default_rate=MIX_DEFAULT_RATE,
+        cap=MIX_CAP,
+        repeats=MIX_REPEATS,
+        salt=MIX_SALT,
     )
 
 
@@ -2076,6 +2103,7 @@ QUERIES = {
     # --- new or changed in round 4 ---
     "gopher_quality": gopher_quality,
     "crossdoc_spans": crossdoc_spans,
+    "mixture_sample": mixture_sample_q,
     "dedup_incremental": dedup_incremental,
     "stream_dedup_incremental": stream_dedup_incremental,
     "q3_ann_quantized_rerank": q3_ann_quantized_rerank,

@@ -95,3 +95,32 @@ def test_contamination_broadcasts_benchmark(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_rates_cap_epochs(spark):
+    from pdf_using_hugging_face_and_vector_database_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    rows = [(i, "keep" if i < 40 else "tail") for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(
+        df,
+        rates={"keep": 100},
+        default_rate=0,
+        cap=10,
+        repeats={"keep": 3},
+    ).collect()
+    # default rate 0 -> tail source fully dropped
+    assert {r["source"] for r in out} == {"keep"}
+    # cap 10 of the 40 sampled docs, each repeated 3 epochs
+    assert len(out) == 30
+    assert {r["epoch"] for r in out} == {1, 2, 3}
+    assert max(r["rank_in_source"] for r in out) == 10
+    # deterministic: same input -> identical id set
+    out2 = mixture_sample(
+        df, rates={"keep": 100}, default_rate=0, cap=10, repeats={"keep": 3}
+    ).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in out) == sorted(
+        (r["doc_id"], r["epoch"]) for r in out2
+    )
