@@ -27,13 +27,22 @@ def md5_int_py(s: str, nhex: int = 6) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:nhex], 16)
 
 
+def det_components_py(text: str, dim: int, salt: str = "") -> list[float]:
+    """Driver-side twin of :func:`hash_components` (RAW, un-normalized
+    components): for queries whose oracle compares cosines of the raw
+    component vectors, the query literal must live in the same raw
+    space — normalizing first would change the floating-point result
+    even though cosine is mathematically scale-invariant."""
+    return [md5_int_py(f"{text}:{salt}{j}") / MAX24 * 2.0 - 1.0 for j in range(dim)]
+
+
 def det_embed_py(text: str, dim: int, salt: str = "") -> list[float]:
     """Driver-side twin of the deterministic embedder
     (operators/embedder.py): used to turn a query *string* into a query
     *vector* that lives in the same hash-projection space as the
     corpus embeddings — bit-identical to the Spark/DuckDB expression.
     """
-    comps = [md5_int_py(f"{text}:{salt}{j}") / MAX24 * 2.0 - 1.0 for j in range(dim)]
+    comps = det_components_py(text, dim, salt)
     sq = 0.0
     for x in comps:
         sq += x * x

@@ -145,6 +145,53 @@ def filtered_topk(
     return topk_cosine(corpus, query_vec, k=k, vec_col=vec_col, predicate=predicate)
 
 
+def rrf_fuse(
+    legs: Sequence[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, the standard hybrid
+    keyword+vector merge): each leg contributes 1/(k_const + rank) for
+    the ids it ranked; missing legs contribute 0. Returns the fused
+    top-``topk`` with per-leg ranks and a dense ``fused_rank``.
+
+    Each leg DataFrame carries (id_col, rank) for its OWN top-k only,
+    so the fuse operates on a candidate set bounded by
+    sum(leg sizes) — the full-outer join and the final window run on
+    at most a few dozen rows regardless of corpus size (the corpus-
+    scale work happened upstream in the legs)."""
+    fused: DataFrame | None = None
+    for name, leg in legs:
+        sel = leg.select(F.col(id_col), F.col("rank").alias(f"{name}_rank"))
+        fused = sel if fused is None else fused.join(sel, id_col, "full_outer")
+    score: Column | None = None
+    for name, _ in legs:
+        c = F.when(
+            F.col(f"{name}_rank").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k_const)) + F.col(f"{name}_rank")),
+        ).otherwise(F.lit(0.0))
+        score = c if score is None else score + c
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return (
+        fused.withColumn("rrf_score", F.round(score, 6))
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+    )
+
+
+def ranked_topk(
+    scored: DataFrame, score_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Top-``k`` rows by (score desc, id asc) with a 1-based ``rank``
+    column. The cut lowers to TakeOrderedAndProject (no full sort);
+    the rank window then runs on the k-row result only — never on the
+    corpus — so this is safe as a leg-builder at any corpus size."""
+    top = scored.orderBy(F.desc(score_col), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc(score_col), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def fetch_by_ids(corpus: DataFrame, ids: Sequence, id_col: str = "vec_id") -> DataFrame:
     """Q5 fetch — point lookup; isin pushes to the scan."""
     return corpus.filter(F.col(id_col).isin(list(ids)))

@@ -29,6 +29,9 @@ from .queries import (
     GOPHER_MAX_TOP2,
     GOPHER_MIN_UNIQUE,
     GOPHER_TOP_N,
+    HYBRID_K,
+    HYBRID_LEG_K,
+    RRF_KCONST,
     MIX_CAP,
     MIX_DEFAULT_RATE,
     MIX_RATES,
@@ -54,7 +57,12 @@ from .queries import (
     SIMHASH_MAXH,
     WORD_NGRAM,
 )
-from .functions.hashing import P_MINHASH, det_embed_py, minhash_params
+from .functions.hashing import (
+    P_MINHASH,
+    det_components_py,
+    det_embed_py,
+    minhash_params,
+)
 
 DEC = "DECIMAL(27,6)"
 
@@ -518,6 +526,53 @@ SELECT doc_id, n_grams, dup_grams,
        (dup_grams::DOUBLE / n_grams::DOUBLE) >= {CROSSDOC_FLAG_FRAC}
          AS is_boilerplate
 FROM per
+"""
+
+    # hybrid RRF: both legs and the fusion replayed from scratch.
+    # kw_score routes per-term 6dp-rounded tfidf through exact decimal
+    # sum (order-free); vec_score is the raw-component cosine (same
+    # double fold as _det_embed/_cos); rrf adds the two reciprocal
+    # terms in fixed kw-then-vec expression order in both engines.
+    from .queries import QUERY_TEXT as _QT
+
+    hq_terms = ", ".join(f"'{t}'" for t in sorted(set(_QT.split())))
+    hq_lit = _vec_literal(det_components_py(_QT, EMBED_DIM))
+    sql["hybrid_search_rrf"] = f"""
+WITH dt AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents),
+qt AS (SELECT doc_id, term, count(*) AS tf FROM dt
+       WHERE term IN ({hq_terms}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM qt GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+kw AS (SELECT doc_id,
+              CAST(SUM(CAST(round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+                            AS {DEC})) AS DOUBLE) AS kw_score
+       FROM qt JOIN dft USING (term) CROSS JOIN n GROUP BY doc_id),
+kwl AS (SELECT doc_id, kw_rank FROM (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY kw_score DESC, doc_id)::INT AS kw_rank
+          FROM kw) WHERE kw_rank <= {HYBRID_LEG_K}),
+emb AS (SELECT doc_id, {_det_embed('text', EMBED_DIM)} AS v FROM documents),
+vsc AS (SELECT doc_id, round({_cos('v', 'hq_lit_v', EMBED_DIM)}, 6) AS vec_score
+        FROM (SELECT doc_id, v, {hq_lit} AS hq_lit_v FROM emb)),
+vl AS (SELECT doc_id, vec_rank FROM (
+         SELECT doc_id,
+                row_number() OVER (ORDER BY vec_score DESC, doc_id)::INT AS vec_rank
+         FROM vsc) WHERE vec_rank <= {HYBRID_LEG_K}),
+fused AS (
+  SELECT coalesce(kwl.doc_id, vl.doc_id) AS doc_id, kwl.kw_rank, vl.vec_rank
+  FROM kwl FULL OUTER JOIN vl ON kwl.doc_id = vl.doc_id),
+scored AS (
+  SELECT doc_id, kw_rank, vec_rank,
+         round((CASE WHEN kw_rank IS NOT NULL
+                     THEN 1.0 / ({RRF_KCONST} + kw_rank) ELSE 0.0 END)
+               + (CASE WHEN vec_rank IS NOT NULL
+                       THEN 1.0 / ({RRF_KCONST} + vec_rank) ELSE 0.0 END),
+               6) AS rrf_score
+  FROM fused)
+SELECT doc_id, kw_rank, vec_rank, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id)::INT AS fused_rank
+FROM scored QUALIFY fused_rank <= {HYBRID_K}
 """
 
     # mixture sampling: every decision is integer hash arithmetic, so

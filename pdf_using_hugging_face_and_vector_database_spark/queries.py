@@ -106,6 +106,11 @@ MIX_DEFAULT_RATE = 25
 MIX_CAP = 15
 MIX_REPEATS = {"src0": 2}
 MIX_SALT = "mix:"
+# hybrid search: per-leg candidate depth, fused cut, RRF constant
+# (60 is the Cormack et al. 2009 default)
+HYBRID_LEG_K = 20
+HYBRID_K = 10
+RRF_KCONST = 60
 
 
 def _dsum(col) -> F.Column:
@@ -1558,6 +1563,61 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the signature vector-database serving query
+    (keyword + vector legs fused with reciprocal-rank fusion):
+
+    - keyword leg: per-doc sum of smooth TF-IDF over the query's
+      terms (same idf formulation as tfidf_top_terms), exact-decimal
+      summed, top-HYBRID_LEG_K;
+    - vector leg: cosine of the deterministic doc embedding vs the
+      query embedding (raw component space, so the oracle reproduces
+      the doubles bit-for-bit), top-HYBRID_LEG_K;
+    - fuse: rrf_fuse (operators/search.py) at k=RRF_KCONST, top-10.
+
+    Scale shape: both legs end in TakeOrderedAndProject over the
+    corpus scan; the join/window run on the <=2*LEG_K candidate set
+    only. The oracle replays both legs and the fusion in DuckDB."""
+    from .functions.hashing import det_components_py, hash_components
+    from .functions.text import tokens
+    from .operators.search import query_vector_lit, ranked_topk, rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents")
+    qterms = sorted(set(QUERY_TEXT.split()))
+
+    n_docs = docs.count()  # scalar idf dimension; one cheap action
+    dt = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(qterms))
+    tf = dt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    contrib = tf.join(F.broadcast(df_t), "term").withColumn(
+        "c", F.round(F.col("tf") * idf, 6)
+    )
+    kw = contrib.groupBy("doc_id").agg(
+        F.sum(F.col("c").cast(DEC)).cast("double").alias("kw_score")
+    )
+    kw_leg = ranked_topk(kw, "kw_score", "doc_id", HYBRID_LEG_K)
+
+    qv = det_components_py(QUERY_TEXT, EMBED_DIM)
+    emb = docs.select(
+        "doc_id", hash_components(F.col("text"), EMBED_DIM).alias("v")
+    )
+    vec = emb.select(
+        "doc_id",
+        F.round(cosine(F.col("v"), query_vector_lit(qv)), 6).alias("vec_score"),
+    )
+    vec_leg = ranked_topk(vec, "vec_score", "doc_id", HYBRID_LEG_K)
+
+    return rrf_fuse(
+        [("kw", kw_leg), ("vec", vec_leg)],
+        id_col="doc_id",
+        k_const=RRF_KCONST,
+        topk=HYBRID_K,
+    )
+
+
 def sample_docs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible corpus sampling: keep a doc iff
     md5('sample:'||doc_id) mod 100 < PCT — deterministic across
@@ -2104,6 +2164,7 @@ QUERIES = {
     "gopher_quality": gopher_quality,
     "crossdoc_spans": crossdoc_spans,
     "mixture_sample": mixture_sample_q,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "dedup_incremental": dedup_incremental,
     "stream_dedup_incremental": stream_dedup_incremental,
     "q3_ann_quantized_rerank": q3_ann_quantized_rerank,

@@ -261,3 +261,11 @@ def test_quantized_rerank_serving_shape(spark, sf_dir, tmp_path):
     tree2 = formatted_plan(out).split("\n\n")[0]
     assert tree2.count("TakeOrderedAndProject") == 1, tree2
     assert "Sort " not in tree2, tree2
+
+
+def test_hybrid_legs_are_take_ordered(spark, sf_dir):
+    """Hybrid RRF: both corpus-scale legs must cut to their top-k via
+    TakeOrderedAndProject (never a global sort); the fuse then runs on
+    the bounded candidate set."""
+    plan = formatted_plan(Q.hybrid_search_rrf(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2

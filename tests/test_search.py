@@ -161,3 +161,22 @@ def test_quantized_rerank_empty_corpus(spark):
     )
     q = spark.createDataFrame([([0.1, 0.2],)], "qv array<double>")
     assert quantized_rerank_topk(emb, q, k=5, cand_k=10).count() == 0
+
+
+def test_rrf_fuse_semantics(spark):
+    from pdf_using_hugging_face_and_vector_database_spark.operators.search import (
+        rrf_fuse,
+    )
+
+    kw = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    vec = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rank"])
+    out = {r["doc_id"]: r for r in rrf_fuse([("kw", kw), ("vec", vec)], k_const=60).collect()}
+    # doc 2 appears in both legs -> highest fused score
+    assert out[2]["fused_rank"] == 1
+    assert out[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    # single-leg docs contribute only their own reciprocal
+    assert out[1]["rrf_score"] == round(1 / 61, 6)
+    assert out[1]["vec_rank"] is None
+    assert out[3]["kw_rank"] is None
+    # tie between doc 1 (kw rank 1) and doc 3 (vec rank 2)? no: 1/61 > 1/62
+    assert out[1]["fused_rank"] == 2 and out[3]["fused_rank"] == 3
