@@ -578,3 +578,162 @@ def quantized_rerank_topk(
         .limit(k)
         .select(id_col, *extra_cols, "q_dot", "score")
     )
+
+
+# ---------------- binary (sign-bit) quantization ----------------
+
+# 32 bits per packed word: every shift stays < 32, so the words are
+# overflow-safe plain BIGINTs with identical arithmetic in Spark and
+# DuckDB (a 64-bit pack would make bit 63 sign-ambiguous across
+# engines).
+BIN_WORD_BITS = 32
+
+
+def binary_codes_of(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = ("label",),
+    dim: int = 64,
+    word_bits: int = BIN_WORD_BITS,
+) -> DataFrame:
+    """Sign-bit binary quantization: one bit per dimension
+    (``vec[i] > 0``) packed into ``word_bits``-wide words stored as
+    longs — a 32x-smaller column than the floats, the cheapest
+    Hamming-space prefilter a vector store serves from. Pure codegen'd
+    conditional sums; no UDF, no shuffle."""
+    v = F.col(vec_col)
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for j in range(n_words):
+        w = F.lit(0).cast("long")
+        for i in range(word_bits):
+            idx = j * word_bits + i
+            if idx >= dim:
+                break
+            w = w + F.when(v[idx] > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        words.append(w.alias(f"w{j}"))
+    return emb.select(id_col, *extra_cols, *words)
+
+
+def persisted_binary_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    extra_cols: tuple[str, ...] = ("label",),
+    dim: int = 64,
+    tag: str = "bin",
+) -> DataFrame:
+    """Fingerprint-keyed persisted binary-codes table (the
+    persisted_int8_codes contract at 32x compression): stage-1 Hamming
+    scans read THIS parquet and never touch the float column."""
+    path = os.path.join(INDEX_ROOT, f"bincodes_{dataset_dir_key(sf_dir)}_{tag}")
+    from ..io import table_path
+
+    salt = f"bin:{','.join(extra_cols)}:{dim}:{BIN_WORD_BITS}:{tag}"
+    fp = dataset_fingerprint(table_path(sf_dir, "embeddings"), salt=salt)
+    marker = os.path.join(path, "meta.json")
+    ok = False
+    try:
+        with open(marker) as f:
+            ok = json.load(f).get("fingerprint") == fp
+    except (OSError, ValueError):
+        ok = False
+    data_dir = os.path.join(path, "codes")
+    if not ok:
+        codes = binary_codes_of(emb, extra_cols=extra_cols, dim=dim)
+        os.makedirs(path, exist_ok=True)
+        if os.path.exists(marker):
+            os.remove(marker)
+        codes.write.mode("overwrite").parquet(data_dir)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": fp, "salt": salt}, f)
+        os.replace(tmp, marker)
+    return spark.read.parquet(data_dir)
+
+
+def binary_candidates(
+    codes: DataFrame,
+    query: DataFrame,
+    cand_k: int = 50,
+    id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = ("label",),
+    dim: int = 64,
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Stage 1 of binary re-rank serving: Hamming distance =
+    sum_j bit_count(w_j XOR qw_j) over the packed words, keep the
+    ``cand_k`` nearest (ties to min id). The scan touches only the
+    codes table; the cut lowers to TakeOrderedAndProject."""
+    n_words = (dim + BIN_WORD_BITS - 1) // BIN_WORD_BITS
+    qcodes = binary_codes_of(
+        query.select(F.lit(-1).alias("__qid"), F.col(query_vec_col)),
+        vec_col=query_vec_col,
+        id_col="__qid",
+        extra_cols=(),
+        dim=dim,
+    ).select(*[F.col(f"w{j}").alias(f"qw{j}") for j in range(n_words)])
+    ham = F.lit(0)
+    for j in range(n_words):
+        ham = ham + F.bit_count(F.col(f"w{j}").bitwiseXOR(F.col(f"qw{j}")))
+    return (
+        codes.crossJoin(F.broadcast(qcodes))
+        .withColumn("hamming", ham.cast("int"))
+        .orderBy("hamming", id_col)
+        .limit(cand_k)
+        .select(id_col, *extra_cols, "hamming")
+    )
+
+
+def binary_rerank_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    cand_k: int = 50,
+    codes: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = ("label",),
+    query_vec_col: str = "qv",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage binary-prefilter + exact re-rank top-k (the
+    quantized_rerank_topk contract at 32x compression): stage 1 scans
+    the packed sign-bit codes and keeps the ``cand_k``
+    Hamming-nearest; the bounded candidate ids are collected so stage
+    2 pushes an ``isin`` into the vector scan and re-scores with exact
+    double cosine. Seed-free and fully SQL — the DuckDB oracle replays
+    both stages bit-for-bit."""
+    if codes is None:
+        codes = binary_codes_of(
+            emb, vec_col=vec_col, id_col=id_col, extra_cols=extra_cols, dim=dim
+        )
+    cands = binary_candidates(
+        codes,
+        query,
+        cand_k=cand_k,
+        id_col=id_col,
+        extra_cols=extra_cols,
+        dim=dim,
+        query_vec_col=query_vec_col,
+    )
+    rows = cands.collect()  # cand_k rows — bounded, same class as int8 path
+    spark = emb.sparkSession
+    lit = F.broadcast(spark.createDataFrame(rows, schema=cands.schema))
+    fetched = emb.filter(
+        F.col(id_col).isin([r[id_col] for r in rows])
+    ).select(id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("__v"))
+    qv_d = query.select(
+        F.transform(query_vec_col, lambda x: x.cast("double")).alias("__qv")
+    )
+    return (
+        fetched.join(lit, id_col)
+        .crossJoin(F.broadcast(qv_d))
+        .withColumn("score", cosine(F.col("__v"), F.col("__qv")))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+        .select(id_col, *extra_cols, "hamming", "score")
+    )

@@ -240,6 +240,44 @@ SELECT vec_id, label, q_dot, round(s, 6) AS score
 FROM rer ORDER BY s DESC, vec_id LIMIT 10
 """
 
+    # binary (sign-bit) prefilter + exact re-rank twin: packed 32-bit
+    # words as explicit conditional sums (shift < 32 keeps every word
+    # an overflow-safe BIGINT in both engines), Hamming via
+    # xor+bit_count, deterministic cut, double-cosine re-rank
+    from .queries import BIN_CAND, BIN_QUERY_ID
+
+    def _bin_word(vec: str, j: int, bits: int = 32) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {vec}[{j * bits + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+        return f"({terms})::BIGINT"
+
+    _nw = EMBED_DIM // 32
+    _code_cols = ", ".join(
+        f"{_bin_word('embedding', j)} AS w{j}" for j in range(_nw)
+    )
+    _q_cols = ", ".join(f"w{j} AS qw{j}" for j in range(_nw))
+    _ham = " + ".join(f"bit_count(xor(c.w{j}, q.qw{j}))" for j in range(_nw))
+    sql["q3_ann_binary_rerank"] = f"""
+WITH codes AS (
+  SELECT vec_id, label, {_code_cols} FROM embeddings),
+q AS (SELECT {_q_cols} FROM codes WHERE vec_id = {BIN_QUERY_ID}),
+cand AS (
+  SELECT c.vec_id, c.label, ({_ham})::INT AS hamming
+  FROM codes c CROSS JOIN q
+  ORDER BY hamming, c.vec_id LIMIT {BIN_CAND}),
+rer AS (
+  SELECT cand.vec_id, cand.label, cand.hamming,
+         {_cos('e.v', 'qe.qv', EMBED_DIM)} AS s
+  FROM cand
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e USING (vec_id)
+  CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = {BIN_QUERY_ID}) qe)
+SELECT vec_id, label, hamming, round(s, 6) AS score
+FROM rer ORDER BY s DESC, vec_id LIMIT 10
+"""
+
     sql["q2_knn_join"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
 scored AS (

@@ -78,6 +78,8 @@ ANN_JOIN_COS = 0.45
 ANN_JOIN_BUCKET_LEN = 1.0
 ANN_JOIN_TABLES = 4
 ANN_RERANK_CAND = 50      # int8-prefilter candidate pool for re-rank
+BIN_CAND = 50             # binary-prefilter candidate pool
+BIN_QUERY_ID = 1          # corpus row serving as the binary-path query
 # curation family sizing
 PACK_BUDGET = 256         # tokens per packed sequence
 PACK_GROUPS = 32          # parallel packing streams (id % PACK_GROUPS)
@@ -1973,6 +1975,30 @@ def q3_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 serving variant at 32x compression — sign-bit binary codes +
+    Hamming prefilter + exact cosine re-rank (operators/ann.py
+    binary_*): stage 1 scans the persisted packed-bit codes store and
+    keeps the BIN_CAND Hamming-nearest via xor+bit_count; stage 2
+    point-fetches those rows (isin pushed into the vector scan) and
+    re-ranks with exact double cosine. Seed-free, so the DuckDB oracle
+    replays codes, Hamming cut, and re-rank bit-for-bit — a hash-green
+    ANN row like q3_ann_quantized_rerank."""
+    from .operators.ann import binary_rerank_topk, persisted_binary_codes
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    codes = persisted_binary_codes(spark, sf_dir, emb, dim=EMBED_DIM)
+    q = emb.filter(F.col("vec_id") == BIN_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    out = binary_rerank_topk(
+        emb, q, k=10, cand_k=BIN_CAND, codes=codes, dim=EMBED_DIM
+    )
+    return out.select(
+        "vec_id", "label", "hamming", F.round("score", 6).alias("score")
+    )
+
+
 def q3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 quality, driver-visible: IVF top-k vs exact top-k on the
     clustered derived corpus, one row (k, exact_ids, recall_ok). The
@@ -2165,6 +2191,7 @@ QUERIES = {
     "crossdoc_spans": crossdoc_spans,
     "mixture_sample": mixture_sample_q,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "q3_ann_binary_rerank": q3_ann_binary_rerank,
     "dedup_incremental": dedup_incremental,
     "stream_dedup_incremental": stream_dedup_incremental,
     "q3_ann_quantized_rerank": q3_ann_quantized_rerank,

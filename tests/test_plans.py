@@ -269,3 +269,33 @@ def test_hybrid_legs_are_take_ordered(spark, sf_dir):
     the bounded candidate set."""
     plan = formatted_plan(Q.hybrid_search_rrf(spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_binary_rerank_serving_shape(spark, sf_dir, tmp_path):
+    """The sign-bit re-rank path, both stages plan-asserted: stage 1
+    reads ONLY the packed-word codes table (32x smaller than the float
+    column) and lowers to TakeOrderedAndProject; stage 2 pushes the
+    candidate-id isin into the vector scan."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        binary_candidates,
+        binary_codes_of,
+        binary_rerank_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "bincodes")
+    binary_codes_of(emb).write.parquet(store)
+    codes = spark.read.parquet(store)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    q = spark.createDataFrame([(qvec,)], "qv array<double>")
+
+    cands = binary_candidates(codes, q, cand_k=20)
+    tree1 = formatted_plan(cands).split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree1, tree1
+    schemas = scan_read_schema(cands)
+    assert schemas and all("embedding" not in s for s in schemas), schemas
+
+    out = binary_rerank_topk(emb, q, k=5, cand_k=20, codes=codes)
+    assert has_pushed_filters(out, "vec_id")
+    tree2 = formatted_plan(out).split("\n\n")[0]
+    assert "Sort " not in tree2, tree2

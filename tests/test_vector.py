@@ -80,3 +80,28 @@ def test_int8_quantize_roundtrip_error_bound(spark):
         assert r["qmax"] <= 127
         # round-to-nearest: reconstruction error <= scale/2 (+ float eps)
         assert r["err"] <= r["s"] / 2 + 1e-12, r
+
+
+def test_binary_codes_pack_and_hamming(spark):
+    """Known bit pattern: vec with dims 0 and 33 positive -> w0 = 1,
+    w1 = 2; Hamming between that and the all-negative vector is 2."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        binary_candidates,
+        binary_codes_of,
+    )
+    import pyspark.sql.functions as F
+
+    v1 = [0.0] * 64
+    v1[0] = 1.0
+    v1[33] = 0.5
+    v2 = [-1.0] * 64
+    df = spark.createDataFrame(
+        [(1, 0, v1), (2, 0, v2)], "vec_id long, label int, embedding array<double>"
+    )
+    codes = {r["vec_id"]: r for r in binary_codes_of(df).collect()}
+    assert codes[1]["w0"] == 1 and codes[1]["w1"] == 2
+    assert codes[2]["w0"] == 0 and codes[2]["w1"] == 0
+    q = spark.createDataFrame([(v2,)], "qv array<double>")
+    out = {r["vec_id"]: r["hamming"] for r in
+           binary_candidates(binary_codes_of(df), q, cand_k=10).collect()}
+    assert out == {1: 2, 2: 0}
