@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "neardup_minhash",
     "dedup_incremental",
+    "segment_dedup",
+    "lm_bigram_quality",
     "neardup_groups",
     "neardup_simhash",
     "neardup_jaccard",
@@ -100,6 +102,10 @@ BENCH_QUERIES = [
     "clicks_in_purchase_window",
     "cube_pricing",
     "session_windows_native",
+    "funnel_conversion",
+    "retention_cohorts",
+    "scd2_customer_priority",
+    "anomaly_mad",
 ]
 
 

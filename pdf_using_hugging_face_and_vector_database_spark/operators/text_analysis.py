@@ -254,3 +254,168 @@ def corpus_rollup(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.max(F.length(F.col(text_col))).alias("max_chars"),
         )
     )
+
+
+def token_segments(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode each document into consecutive ``n``-token segments
+    (``seg_idx`` 1-based, last segment ragged). The segment grain for
+    corpus-level exact-substring dedup (the word-aligned approximation
+    of suffix-array dedup, cf. Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better").
+
+    Pure SQL (explode over a codegen'd sequence), so the explode runs
+    JVM-side at scan speed. Empty/short docs yield one (possibly
+    empty) segment so every input row survives to the rewrite."""
+    toks = tokens(F.col(text_col))
+    n_segs = F.greatest(
+        ((F.size(toks) + F.lit(n - 1)) / F.lit(n)).cast("int"), F.lit(1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(1), n_segs)).alias("seg_idx"),
+        )
+        .select(
+            id_col,
+            "seg_idx",
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    (F.col("seg_idx") - F.lit(1)) * F.lit(n) + F.lit(1),
+                    n,
+                ),
+                " ",
+            ).alias("seg"),
+        )
+    )
+
+
+def segment_dedup_rewrite(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level exact segment dedup with document REWRITE: split
+    every doc into ``n``-token segments, keep only the globally FIRST
+    occurrence of each distinct segment (order: ``(doc_id, seg_idx)``),
+    and reassemble each document from its surviving segments.
+
+    This is the destructive twin of ``crossdoc_duplicate_spans`` —
+    that one detects duplicated spans, this one removes them (the
+    C4/RefinedWeb "remove repeated content" rewrite, at word-aligned
+    segment granularity).
+
+    Scale shape (100 TB): one window shuffle keyed on the segment TEXT
+    (uniform hash key — no skew beyond genuinely viral segments, whose
+    groups are only as big as their duplicate count), then one groupBy
+    on ``doc_id`` to reassemble. No joins, no all-pairs anywhere;
+    both exchanges are on keys with bounded group sizes. For truly hot
+    segments (boilerplate repeated millions of times) the window's
+    per-group sort is O(group log group) on (doc_id, seg_idx) pairs
+    only — a few MB even at 1e6 duplicates.
+
+    Returns one row per input doc:
+    ``(doc_id, n_segments, kept_segments, clean_text)``."""
+    from pyspark.sql import Window
+
+    segs = token_segments(df, n, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy("seg").orderBy(id_col, "seg_idx")
+    flagged = segs.withColumn(
+        "keep", F.row_number().over(w) == F.lit(1)
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("keep").cast("int")).alias("kept_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("seg_idx", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def bigram_lm_xent(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained bigram MLE
+    language model — the CCNet-style "score each doc with an LM
+    trained on the corpus itself" quality signal, at n=2.
+
+    p(w2 | w1) = c(w1, w2) / c(w1-as-context); per-doc
+    xent = mean over the doc's bigram occurrences of -ln p. Every
+    occurrence's logprob is rounded to 6 decimals, decimal-summed
+    (order-independent), divided by the bigram count, rounded again —
+    so the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape (100 TB): bigram explode is codegen'd; the model is
+    two map-side-combined groupBys over the bigram key (vocab², far
+    smaller than the corpus); scoring joins the exploded corpus to the
+    model on the bigram key — the model side is tiny relative to the
+    corpus and broadcasts (vocab² rows); per-doc reduce is one
+    groupBy on doc_id. Docs with < 2 tokens emit n_bigrams=0 and NULL
+    xent rather than disappearing."""
+    # token array materialized ONCE per row before the pair build — an
+    # element_at lambda over a sequence would re-evaluate the split per
+    # element (O(tokens^2) per doc, measured 10x slower at sf0.1)
+    npairs = F.greatest(F.size(F.col("__t")) - F.lit(1), F.lit(0))
+    big = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+        .select(
+            id_col,
+            F.slice(F.col("__t"), F.lit(1), npairs).alias("w1s"),
+            F.slice(F.col("__t"), F.lit(2), npairs).alias("w2s"),
+        )
+        .select(
+            id_col, F.explode_outer(F.arrays_zip("w1s", "w2s")).alias("bg")
+        )
+        .select(id_col, F.col("bg.w1s").alias("w1"), F.col("bg.w2s").alias("w2"))
+    )
+
+    observed = big.filter(F.col("w1").isNotNull())
+    c2 = observed.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    model = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            -F.log(F.col("c").cast("double") / F.col("ctx").cast("double")), 6
+        ).alias("lp"),
+    )
+    scored = big.join(
+        F.broadcast(model), ["w1", "w2"], "left"
+    )
+    dec = "decimal(27,6)"
+    return scored.groupBy(id_col).agg(
+        F.count(F.col("lp")).alias("n_bigrams"),
+        F.when(
+            F.count(F.col("lp")) > 0,
+            F.round(
+                (
+                    F.sum(F.col("lp").cast(dec)).cast("double")
+                    / F.count(F.col("lp")).cast("double")
+                ),
+                6,
+            ),
+        ).alias("xent"),
+    )

@@ -170,3 +170,45 @@ def upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__is_batch")
     )
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key: str,
+    attr: str,
+    order_cols: list[str],
+    valid_col: str,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from a change log:
+    per ``key``, order the log by ``order_cols``, keep only rows where
+    ``attr`` actually CHANGES (classic SCD2 change detection — repeat
+    observations of the same value extend the current interval), and
+    emit validity intervals ``[valid_from, valid_to)`` with
+    ``valid_to`` NULL on the open current row.
+
+    Scale shape (100 TB): two windows over the SAME
+    ``partitionBy(key)`` ordering — Catalyst plans one Exchange +
+    one sort and runs both window functions in a single
+    WindowExec pipeline; no joins, no second shuffle. Per-key group
+    sizes are the change-log depth per entity (bounded), so no skew
+    beyond genuinely hot entities.
+
+    Returns ``(key, attr, valid_from, valid_to, version, is_current)``.
+    """
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    changed = (
+        changes.withColumn("__prev", F.lag(F.col(attr)).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(attr) != F.col("__prev"))
+        )
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order_cols)
+    return changed.select(
+        F.col(key),
+        F.col(attr),
+        F.col(valid_col).alias("valid_from"),
+        F.lead(F.col(valid_col)).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead(F.col(valid_col)).over(w2).isNull().alias("is_current"),
+    )

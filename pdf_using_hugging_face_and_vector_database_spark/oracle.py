@@ -1535,4 +1535,169 @@ FROM events GROUP BY 1, 2
 SELECT DISTINCT user_id, event_type FROM events
 """
 
+    from .queries import (
+        FUNNEL_STAGES,
+        LM_BAND_LOW,
+        LM_BAND_MID,
+        MAD_K,
+        MAD_SCALE,
+        RETENTION_ANCHOR,
+        SEG_N,
+    )
+
+    # corpus segment dedup + rewrite: global keep-first occurrence of
+    # every SEG_N-token segment, per-doc reassembly, compared by md5
+    # of the rewritten text
+    sql["segment_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
+  FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(tk[(i-1)*{SEG_N}+1 : i*{SEG_N}], ' ') AS seg
+  FROM toks,
+       unnest(range(1, greatest((len(tk)+{SEG_N}-1)//{SEG_N}, 1)+1)) AS u(i)),
+flagged AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+           AS keep
+  FROM segs),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_segments,
+         sum(keep::INT) AS kept_segments,
+         coalesce(array_to_string(
+           list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '), '')
+           AS clean_text
+  FROM flagged GROUP BY doc_id)
+SELECT doc_id, n_segments, kept_segments,
+       md5(clean_text) AS clean_md5,
+       length(clean_text)::INT AS clean_chars
+FROM rebuilt
+"""
+
+    # bigram-LM cross-entropy: MLE p(w2|w1) over the corpus, per-doc
+    # mean of per-occurrence -ln p (rounded at 6 before the
+    # order-independent decimal sum, like the Spark side)
+    toks_expr = "list_filter(string_split(text, ' '), t -> t != '')"
+    sql["lm_bigram_quality"] = f"""
+WITH toks AS (SELECT doc_id, {toks_expr} AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+  FROM toks, unnest(range(1, len(tk))) AS u(i)),
+c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c) AS ctx FROM c2 GROUP BY 1),
+model AS (
+  SELECT w1, w2, round(-ln(c::DOUBLE / ctx::DOUBLE), 6) AS lp
+  FROM c2 JOIN c1 USING (w1)),
+scored AS (
+  SELECT big.doc_id, model.lp FROM big JOIN model USING (w1, w2)),
+perdoc AS (
+  SELECT t.doc_id,
+         count(s.lp) AS n_bigrams,
+         CASE WHEN count(s.lp) > 0 THEN
+           round({_dsum('s.lp')} / count(s.lp)::DOUBLE, 6)
+         END AS xent
+  FROM toks t LEFT JOIN scored s USING (doc_id)
+  GROUP BY t.doc_id)
+SELECT doc_id, n_bigrams, xent,
+       CASE WHEN xent <= {LM_BAND_LOW} THEN 'low'
+            WHEN xent <= {LM_BAND_MID} THEN 'mid'
+            ELSE 'high' END AS ppl_band
+FROM perdoc
+"""
+
+    # ordered funnel: min-ts chaining per user, one output row per
+    # stage with reached counts + conversion rates
+    s1, s2, s3, s4 = FUNNEL_STAGES
+    sql["funnel_conversion"] = f"""
+WITH r1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{s1}' GROUP BY 1),
+r2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN r1 USING (user_id)
+  WHERE e.event_type = '{s2}' AND e.ts >= r1.t GROUP BY 1),
+r3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN r2 USING (user_id)
+  WHERE e.event_type = '{s3}' AND e.ts >= r2.t GROUP BY 1),
+r4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN r3 USING (user_id)
+  WHERE e.event_type = '{s4}' AND e.ts >= r3.t GROUP BY 1),
+n AS (SELECT (SELECT count(*) FROM r1) AS n1,
+             (SELECT count(*) FROM r2) AS n2,
+             (SELECT count(*) FROM r3) AS n3,
+             (SELECT count(*) FROM r4) AS n4)
+SELECT s.stage_idx, s.stage, s.n_users,
+       round(s.n_users::DOUBLE / s.prev::DOUBLE, 6) AS conv_from_prev,
+       round(s.n_users::DOUBLE / n.n1::DOUBLE, 6) AS conv_from_first
+FROM n, LATERAL (VALUES
+  (1, '{s1}', n.n1, n.n1),
+  (2, '{s2}', n.n2, n.n1),
+  (3, '{s3}', n.n3, n.n2),
+  (4, '{s4}', n.n4, n.n3)) AS s(stage_idx, stage, n_users, prev)
+"""
+
+    # weekly cohort retention vs the fixed anchor
+    sql["retention_cohorts"] = f"""
+WITH evd AS (
+  SELECT user_id,
+         date_diff('day', DATE '{RETENTION_ANCHOR}', ts::DATE) AS day
+  FROM events),
+first AS (SELECT user_id, min(day) AS first_day FROM evd GROUP BY 1),
+cohort AS (SELECT user_id, first_day // 7 AS cohort_week FROM first),
+sz AS (SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1),
+act AS (
+  SELECT DISTINCT evd.user_id, c.cohort_week,
+         evd.day // 7 - c.cohort_week AS week_offset
+  FROM evd JOIN cohort c USING (user_id)),
+agg AS (
+  SELECT cohort_week, week_offset, count(*) AS n_active
+  FROM act GROUP BY 1, 2)
+SELECT a.cohort_week::INT AS cohort_week, a.week_offset::INT AS week_offset,
+       a.n_active, s.cohort_size,
+       round(a.n_active::DOUBLE / s.cohort_size::DOUBLE, 6) AS retention
+FROM agg a JOIN sz s USING (cohort_week)
+"""
+
+    # SCD2 from the orders change log: change-detected priority
+    # intervals per customer
+    sql["scd2_customer_priority"] = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+changed AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM ordered WHERE prev IS NULL OR o_orderpriority <> prev)
+SELECT o_custkey, o_orderpriority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (row_number() OVER w)::INT AS version,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+    # robust MAD outliers: medians rounded at 6 BEFORE scoring in both
+    # engines, so the score arithmetic starts from identical numbers
+    sql["anomaly_mad"] = f"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+  FROM dev GROUP BY 1),
+scored AS (
+  SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+         round(d.ad / ({MAD_SCALE} * m.mad), 6) AS rscore
+  FROM dev d JOIN mad m USING (event_type))
+SELECT event_id, event_type, value, med, mad, rscore
+FROM scored WHERE rscore > {MAD_K}
+"""
+
     return sql

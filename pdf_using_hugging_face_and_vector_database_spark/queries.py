@@ -113,6 +113,19 @@ MIX_SALT = "mix:"
 HYBRID_LEG_K = 20
 HYBRID_K = 10
 RRF_KCONST = 60
+# corpus segment dedup: 8-token segments (calibrated: 3609 segments /
+# 3434 distinct at sf0.01 -> 175 rewrite drops; wider segments halve
+# the duplicate signal on the fixture)
+SEG_N = 8
+# bigram-LM quality bands (fixture xent spread 3.26..3.64, quartiles
+# 3.366 / 3.404 -> both thresholds split the corpus non-trivially)
+LM_BAND_LOW = 3.37
+LM_BAND_MID = 3.41
+# events-analytics sizing
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+RETENTION_ANCHOR = "2024-01-01"   # fixed epoch anchor (fixture starts here)
+MAD_K = 3.0                       # robust-z outlier cut
+MAD_SCALE = 1.4826                # normal-consistency constant
 
 
 def _dsum(col) -> F.Column:
@@ -2147,6 +2160,198 @@ def chunker_separator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------- corpus rewrite + LM quality (round 4b) -------------
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact segment dedup with rewrite (the destructive
+    twin of crossdoc_spans): SEG_N-token segments, global keep-first,
+    per-doc reassembly (operators/text_analysis.segment_dedup_rewrite
+    — one window shuffle on the segment text + one doc_id groupBy)."""
+    from .operators.text_analysis import segment_dedup_rewrite
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = segment_dedup_rewrite(docs, n=SEG_N)
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "kept_segments",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        F.length("clean_text").alias("clean_chars"),
+    )
+
+
+def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: per-doc cross-entropy under a
+    corpus-trained bigram MLE model (operators/text_analysis
+    .bigram_lm_xent), banded low/mid/high on the rounded score so the
+    band is decided on identical numbers in both engines."""
+    from .operators.text_analysis import bigram_lm_xent
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = bigram_lm_xent(docs)
+    band = (
+        F.when(F.col("xent") <= LM_BAND_LOW, F.lit("low"))
+        .when(F.col("xent") <= LM_BAND_MID, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return out.select("doc_id", "n_bigrams", "xent", band.alias("ppl_band"))
+
+
+# ---------------- events analytics (round 4b) ----------------
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events stream: signup -> view -> click
+    -> purchase, each stage's timestamp required AT OR AFTER the
+    user's previous-stage entry (min-ts chaining, the standard product
+    funnel). Output: one row per stage with reached-user counts and
+    conversion rates.
+
+    Scale shape (100 TB): each stage is a filtered scan + one
+    map-side-combined groupBy on user_id; the stage joins are
+    user_id-equi-joins between aggregates (both sides already
+    user-unique, co-partitioned under AQE); the final assembly joins
+    four 1-row aggregates. No window over the raw event stream, no
+    per-user event sorting."""
+    ev = read_table(spark, sf_dir, "events")
+    reached = None
+    stage_counts = []
+    for stage in FUNNEL_STAGES:
+        stage_ev = ev.filter(F.col("event_type") == stage)
+        if reached is None:
+            cur = stage_ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                stage_ev.join(reached, "user_id")
+                .filter(F.col("ts") >= F.col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t2"))
+                .withColumnRenamed("t2", "t")
+            )
+        reached = cur
+        stage_counts.append(
+            cur.agg(F.count(F.lit(1)).alias(f"n_{stage}"))
+        )
+    row = stage_counts[0]
+    for c in stage_counts[1:]:
+        row = row.crossJoin(c)
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col(f"n_{stage}").alias("n_users"),
+                F.round(
+                    F.col(f"n_{stage}").cast("double")
+                    / F.col(f"n_{FUNNEL_STAGES[max(i - 1, 0)]}").cast("double"),
+                    6,
+                ).alias("conv_from_prev"),
+                F.round(
+                    F.col(f"n_{stage}").cast("double")
+                    / F.col(f"n_{FUNNEL_STAGES[0]}").cast("double"),
+                    6,
+                ).alias("conv_from_first"),
+            )
+            for i, stage in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    return row.select(F.explode(stages).alias("s")).select("s.*")
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = week (vs a fixed
+    anchor date) of the user's first event; a cohort is "active at
+    offset k" if any member has an event in cohort_week + k. Output:
+    (cohort_week, week_offset, n_active, cohort_size, retention).
+
+    Scale shape: first-touch is one groupBy(user_id) min; activity is
+    a distinct over (user, week) pairs (cardinality-bounded, NOT the
+    raw event count); the first-touch join is user-unique on both
+    sides. All integer day arithmetic vs a fixed anchor — no
+    engine-specific week()/timezone semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit(RETENTION_ANCHOR))
+    evd = ev.select("user_id", day.alias("day"))
+    first = evd.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    cohort = first.select(
+        "user_id", (F.col("first_day") / 7).cast("int").alias("cohort_week")
+    )
+    size = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        evd.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            ((F.col("day") / 7).cast("int") - F.col("cohort_week")).alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return active.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build from the orders change log: per customer,
+    order-priority history as validity intervals [valid_from,
+    valid_to) with change detection (repeat observations extend the
+    interval) — operators/upsert.scd2_from_changelog: one Exchange,
+    both windows in a single WindowExec pipeline."""
+    from .operators.upsert import scd2_from_changelog
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return scd2_from_changelog(
+        orders,
+        key="o_custkey",
+        attr="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        valid_col="o_orderdate",
+    )
+
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection over event values: per event_type
+    median + MAD (exact interpolated percentiles, rounded to 6 before
+    the score so both engines score identical numbers), flag events
+    with |value - med| / (1.4826 * MAD) > MAD_K.
+
+    Scale shape: exact medians via two percentile aggregations —
+    at 100 TB these become approx_percentile with a documented error
+    budget (the approx_percentiles_gate query measures that swap); the
+    scoring pass is a broadcast join of a 5-row stats table against
+    the scan."""
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "rscore", F.round(F.col("ad") / (F.lit(MAD_SCALE) * F.col("mad")), 6)
+    )
+    return scored.filter(F.col("rscore") > MAD_K).select(
+        "event_id", "event_type", "value", "med", "mad", "rscore"
+    )
+
+
 # ---------------- flagship (entry-point smoke query) ----------------
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2178,7 +2383,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NEW or CHANGED this round always run first, then the queries whose
 # last driver certification is oldest, so that consecutive rounds'
 # files jointly cover all queries with nothing more than 2 rounds
-# stale. Round-4 front: 11 new/changed (dedup_incremental,
+# stale. Round-4 front: 6 round-4b additions (segment_dedup,
+# lm_bigram_quality, funnel_conversion, retention_cohorts,
+# scd2_customer_priority, anomaly_mad) + 11 new/changed (dedup_incremental,
 # stream_dedup_incremental, q3_ann_quantized_rerank,
 # curation_pipeline, stream_pdf_ingest, the 3 re-oracled ANN
 # variants, and the merge/kernel-touched trio) + the 24-query tail
@@ -2187,6 +2394,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r03 (1 round stale, within policy).
 QUERIES = {
     # --- new or changed in round 4 ---
+    "segment_dedup": segment_dedup,
+    "lm_bigram_quality": lm_bigram_quality,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
+    "scd2_customer_priority": scd2_customer_priority,
+    "anomaly_mad": anomaly_mad,
     "gopher_quality": gopher_quality,
     "crossdoc_spans": crossdoc_spans,
     "mixture_sample": mixture_sample_q,

@@ -1,0 +1,142 @@
+"""Unit tests for the round-4b additions: segment dedup rewrite,
+bigram-LM scoring, SCD2 changelog build, funnel / retention /
+MAD-outlier analytics."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+    bigram_lm_xent,
+    segment_dedup_rewrite,
+    token_segments,
+)
+from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+    scd2_from_changelog,
+)
+
+
+def test_token_segments_ragged_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")], ["doc_id", "text"]
+    )
+    rows = token_segments(df, n=2).orderBy("doc_id", "seg_idx").collect()
+    by_doc: dict[int, list[str]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.seg)
+    assert by_doc[1] == ["a b", "c d", "e"]
+    assert by_doc[2] == [""]  # empty doc survives as one empty segment
+    assert by_doc[3] == ["x"]
+
+
+def test_segment_dedup_rewrite_keep_first(spark):
+    # doc 1 owns "a b"; doc 2 repeats it (dropped) and adds "c d";
+    # doc 3 repeats both (entirely rewritten away)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d"), (3, "a b c d")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in segment_dedup_rewrite(df, n=2).collect()
+    }
+    assert out[1].clean_text == "a b" and out[1].kept_segments == 1
+    assert out[2].clean_text == "c d" and out[2].kept_segments == 1
+    assert out[3].clean_text == "" and out[3].kept_segments == 0
+    assert out[3].n_segments == 2
+
+
+def test_segment_dedup_within_doc(spark):
+    # repetition inside a single doc is also deduped (keep-first)
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    row = segment_dedup_rewrite(df, n=2).collect()[0]
+    assert row.clean_text == "a b"
+    assert (row.n_segments, row.kept_segments) == (3, 1)
+
+
+def test_bigram_lm_xent_uniform_and_short(spark):
+    # corpus "a b" x2 and "a c": p(b|a)=2/3, p(c|a)=1/3; the 1-token
+    # doc scores NULL with 0 bigrams instead of disappearing
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "z")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in bigram_lm_xent(df).collect()}
+    import math
+
+    assert out[1].n_bigrams == 1
+    assert abs(out[1].xent - round(-math.log(2 / 3), 6)) < 1e-9
+    assert abs(out[3].xent - round(-math.log(1 / 3), 6)) < 1e-9
+    assert out[4].n_bigrams == 0 and out[4].xent is None
+
+
+def test_scd2_from_changelog(spark):
+    d = datetime.date
+    rows = [
+        # cust 1: A (extended by repeat), then B, then A again
+        (1, "A", d(2024, 1, 1), 1),
+        (1, "A", d(2024, 1, 5), 2),
+        (1, "B", d(2024, 2, 1), 3),
+        (1, "A", d(2024, 3, 1), 4),
+        # cust 2: single observation
+        (2, "C", d(2024, 1, 10), 5),
+    ]
+    df = spark.createDataFrame(rows, ["cust", "prio", "dt", "seq"])
+    out = scd2_from_changelog(
+        df, key="cust", attr="prio", order_cols=["dt", "seq"], valid_col="dt"
+    )
+    got = sorted(
+        (r.cust, r.version, r.prio, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 1, "A", d(2024, 1, 1), d(2024, 2, 1), False),
+        (1, 2, "B", d(2024, 2, 1), d(2024, 3, 1), False),
+        (1, 3, "A", d(2024, 3, 1), None, True),
+        (2, 1, "C", d(2024, 1, 10), None, True),
+    ]
+
+
+def test_funnel_is_ordered(spark, sf_dir):
+    """Each funnel stage's user set must be a subset of the previous
+    stage's, and conversions must be in (0, 1]."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        funnel_conversion,
+    )
+
+    rows = {r.stage_idx: r for r in funnel_conversion(spark, sf_dir).collect()}
+    assert list(rows) and rows[1].conv_from_prev == 1.0
+    ns = [rows[i].n_users for i in sorted(rows)]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    for i in sorted(rows)[1:]:
+        assert 0.0 <= rows[i].conv_from_prev <= 1.0
+        assert rows[i].conv_from_first <= rows[i - 1].conv_from_first
+
+
+def test_retention_offsets_monotone_sane(spark, sf_dir):
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        retention_cohorts,
+    )
+
+    rows = retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.n_active <= r.cohort_size
+        # offset 0 is always fully retained (first event is activity)
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size
+
+
+def test_anomaly_mad_flags_only_tail(spark, sf_dir):
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        MAD_K,
+        anomaly_mad,
+    )
+
+    out = anomaly_mad(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.rscore > MAD_K for r in rows)
+    # outliers must be a strict minority of events
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert len(rows) < ev.count() * 0.2

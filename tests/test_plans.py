@@ -299,3 +299,36 @@ def test_binary_rerank_serving_shape(spark, sf_dir, tmp_path):
     assert has_pushed_filters(out, "vec_id")
     tree2 = formatted_plan(out).split("\n\n")[0]
     assert "Sort " not in tree2, tree2
+
+
+def test_segment_dedup_two_shuffles(spark, sf_dir):
+    """Corpus rewrite = ONE window Exchange on the segment text + ONE
+    reassembly groupBy on doc_id — no joins, nothing all-pairs."""
+    df = Q.segment_dedup(spark, sf_dir)
+    assert count_shuffles(df) <= 2
+    assert "Join" not in formatted_plan(df)
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Change-detect lag + interval lead/version share one
+    partitioning: Catalyst must plan a single Exchange and pipeline
+    both WindowExecs on it."""
+    df = Q.scd2_customer_priority(spark, sf_dir)
+    assert count_shuffles(df) == 1
+
+
+def test_lm_model_join_broadcasts(spark, sf_dir):
+    """The bigram model (vocab^2 rows) must broadcast against the
+    exploded corpus — a sort-merge join here would shuffle the whole
+    corpus on a low-cardinality key."""
+    plan = formatted_plan(Q.lm_bigram_quality(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_mad_stats_broadcast(spark, sf_dir):
+    """Both per-type stats tables (5 rows) broadcast against the event
+    scan; the only shuffles are the two percentile aggregations."""
+    plan = formatted_plan(Q.anomaly_mad(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
