@@ -106,6 +106,12 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "scd2_customer_priority",
     "anomaly_mad",
+    "order_count_distribution",
+    "large_order_customers",
+    "top_supplier_revenue",
+    "returned_items_topk",
+    "rolling_revenue_7d",
+    "acctbal_window_stats",
 ]
 
 

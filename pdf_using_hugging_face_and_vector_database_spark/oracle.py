@@ -1700,4 +1700,89 @@ SELECT event_id, event_type, value, med, mad, rscore
 FROM scored WHERE rscore > {MAD_K}
 """
 
+    from .queries import (
+        LARGE_ORDER_QTY,
+        Q10_END,
+        Q10_START,
+        Q15_END,
+        Q15_START,
+        RETENTION_ANCHOR_TPCH,
+    )
+
+    sql["order_count_distribution"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1
+"""
+
+    sql["large_order_customers"] = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {LARGE_ORDER_QTY})
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.total_qty::DOUBLE AS total_qty
+FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10
+"""
+
+    rev_expr = _dsum("l_extendedprice * (1.0 - l_discount)")
+    sql["top_supplier_revenue"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, {rev_expr} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+    AND l_shipdate <  TIMESTAMP '{Q15_END}'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 6) AS total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+    sql["returned_items_topk"] = f"""
+WITH rev AS (
+  SELECT o.o_custkey, {rev_expr} AS revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{Q10_START}'
+    AND o.o_orderdate <  TIMESTAMP '{Q10_END}'
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       round(rev.revenue, 6) AS revenue
+FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY rev.revenue DESC, c.c_custkey LIMIT 20
+"""
+
+    sql["rolling_revenue_7d"] = f"""
+WITH daily AS (
+  SELECT n.n_name,
+         date_diff('day', DATE '{RETENTION_ANCHOR_TPCH}',
+                   o.o_orderdate::DATE) AS day,
+         {_dsum('o.o_totalprice')} AS day_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2)
+SELECT n_name, day::INT AS day, round(day_rev, 6) AS day_rev,
+       round(CAST(sum(CAST(day_rev AS {DEC})) OVER (
+         PARTITION BY n_name ORDER BY day
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS rev_7d
+FROM daily
+"""
+
+    sql["acctbal_window_stats"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       (ntile(4) OVER w)::INT AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
     return sql

@@ -126,6 +126,12 @@ FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 RETENTION_ANCHOR = "2024-01-01"   # fixed epoch anchor (fixture starts here)
 MAD_K = 3.0                       # robust-z outlier cut
 MAD_SCALE = 1.4826                # normal-consistency constant
+# TPC-H-class breadth sizing (fixture: orders 1995-2001, qty<=50,
+# ~4 items/order -> >170 total qty is a selective large-order cut)
+LARGE_ORDER_QTY = 170
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+Q10_START, Q10_END = "1996-01-01", "1996-04-01"
+RETENTION_ANCHOR_TPCH = "1995-01-01"
 
 
 def _dsum(col) -> F.Column:
@@ -2352,6 +2358,172 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------- TPC-H-class SQL-surface breadth (round 4b) -------------
+
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer LEFT OUTER orders (priority-filtered),
+    per-customer order count, then the count distribution — the
+    left-outer + double-aggregation pattern. Customers with zero
+    qualifying orders must appear in the c_count=0 bucket."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (aggregate-derived IN set, planned as a semi-join),
+    joined back to customer, top-10 by totalprice. The HAVING
+    aggregate runs over lineitem once; orders/customer join it."""
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue over a shipdate quarter,
+    keep supplier(s) whose revenue equals the corpus max (scalar
+    subquery over the SAME aggregate — Catalyst computes the CTE once
+    per branch; ties all surface, deterministically)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = read_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 6).alias("total_revenue"),
+        )
+    )
+
+
+def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer over a
+    quarter of orders, customer/nation broadcast, top-20 TakeOrdered."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_acctbal",
+            F.round("revenue", 6).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding aggregation: per nation, daily order
+    revenue with a 7-day trailing-window sum (RANGE BETWEEN 6
+    PRECEDING, integer day key vs a fixed anchor — no interval-frame
+    dialect drift). Scale shape: one groupBy to daily grain (bounded
+    cardinality: nations x days), then the window runs per-nation over
+    the DAILY series, never the raw orders."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit(RETENTION_ANCHOR_TPCH))
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name"), day.alias("day"))
+        .agg(_dsum(F.col("o_totalprice")).alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "n_name",
+        "day",
+        F.round("day_rev", 6).alias("day_rev"),
+        F.round(
+            F.sum(F.col("day_rev").cast(DEC)).over(w).cast("double"), 6
+        ).alias("rev_7d"),
+    )
+
+
+def acctbal_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth on one partitioned ordering: ntile
+    quartiles, percent_rank, cume_dist over customer balances per
+    market segment — one Exchange, one sort, one WindowExec."""
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 # ---------------- flagship (entry-point smoke query) ----------------
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2400,6 +2572,12 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "scd2_customer_priority": scd2_customer_priority,
     "anomaly_mad": anomaly_mad,
+    "order_count_distribution": order_count_distribution,
+    "large_order_customers": large_order_customers,
+    "top_supplier_revenue": top_supplier_revenue,
+    "returned_items_topk": returned_items_topk,
+    "rolling_revenue_7d": rolling_revenue_7d,
+    "acctbal_window_stats": acctbal_window_stats,
     "gopher_quality": gopher_quality,
     "crossdoc_spans": crossdoc_spans,
     "mixture_sample": mixture_sample_q,

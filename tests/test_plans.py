@@ -332,3 +332,29 @@ def test_anomaly_mad_stats_broadcast(spark, sf_dir):
     plan = formatted_plan(Q.anomaly_mad(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_large_orders_customer_broadcasts(spark, sf_dir):
+    """Q18 shape: the HAVING-aggregate set joins lineitem once; the
+    customer dim broadcasts; final top-10 is TakeOrdered."""
+    df = Q.large_order_customers(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert has_take_ordered(df)
+
+
+def test_rolling_window_runs_on_daily_grain(spark, sf_dir):
+    """The RANGE-frame window must sit above the daily aggregation
+    (nations x days rows), never over the raw orders: exactly one
+    Exchange for the groupBy and one for the window partitioning."""
+    df = Q.rolling_revenue_7d(spark, sf_dir)
+    assert count_shuffles(df) <= 2
+    plan = formatted_plan(df)
+    # dims broadcast; no sort-merge join of the fact table
+    assert "SortMergeJoin" not in plan
+
+
+def test_acctbal_window_single_exchange(spark, sf_dir):
+    """ntile + percent_rank + cume_dist share one (partition, order):
+    one Exchange, one WindowExec pipeline."""
+    assert count_shuffles(Q.acctbal_window_stats(spark, sf_dir)) == 1
