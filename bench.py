@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "segment_dedup",
     "lm_bigram_quality",
+    "semantic_dedup",
     "neardup_groups",
     "neardup_simhash",
     "neardup_jaccard",

@@ -1776,6 +1776,53 @@ SELECT n_name, day::INT AS day, round(day_rev, 6) AS day_rev,
 FROM daily
 """
 
+    # SemDeDup: derived clustered corpus -> signed-projection bucket
+    # (sequential per-plane dot, same fold order as the Spark
+    # aggregate) -> within-bucket pairs -> drop the later id of every
+    # pair with round(cos, 6) >= threshold
+    from .functions.hashing import md5_int_py
+    from .queries import ANN_ALPHA as _SD_ALPHA
+    from .queries import SEMDEDUP_COS, SEMDEDUP_PLANES
+
+    plane_w = [
+        [
+            md5_int_py(f"plane:{p}:{j}") / 16777215.0 * 2.0 - 1.0
+            for j in range(EMBED_DIM)
+        ]
+        for p in range(SEMDEDUP_PLANES)
+    ]
+    sd_cents = [det_embed_py(f"cluster:{l}", EMBED_DIM) for l in range(ANN_N_LABELS)]
+    sd_cent_lit = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in sd_cents)
+        + "]::DOUBLE[][]"
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN ("
+        + " + ".join(f"e[{j + 1}] * {plane_w[p][j]!r}" for j in range(EMBED_DIM))
+        + f") > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(SEMDEDUP_PLANES)
+    )
+    sql["semantic_dedup"] = f"""
+WITH cents AS (SELECT {sd_cent_lit} AS cs),
+derived AS (
+  SELECT vec_id, label,
+         list_transform(range(1, {EMBED_DIM + 1}),
+           i -> cs[label + 1][i] + {_SD_ALPHA!r}::DOUBLE * embedding[i]) AS e
+  FROM embeddings CROSS JOIN cents),
+bucketed AS (
+  SELECT vec_id, label, e, ({bucket_terms})::BIGINT AS bucket FROM derived),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_cos('a.e', 'b.e', EMBED_DIM)}, 6) >= {SEMDEDUP_COS}),
+drops AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+SELECT b.vec_id, b.label, b.bucket,
+       (d.vec_id IS NOT NULL) AS is_dropped
+FROM bucketed b LEFT JOIN drops d USING (vec_id)
+"""
+
     sql["acctbal_window_stats"] = """
 SELECT c_custkey, c_mktsegment, c_acctbal,
        (ntile(4) OVER w)::INT AS quartile,

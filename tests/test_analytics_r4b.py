@@ -140,3 +140,26 @@ def test_anomaly_mad_flags_only_tail(spark, sf_dir):
     # outliers must be a strict minority of events
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert len(rows) < ev.count() * 0.2
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Every vector gets exactly one verdict; drops are a strict
+    minority; and a dropped vector always has an earlier-id kept-or-
+    dropped neighbor in the same bucket (keep-earliest rule can never
+    drop the earliest member of a bucket)."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        semantic_dedup,
+    )
+
+    out = semantic_dedup(spark, sf_dir).collect()
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == emb_n
+    dropped = [r for r in out if r.is_dropped]
+    assert len(dropped) < emb_n / 2
+    min_per_bucket: dict[int, int] = {}
+    for r in out:
+        min_per_bucket[r.bucket] = min(
+            min_per_bucket.get(r.bucket, 1 << 60), r.vec_id
+        )
+    for r in dropped:
+        assert r.vec_id != min_per_bucket[r.bucket]
