@@ -113,6 +113,20 @@ BENCH_QUERIES = [
     "returned_items_topk",
     "rolling_revenue_7d",
     "acctbal_window_stats",
+    "min_cost_supplier",
+    "priority_order_counts",
+    "nation_pair_volume",
+    "market_share",
+    "product_profit",
+    "important_parts",
+    "shipmode_priority",
+    "promo_revenue_pct",
+    "supplier_part_counts",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "excess_volume_suppliers",
+    "waiting_suppliers",
+    "idle_rich_customers",
 ]
 
 

@@ -1832,4 +1832,262 @@ FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
+    # ---- full-22 TPC-H shape closure (same constants as queries.py;
+    # every threshold that gates a per-key TOTAL is a fraction of a
+    # same-query global aggregate so selectivity is SF-invariant) ----
+    from .queries import (
+        Q2_MAX_SIZE,
+        Q2_REGION,
+        Q2_TOPN,
+        Q4_END,
+        Q4_LATE_DAYS,
+        Q4_START,
+        Q7_END,
+        Q7_NATION_A,
+        Q7_NATION_B,
+        Q7_START,
+        Q8_NATION,
+        Q8_REGION,
+        Q8_TYPE,
+        Q9_COST_FRAC,
+        Q9_NAME_FRAG,
+        Q11_MEAN_MULT,
+        Q11_REGION,
+        Q12_END,
+        Q12_HIGH,
+        Q12_SLOW_DAYS,
+        Q12_START,
+        Q14_END,
+        Q14_START,
+        Q16_EXCL_BRAND,
+        Q17_BRAND,
+        Q17_QTY_FRAC,
+        Q19_BRANCHES,
+        Q20_NAME_PREFIX,
+        Q20_REGION,
+        Q20_VOL_FACTOR,
+        Q21_LATE_DAYS,
+        Q21_NATIONS,
+        Q21_TOPN,
+        Q22_CODE_MOD,
+        Q22_IDLE_START,
+    )
+
+    sql["min_cost_supplier"] = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         {_dsum('l_extendedprice')} / {_dsum('l_quantity')} AS unit_price
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+  GROUP BY 1, 2)
+SELECT p_partkey, p_brand, s_name, round(unit_price, 4) AS min_unit_price
+FROM cost
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size <= {Q2_MAX_SIZE}
+  AND unit_price = (SELECT min(unit_price) FROM cost c2
+                    WHERE c2.l_partkey = cost.l_partkey)
+ORDER BY min_unit_price DESC, p_partkey, s_name
+LIMIT {Q2_TOPN}
+"""
+
+    sql["priority_order_counts"] = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
+  AND o_orderdate <  TIMESTAMP '{Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+    sql["nation_pair_volume"] = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate)::INT AS ship_year,
+       {rev_expr} AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+    OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}'))
+  AND l_shipdate >= TIMESTAMP '{Q7_START}'
+  AND l_shipdate <  TIMESTAMP '{Q7_END}'
+GROUP BY 1, 2, 3
+"""
+
+    cond_rev = (
+        f"CASE WHEN sn.n_name = '{Q8_NATION}' "
+        "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END"
+    )
+    sql["market_share"] = f"""
+SELECT year(o_orderdate)::INT AS order_year,
+       round({_dsum(cond_rev)} / {rev_expr}, 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+GROUP BY 1
+"""
+
+    profit_expr = (
+        "l_extendedprice * (1.0 - l_discount) "
+        f"- {Q9_COST_FRAC!r}::DOUBLE * p_retailprice * l_quantity"
+    )
+    sql["product_profit"] = f"""
+SELECT n_name AS nation, year(o_orderdate)::INT AS order_year,
+       {_dsum(profit_expr)} AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{Q9_NAME_FRAG}%'
+GROUP BY 1, 2
+"""
+
+    sql["important_parts"] = f"""
+WITH val AS (
+  SELECT l_partkey, SUM(CAST(l_quantity * p_retailprice AS {DEC})) AS pv_dec
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q11_REGION}'
+  GROUP BY 1)
+SELECT l_partkey AS partkey, round(CAST(pv_dec AS DOUBLE), 2) AS part_value
+FROM val
+WHERE CAST(pv_dec AS DOUBLE)
+      > {Q11_MEAN_MULT!r}
+        * (SELECT CAST(sum(pv_dec) AS DOUBLE) / count(*) FROM val)
+ORDER BY part_value DESC, partkey
+"""
+
+    high_list = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    sql["shipmode_priority"] = f"""
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q12_SLOW_DAYS} DAY
+            THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+       SUM(CASE WHEN o_orderpriority IN ({high_list}) THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ({high_list}) THEN 1 ELSE 0 END)::BIGINT
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_START}'
+  AND l_shipdate <  TIMESTAMP '{Q12_END}'
+GROUP BY 1 ORDER BY 1
+"""
+
+    promo_rev = (
+        f"CASE WHEN p_type = '{Q8_TYPE}' "
+        "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END"
+    )
+    sql["promo_revenue_pct"] = f"""
+SELECT round(100.0 * {_dsum(promo_rev)} / {rev_expr}, 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_START}'
+  AND l_shipdate <  TIMESTAMP '{Q14_END}'
+"""
+
+    sql["supplier_part_counts"] = f"""
+SELECT p_brand, p_type, (p_size // 10)::INT AS size_decade,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+    sql["small_qty_revenue"] = f"""
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'),
+thresh AS (
+  SELECT l_partkey,
+         {Q17_QTY_FRAC!r} * ({_dsum('l_quantity')} / count(*)) AS qty_cut
+  FROM brand_li GROUP BY 1)
+SELECT round({_dsum('l_extendedprice')} / 7.0, 4) AS avg_yearly
+FROM brand_li JOIN thresh USING (l_partkey)
+WHERE l_quantity < qty_cut
+"""
+
+    q19_pred = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_BRANCHES
+    )
+    sql["disjunctive_revenue"] = f"""
+SELECT {rev_expr} AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {q19_pred}
+"""
+
+    sql["excess_volume_suppliers"] = f"""
+WITH redvol AS (
+  SELECT l_suppkey, {_dsum('l_quantity')} AS red_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, round(red_qty, 1) AS red_qty
+FROM supplier
+JOIN redvol ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q20_REGION}'
+  AND red_qty > (SELECT {Q20_VOL_FACTOR!r}
+                 * (CAST(SUM(CAST(red_qty AS {DEC})) AS DOUBLE) / count(*))
+                 FROM redvol)
+ORDER BY s_suppkey
+"""
+
+    q21_nations = ", ".join(f"'{n}'" for n in Q21_NATIONS)
+    sql["waiting_suppliers"] = f"""
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+  AND n_name IN ({q21_nations})
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate
+                        + INTERVAL {Q21_LATE_DAYS} DAY)
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT {Q21_TOPN}
+"""
+
+    sql["idle_rich_customers"] = f"""
+SELECT CAST(c_custkey % {Q22_CODE_MOD} AS VARCHAR) AS cntrycode,
+       count(*) AS numcust,
+       {_dsum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {_dsum('c_acctbal')} / count(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_IDLE_START}')
+GROUP BY 1 ORDER BY 1
+"""
+
     return sql

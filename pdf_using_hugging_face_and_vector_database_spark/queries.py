@@ -137,6 +137,47 @@ LARGE_ORDER_QTY = 170
 Q15_START, Q15_END = "1996-01-01", "1996-04-01"
 Q10_START, Q10_END = "1996-01-01", "1996-04-01"
 RETENTION_ANCHOR_TPCH = "1995-01-01"
+# full-22 TPC-H shape sizing. Thresholds that gate on a per-key TOTAL
+# are expressed as fractions of a same-query global aggregate (scalar
+# subquery) so they stay selective at every SF — an absolute cutoff
+# calibrated at sf0.01 would select everything at sf0.1 and nothing at
+# sf10. Per-row cutoffs (quantity, size, dates) are SF-invariant and
+# stay absolute.
+Q2_REGION = "ASIA"
+Q2_MAX_SIZE = 5
+Q2_TOPN = 20
+Q4_LATE_DAYS = 60                 # ship > order + 60d ~ commit<receipt proxy
+Q4_START, Q4_END = "1996-01-01", "1996-04-01"
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_START, Q7_END = "1996-01-01", "1998-01-01"
+Q8_REGION, Q8_NATION, Q8_TYPE = "ASIA", "NATION_3", "PROMO"
+Q9_NAME_FRAG = "widget"
+Q9_COST_FRAC = 0.1                # retailprice fraction ~ supplycost proxy
+Q11_REGION = "EUROPE"
+# TPC-H scales Q11's HAVING fraction by 1/SF because the part count
+# grows with SF; a mean-relative multiplier is the SF-invariant
+# equivalent (1.6x mean == the 0.0008 fraction at sf0.01's 2000 parts)
+Q11_MEAN_MULT = 1.6
+Q12_SLOW_DAYS = 30
+Q12_START, Q12_END = "1996-01-01", "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+Q14_START, Q14_END = "1996-03-01", "1996-04-01"
+Q16_EXCL_BRAND = "Brand#1"
+Q17_BRAND = "Brand#4"
+Q17_QTY_FRAC = 0.5
+Q19_BRANCHES = (                  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 10, 1, 15),
+    ("Brand#23", 10, 25, 10, 30),
+    ("Brand#34", 20, 40, 20, 45),
+)
+Q20_NAME_PREFIX = "red"
+Q20_REGION = "AMERICA"
+Q20_VOL_FACTOR = 1.05             # suppliers >5% above mean red volume
+Q21_LATE_DAYS = 90
+Q21_NATIONS = tuple(f"NATION_{i}" for i in range(1, 6))
+Q21_TOPN = 20
+Q22_CODE_MOD = 10                 # cntrycode proxy: custkey mod 10
+Q22_IDLE_START = "2000-01-01"
 
 
 def _dsum(col) -> F.Column:
@@ -2568,6 +2609,521 @@ def acctbal_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------- full-22 TPC-H shape closure ----------------
+# The eight shapes already covered elsewhere: Q1 tpch_q1_pricing,
+# Q3 top_unshipped_orders, Q5 local_supplier_volume, Q6
+# q6_revenue_band, Q10 returned_items_topk, Q13
+# order_count_distribution, Q15 top_supplier_revenue, Q18
+# large_order_customers. The fourteen below close the remaining
+# query-shape families (correlated scalar subqueries, ratio-of-
+# conditional-sums, nation-pair joins, NOT IN, double-EXISTS,
+# disjunctive pushdown) against the driver's schema (no partsupp /
+# commitdate / shipmode — each docstring names its adaptation).
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: supply cost := realized unit
+    price l_extendedprice/l_quantity per part x supplier in one
+    region). The correlated `= (SELECT min ...)` is expressed as an
+    aggregate + equi-join-back on partkey — the same shuffle key as
+    the aggregate, so Catalyst reuses the partitioning; the final
+    top-20 is TakeOrdered. Both sums route through DECIMAL and the
+    division happens on the two exact-cast doubles, so the argmin is
+    bit-identical cross-engine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= Q2_MAX_SIZE
+    )
+    cost = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (_dsum(F.col("l_extendedprice")) / _dsum(F.col("l_quantity"))).alias(
+                "unit_price"
+            )
+        )
+    )
+    min_cost = cost.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("min_up")
+    )
+    supp_dim = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        cost.join(min_cost, "l_partkey")
+        .filter(F.col("unit_price") == F.col("min_up"))
+        .join(part, cost.l_partkey == part.p_partkey)
+        .join(supp_dim, cost.l_suppkey == supp_dim.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("unit_price", 4).alias("min_unit_price"),
+        )
+        .orderBy(F.desc("min_unit_price"), "p_partkey", "s_name")
+        .limit(Q2_TOPN)
+    )
+
+
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (no commit/receipt dates: a late line is
+    l_shipdate > o_orderdate + 60 days): order counts per priority for
+    one quarter where EXISTS a late line — a left-semi join keyed on
+    orderkey with the date condition riding along, so lineitem is
+    never aggregated, and the quarter filter pushes to the orders
+    scan."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAY")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by ship
+    year, supplier side vs customer side. The two nation dims
+    broadcast under distinct aliases; the pair predicate is a
+    disjunction over the two broadcast columns, evaluated after both
+    map-side joins — no shuffle is keyed on it."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q7_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_END).cast("timestamp"))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    sn = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A)
+        & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B)
+        & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("volume")
+        )
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue among
+    one region's customers, per order year — a ratio of two
+    conditional sums over the same 7-way join. Numerator and
+    denominator are each exact decimal sums cast to double once, so
+    the division (and its round-6) cannot drift cross-engine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    sn = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), cust.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(region), cn.n_regionkey == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                _dsum(
+                    F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / _dsum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp: supply cost := 10% of
+    p_retailprice per unit): profit on name-matched parts by supplier
+    nation and order year. The LIKE filter prunes part before any
+    join; the profit expression folds in whole-stage codegen and sums
+    through DECIMAL."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_NAME_FRAG)
+    )
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - (
+        F.lit(Q9_COST_FRAC) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(_dsum(profit).alias("profit"))
+    )
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp: inventory value := shipped
+    quantity x retail price through one region's suppliers): parts
+    whose value exceeds a multiple of the MEAN part value — the HAVING
+    scalar subquery is a 1-row broadcast cross join over the same
+    aggregate, so the per-part values are computed once. The cut is
+    mean-relative (TPC-H scales its absolute fraction by 1/SF for the
+    same reason: part count grows with SF). Sums stay in exact DECIMAL
+    through the global mean; each side is cast to double once before
+    the threshold compare, so the cut is deterministic at any
+    parallelism."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q11_REGION
+    )
+    val = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_quantity") * F.col("p_retailprice")).cast(DEC)).alias(
+                "pv_dec"
+            )
+        )
+    )
+    mean = val.agg(
+        (F.sum("pv_dec").cast("double") / F.count(F.lit(1))).alias("mean_value")
+    )
+    return (
+        val.crossJoin(F.broadcast(mean))
+        .filter(
+            F.col("pv_dec").cast("double")
+            > F.lit(Q11_MEAN_MULT) * F.col("mean_value")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("pv_dec").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode: mode := ship-delay bucket,
+    SLOW when shipped >30 days after ordering): high- vs low-priority
+    line counts per bucket for one ship year — conditional CASE
+    aggregation over the orders join, date filter pushed to the
+    lineitem scan."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q12_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_END).cast("timestamp"))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_SLOW_DAYS} DAY"),
+        "SLOW",
+    ).otherwise("FAST")
+    high = F.col("o_orderpriority").isin(list(Q12_HIGH))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO-part share of one ship month's revenue,
+    as 100 x conditional-sum / sum — single-row result, both sums
+    exact decimal cast to double once before the divide."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_END).cast("timestamp"))
+    )
+    part = read_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * _dsum(F.when(F.col("p_type") == Q8_TYPE, vol).otherwise(F.lit(0.0)))
+            / _dsum(vol),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type,
+    size decade), excluding one brand and NOT IN the
+    negative-balance supplier list. The NOT IN subquery is a
+    broadcast anti join (6 rows at sf0.01 — and supplier stays tiny
+    relative to lineitem at every SF); count(DISTINCT) expands to the
+    standard two-phase partial-distinct aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != Q16_EXCL_BRAND
+    )
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy(
+            "p_brand",
+            "p_type",
+            F.expr("p_size div 10").cast("int").alias("size_decade"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue/7 from lines of one brand whose
+    quantity is below half that PART's average quantity. The
+    correlated AVG subquery is an aggregate over lineitem joined back
+    on partkey; the average is computed as exact-decimal-sum / count
+    so the per-part threshold is engine-independent. The brand filter
+    prunes part FIRST and the threshold aggregate runs only over the
+    brand's lines (semantics identical: the correlation is per-part)."""
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    brand_li = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    thresh = brand_li.groupBy("l_partkey").agg(
+        (
+            F.lit(Q17_QTY_FRAC)
+            * (_dsum(F.col("l_quantity")) / F.count(F.lit(1)))
+        ).alias("qty_cut")
+    )
+    return (
+        brand_li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(_dsum(F.col("l_extendedprice")) / F.lit(7.0), 4).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    part attributes (brand, size) and line attributes (quantity).
+    The brand/size half of every branch pushes to the part scan as
+    one disjunction; the mixed residual evaluates post-join in
+    codegen."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    branch = None
+    for brand, slo, shi, qlo, qhi in Q19_BRANCHES:
+        b = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        branch = b if branch is None else (branch | b)
+    return joined.filter(branch).agg(
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: one region's suppliers whose shipped volume of
+    name-prefixed parts exceeds 1.05x the cross-supplier mean — the
+    nested IN(agg) subquery becomes an aggregate + scalar-threshold
+    semi filter. The threshold is a fraction of a same-query global
+    mean (not an absolute cutoff), so selectivity is SF-invariant."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q20_REGION
+    )
+    redvol = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_quantity")).alias("red_qty"))
+    )
+    mean = redvol.agg(
+        (
+            F.lit(Q20_VOL_FACTOR)
+            * (_dsum(F.col("red_qty")) / F.count(F.lit(1)))
+        ).alias("qty_cut")
+    )
+    return (
+        supp.join(redvol, supp.s_suppkey == redvol.l_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .crossJoin(F.broadcast(mean))
+        .filter(F.col("red_qty") > F.col("qty_cut"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("red_qty", 1).alias("red_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (late := shipped >90 days after ordering):
+    suppliers in five nations who were the SOLE late shipper on a
+    finished multi-supplier order — EXISTS(other supplier on the
+    order) as a left-semi self-join, NOT EXISTS(other LATE supplier)
+    as a left-anti against the late subset, both keyed on orderkey
+    with the supplier-inequality riding the join condition. lineitem
+    is never aggregated before the semi/anti filters."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(list(Q21_NATIONS))
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q21_LATE_DAYS} DAY"
+    )
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = l1.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    sole_late = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOPN)
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (cntrycode := custkey mod 10; "no orders" :=
+    none since 2000, an SF-invariant idleness window): count and
+    total balance of above-average-balance customers with no recent
+    orders, per code. The positive-balance average is a 1-row
+    broadcast scalar (exact decimal sum / count); the NOT EXISTS is a
+    left-anti against the date-pruned orders scan."""
+    cust = read_table(spark, sf_dir, "customer")
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_IDLE_START).cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(
+            (F.col("c_custkey") % Q22_CODE_MOD).cast("string").alias("cntrycode")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 # ---------------- flagship (entry-point smoke query) ----------------
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2612,6 +3168,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unchanged since) are expected to slip; ROUND 5 MUST LEAD WITH THEM.
 # Everything past the cap stays covered by CORRECTNESS_r03 (1 round
 # stale, within policy).
+#
+# The 14 late-round-4 TPC-H-closure queries (min_cost_supplier ..
+# idle_rich_customers) are appended at the END, not the front: the
+# certification budget this round belongs to the r1/r2 tail per the
+# staleness policy, and they are locally oracle-verified
+# (tools/compare_oracle.py). ROUND 5's front must be: orders_calendar,
+# percentiles_acctbal, events_json_props (slipped tail), then these
+# 14, then anything new/changed in round 5.
 QUERIES = {
     # --- new or changed in round 4 ---
     "segment_dedup": segment_dedup,
@@ -2713,4 +3277,19 @@ QUERIES = {
     "approx_distinct_parts": approx_distinct_parts,
     "tpch_q1_pricing": tpch_q1_pricing,
     "revenue_by_nation": revenue_by_nation,
+    # --- late round 4: full-22 TPC-H shape closure (round-5 front) ---
+    "min_cost_supplier": min_cost_supplier,
+    "priority_order_counts": priority_order_counts,
+    "nation_pair_volume": nation_pair_volume,
+    "market_share": market_share,
+    "product_profit": product_profit,
+    "important_parts": important_parts,
+    "shipmode_priority": shipmode_priority,
+    "promo_revenue_pct": promo_revenue_pct,
+    "supplier_part_counts": supplier_part_counts,
+    "small_qty_revenue": small_qty_revenue,
+    "disjunctive_revenue": disjunctive_revenue,
+    "excess_volume_suppliers": excess_volume_suppliers,
+    "waiting_suppliers": waiting_suppliers,
+    "idle_rich_customers": idle_rich_customers,
 }
