@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "excess_volume_suppliers",
     "waiting_suppliers",
     "idle_rich_customers",
+    "bpe_merges",
+    "dsir_select",
 ]
 
 

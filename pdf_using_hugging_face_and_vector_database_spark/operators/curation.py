@@ -187,3 +187,76 @@ def contamination_hits(
         .groupBy("corpus_doc", "bench_doc")
         .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 64,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much its hashed-unigram feature distribution looks
+    like a TARGET slice of the corpus versus the corpus overall —
+    weight = mean over the doc's tokens of
+    log(p_target(bucket) / p_raw(bucket)), add-alpha smoothed.
+
+    Scale shape: one explode + TWO conditional aggregations produce
+    the (n_buckets)-row distribution table (map-side combined — the
+    shuffle carries n_buckets rows per task); the per-doc score is a
+    broadcast join of that tiny table onto the exploded tokens and one
+    groupBy(doc). Nothing is ever quadratic and the corpus is scanned
+    once.
+
+    Cross-engine determinism: bucket log-ratios are computed over
+    integer counts (exact), rounded to 9 dp BEFORE the per-doc mean
+    (ln may differ by an ulp between engines), summed through exact
+    DECIMAL, and the final weight is round(., 6).
+    """
+    from ..functions.hashing import md5_int
+    from ..functions.text import tokens
+
+    # scale-9 carrier: log_ratio is rounded to 9 dp, so the decimal
+    # cast must be EXACT (a 6-scale carrier would re-round the last 3
+    # digits under engine-specific cast rounding — observed mismatch)
+    DEC9 = "decimal(27,9)"
+    grams = df.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(tokens(F.col(text_col))).alias("gram"),
+    ).withColumn("bucket", md5_int(F.col("gram")) % n_buckets)
+
+    counts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("raw_cnt").alias("raw_total"), F.sum("tgt_cnt").alias("tgt_total")
+    )
+    stats = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("tgt_cnt") + F.lit(alpha))
+                 / (F.col("tgt_total") + F.lit(alpha * n_buckets)))
+                / ((F.col("raw_cnt") + F.lit(alpha))
+                   / (F.col("raw_total") + F.lit(alpha * n_buckets)))
+            ),
+            9,
+        ).alias("log_ratio"),
+    )
+    return (
+        grams.join(F.broadcast(stats), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(F.col("log_ratio").cast(DEC9)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dsir_weight"),
+        )
+    )

@@ -419,3 +419,104 @@ def bigram_lm_xent(
             ),
         ).alias("xent"),
     )
+
+
+BPE_EOW = "</w>"
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE merge induction (Sennrich et al. 2016): the
+    first ``n_merges`` merge rules learned from the corpus.
+
+    Scale shape — the one trick every BPE-at-scale trainer uses: the
+    corpus is scanned ONCE into the word histogram (explode + one
+    map-side-combined groupBy); every merge round after that runs on
+    the HISTOGRAM (vocabulary-scale, millions of rows at 100 TB, never
+    the corpus). Each round is one explode+groupBy over the histogram
+    plus a 1-row collect (the argmax pair), and the evolving histogram
+    is persist_tracked so round r+1 does not recompute rounds 0..r.
+
+    Symbol sequences are bracket-delimited strings (``[h][i][</w>]``)
+    so that applying a merge is ONE literal ``replace``: the pattern
+    ``[a][b]`` consumes its delimiters entirely (no shared boundary
+    chars), making left-to-right non-overlapping replace exactly the
+    greedy BPE application rule — identical semantics in Spark and
+    DuckDB, no regex dialect, no lookaround (the oracle replays the
+    same replace chain).
+
+    Ties on pair count break (count desc, lhs asc, rhs asc) — ASCII
+    binary compare in both engines.
+    """
+    from ..caching import persist_tracked
+    from ..functions.text import tokens
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    vocab = persist_tracked(
+        words.select(
+            "cnt",
+            F.concat(
+                F.lit("["),
+                F.array_join(chars, "]["),
+                F.lit("]["),
+                F.lit(BPE_EOW),
+                F.lit("]"),
+            ).alias("seq"),
+        )
+    )
+
+    merge_rows = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), r"\]\["
+        )
+        pairs = (
+            vocab.select("cnt", syms.alias("syms"))
+            .select("cnt", "syms", F.posexplode("syms").alias("i", "lhs"))
+            .filter(F.col("i") < F.size("syms") - 1)
+            .select(
+                "cnt",
+                "lhs",
+                F.element_at("syms", F.col("i") + 2).alias("rhs"),
+            )
+        )
+        top = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, pc = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
+        merge_rows.append((rank, lhs, rhs, lhs + rhs, pc))
+        # NOTE: the previous round's cache must stay alive until the
+        # NEXT round's collect materializes this lazy select (else
+        # every round recomputes from the corpus scan — O(K) scans);
+        # release_caches() retires the K vocabulary-scale snapshots
+        # when the query completes.
+        vocab = persist_tracked(
+            vocab.select(
+                "cnt",
+                F.replace(
+                    F.col("seq"),
+                    F.lit(f"[{lhs}][{rhs}]"),
+                    F.lit(f"[{lhs}{rhs}]"),
+                ).alias("seq"),
+            )
+        )
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merge_rows,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count long",
+    )

@@ -2090,4 +2090,106 @@ WHERE c_acctbal > (SELECT {_dsum('c_acctbal')} / count(*)
 GROUP BY 1 ORDER BY 1
 """
 
+    # BPE merge induction: replay the EXACT merge chain — word
+    # histogram -> bracket-delimited symbol strings -> K rounds of
+    # (pair count, argmax, literal replace). The bracket encoding
+    # makes greedy merge application a plain replace() in both
+    # engines (pattern '[a][b]' consumes its delimiters, so
+    # left-to-right non-overlapping replace == BPE's application
+    # rule); ties break (count desc, lhs, rhs) = binary ASCII in both.
+    from .operators.text_analysis import BPE_EOW
+    from .queries import BPE_N_MERGES
+
+    # every CTE is MATERIALIZED: the reference tree (p{r} and v{r+1}
+    # both read v{r}; the replace reads t{r} four times) otherwise
+    # re-inlines each level multiplicatively — measured 200s+ for the
+    # 6-round chain vs ~1s materialized
+    bpe_ctes = [
+        f"""v0 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS cnt,
+         '[' || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> word[i]), '][')
+           || '][{BPE_EOW}]' AS seq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t != ''))
+          AS word FROM documents)
+  GROUP BY word)"""
+    ]
+    for r in range(BPE_N_MERGES):
+        bpe_ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT string_split(pr, chr(9))[1] AS lhs,
+         string_split(pr, chr(9))[2] AS rhs,
+         SUM(cnt)::BIGINT AS pair_count
+  FROM (SELECT cnt,
+               unnest(list_transform(range(1, len(syms)),
+                 i -> syms[i] || chr(9) || syms[i + 1])) AS pr
+        FROM (SELECT cnt,
+                     string_split(substr(seq, 2, length(seq) - 2), '][')
+                       AS syms
+              FROM v{r}))
+  GROUP BY 1, 2),
+t{r} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{r}
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+v{r + 1} AS MATERIALIZED (
+  SELECT cnt,
+         replace(seq,
+           '[' || (SELECT lhs FROM t{r}) || '][' || (SELECT rhs FROM t{r}) || ']',
+           '[' || (SELECT lhs FROM t{r}) || (SELECT rhs FROM t{r}) || ']') AS seq
+  FROM v{r})"""
+        )
+    bpe_union = "\nUNION ALL\n".join(
+        f"SELECT {r + 1}::INT AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+        f" pair_count FROM t{r}"
+        for r in range(BPE_N_MERGES)
+    )
+    sql["bpe_merges"] = (
+        "WITH " + ",\n".join(bpe_ctes) + "\n" + bpe_union
+    )
+
+    # DSIR: same hashed-unigram buckets (md5 24-bit prefix), same
+    # add-alpha smoothing; bucket log-ratios rounded to 9 dp BEFORE
+    # the per-doc decimal-exact mean (ln may differ by an ulp across
+    # engines), weight rounded to 6. All smoothing literals are
+    # ::DOUBLE so DuckDB can't route the ratio through DECIMAL
+    # division.
+    from .queries import (
+        DSIR_ALPHA,
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCE,
+    )
+
+    _a = f"{DSIR_ALPHA!r}::DOUBLE"
+    _ab = f"{DSIR_ALPHA * DSIR_BUCKETS!r}::DOUBLE"
+    sql["dsir_select"] = f"""
+WITH grams AS MATERIALIZED (
+  SELECT doc_id, (source = '{DSIR_TARGET_SOURCE}') AS is_target,
+         {_h24('gram')} % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, source,
+               unnest(list_filter(string_split(text, ' '), t -> t != ''))
+                 AS gram
+        FROM documents)),
+counts AS (
+  SELECT bucket, count(*)::BIGINT AS raw_cnt,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS tgt_cnt
+  FROM grams GROUP BY 1),
+tot AS (SELECT SUM(raw_cnt)::BIGINT AS raw_total,
+               SUM(tgt_cnt)::BIGINT AS tgt_total FROM counts),
+stats AS (
+  SELECT bucket,
+         round(ln(((tgt_cnt + {_a}) / (tgt_total + {_ab}))
+                / ((raw_cnt + {_a}) / (raw_total + {_ab}))), 9) AS log_ratio
+  FROM counts, tot),
+w AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         round(CAST(SUM(CAST(log_ratio AS DECIMAL(27,9))) AS DOUBLE)
+               / count(*), 6) AS dsir_weight
+  FROM grams JOIN stats USING (bucket)
+  GROUP BY 1)
+SELECT doc_id, n_grams, dsir_weight,
+       dsir_weight > (SELECT round(
+           CAST(SUM(CAST(dsir_weight AS {DEC})) AS DOUBLE) / count(*), 6)
+         FROM w) AS selected
+FROM w
+"""
+
     return sql

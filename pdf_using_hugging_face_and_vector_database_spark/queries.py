@@ -178,6 +178,17 @@ Q21_NATIONS = tuple(f"NATION_{i}" for i in range(1, 6))
 Q21_TOPN = 20
 Q22_CODE_MOD = 10                 # cntrycode proxy: custkey mod 10
 Q22_IDLE_START = "2000-01-01"
+# BPE merge induction: enough rounds to exercise merged-symbol pairs
+# (rounds 4/6 on the fixture merge 'er'+'</w>' and 'ow'+'</w>')
+BPE_N_MERGES = 6
+# DSIR importance resampling: src0 is the target slice. The selection
+# cut is the CORPUS MEAN weight (same-query scalar), not an absolute
+# number — the weight distribution's location shifts with the fixture
+# mix across SFs (an absolute cut measured at sf0.01 selected 93% at
+# sf0.1), while above-mean selection stays balanced at every SF.
+DSIR_TARGET_SOURCE = "src0"
+DSIR_BUCKETS = 64
+DSIR_ALPHA = 0.5
 
 
 def _dsum(col) -> F.Column:
@@ -3124,6 +3135,54 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: hashed-unigram importance weight of
+    every document against the src0 target slice
+    (operators/curation.dsir_weights), plus the selection verdict at
+    the calibrated cut. One corpus scan, bucket-table broadcast."""
+    from .operators.curation import dsir_weights
+
+    docs = read_table(spark, sf_dir, "documents")
+    from .caching import persist_tracked
+
+    # weights feed both the output and the mean scalar — persist so
+    # the gram pipeline runs once (doc-scale table, released by the
+    # harness after collection)
+    w = persist_tracked(
+        dsir_weights(
+            docs,
+            F.col("source") == DSIR_TARGET_SOURCE,
+            n_buckets=DSIR_BUCKETS,
+            alpha=DSIR_ALPHA,
+        )
+    )
+    mean_w = w.agg(
+        F.round(
+            F.sum(F.col("dsir_weight").cast(DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_weight")
+    )
+    return w.crossJoin(F.broadcast(mean_w)).select(
+        "doc_id",
+        "n_grams",
+        "dsir_weight",
+        (F.col("dsir_weight") > F.col("mean_weight")).alias("selected"),
+    )
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training at corpus scale: the first K BPE merge
+    rules (operators/text_analysis.bpe_merge_table — corpus scanned
+    once into the word histogram; every merge round is
+    histogram-scale). Oracle replays the identical replace chain in
+    DuckDB."""
+    from .operators.text_analysis import bpe_merge_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_merge_table(docs, n_merges=BPE_N_MERGES)
+
+
 # ---------------- flagship (entry-point smoke query) ----------------
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3292,4 +3351,6 @@ QUERIES = {
     "excess_volume_suppliers": excess_volume_suppliers,
     "waiting_suppliers": waiting_suppliers,
     "idle_rich_customers": idle_rich_customers,
+    "bpe_merges": bpe_merges,
+    "dsir_select": dsir_select,
 }
