@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "idle_rich_customers",
     "bpe_merges",
     "dsir_select",
+    "datasketch_gates",
 ]
 
 

@@ -2192,4 +2192,23 @@ SELECT doc_id, n_grams, dsir_weight,
 FROM w
 """
 
+    # DataSketches gates: exact values recomputed by DuckDB, gate
+    # booleans re-asserted TRUE (invariant-row pattern, same as
+    # approx_distinct_parts). quantile_cont == Spark percentile
+    # (interpolated); rounded 6 both sides.
+    sql["datasketch_gates"] = """
+SELECT 'hll_direct' AS metric,
+       count(DISTINCT l_partkey)::DOUBLE AS exact, TRUE AS err_ok
+FROM lineitem
+UNION ALL
+SELECT 'hll_union_of_groups', count(DISTINCT l_partkey)::DOUBLE, TRUE
+FROM lineitem
+UNION ALL
+SELECT 'kll_p50', round(quantile_cont(l_extendedprice, 0.5), 6), TRUE
+FROM lineitem
+UNION ALL
+SELECT 'kll_p95', round(quantile_cont(l_extendedprice, 0.95), 6), TRUE
+FROM lineitem
+"""
+
     return sql

@@ -3135,6 +3135,72 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def datasketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch columns (Apache DataSketches bindings, Spark
+    4.x): HLL distinct sketches built PER GROUP and unioned without
+    rescanning — the 100 TB pattern where per-partition/per-day
+    sketches are stored once and any slice's distinct count is a
+    cheap union — plus KLL quantile sketches. Each estimate is gated
+    against the exact answer (computed in the same pass) and the
+    oracle re-asserts the gates over DuckDB-exact values:
+
+    - hll_direct / hll_union_of_groups: distinct l_partkey, direct
+      sketch and union of 3 per-returnflag sketches, both within 5%
+      of exact (the union path is NOT bit-identical to direct — the
+      sketches cross sparse/dense modes — which is exactly why it
+      needs its own gate);
+    - kll_p50 / kll_p95: KLL quantiles of l_extendedprice within 2%
+      of the exact interpolated percentile."""
+    li = read_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    est_union = grouped.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("v")
+    ).head()["v"]
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.kll_sketch_agg_double("l_extendedprice").alias("kll"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    row = direct.select(
+        "est",
+        "exact",
+        "p50",
+        "p95",
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("k50"),
+        F.kll_sketch_get_quantile_double("kll", F.lit(0.95)).alias("k95"),
+    ).head()
+    rows = [
+        (
+            "hll_direct",
+            float(row["exact"]),
+            abs(row["est"] - row["exact"]) <= 0.05 * row["exact"],
+        ),
+        (
+            "hll_union_of_groups",
+            float(row["exact"]),
+            abs(est_union - row["exact"]) <= 0.05 * row["exact"],
+        ),
+        (
+            "kll_p50",
+            round(row["p50"], 6),
+            abs(row["k50"] - row["p50"]) <= 0.02 * abs(row["p50"]),
+        ),
+        (
+            "kll_p95",
+            round(row["p95"], 6),
+            abs(row["k95"] - row["p95"]) <= 0.02 * abs(row["p95"]),
+        ),
+    ]
+    return spark.createDataFrame(
+        [(m, v, bool(ok)) for m, v, ok in rows],
+        "metric string, exact double, err_ok boolean",
+    )
+
+
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection: hashed-unigram importance weight of
     every document against the src0 target slice
@@ -3228,13 +3294,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything past the cap stays covered by CORRECTNESS_r03 (1 round
 # stale, within policy).
 #
-# The 14 late-round-4 TPC-H-closure queries (min_cost_supplier ..
-# idle_rich_customers) are appended at the END, not the front: the
+# The 17 late-round-4 queries (min_cost_supplier ..
+# idle_rich_customers TPC-H closure, bpe_merges, dsir_select,
+# datasketch_gates) are appended at the END, not the front: the
 # certification budget this round belongs to the r1/r2 tail per the
-# staleness policy, and they are locally oracle-verified
-# (tools/compare_oracle.py). ROUND 5's front must be: orders_calendar,
-# percentiles_acctbal, events_json_props (slipped tail), then these
-# 14, then anything new/changed in round 5.
+# staleness policy, and they are locally oracle-verified at sf0.01
+# AND sf0.1 (tools/compare_oracle.py). ROUND 5's front must be:
+# orders_calendar, percentiles_acctbal, events_json_props (slipped
+# tail), then these 17, then anything new/changed in round 5.
 QUERIES = {
     # --- new or changed in round 4 ---
     "segment_dedup": segment_dedup,
@@ -3353,4 +3420,5 @@ QUERIES = {
     "idle_rich_customers": idle_rich_customers,
     "bpe_merges": bpe_merges,
     "dsir_select": dsir_select,
+    "datasketch_gates": datasketch_gates,
 }
