@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "dsir_select",
     "datasketch_gates",
+    "stream_upsert_store",
 ]
 
 

@@ -1312,8 +1312,12 @@ SELECT id, ingest_version,
 FROM ranked WHERE rn = 1
 """
 
-    # same LWW semantics through the bucketed-storage merge path
+    # same LWW semantics through the bucketed-storage merge path and
+    # the streaming foreachBatch merge-per-micro-batch path (versions
+    # differ on every colliding id, so batch boundaries can't change
+    # the LWW outcome)
     sql["upsert_bucketed"] = sql["upsert_compact"]
+    sql["stream_upsert_store"] = sql["upsert_compact"]
 
     sql["setops_parts"] = """
 WITH cat AS (SELECT p_partkey AS partkey FROM part),

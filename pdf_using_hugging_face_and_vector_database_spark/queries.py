@@ -3135,6 +3135,22 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8's streaming flavor: the upsert fixture streamed file-by-file
+    through a foreachBatch LWW merge into a parquet store
+    (streaming/upsert_sink.py — idempotent merge per micro-batch, so
+    at-least-once replay converges; checkpointed offsets survive
+    restart). Shares upsert_compact's oracle: the store must equal the
+    batch LWW compact exactly."""
+    from .functions.hashing import md5_int
+    from .streaming.upsert_sink import streamed_upsert_store
+
+    out = streamed_upsert_store(spark, sf_dir)
+    return out.select(
+        "id", "ingest_version", md5_int(F.col("text"), 12).alias("content_fp48")
+    )
+
+
 def datasketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch columns (Apache DataSketches bindings, Spark
     4.x): HLL distinct sketches built PER GROUP and unioned without
@@ -3294,14 +3310,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything past the cap stays covered by CORRECTNESS_r03 (1 round
 # stale, within policy).
 #
-# The 17 late-round-4 queries (min_cost_supplier ..
+# The 18 late-round-4 queries (min_cost_supplier ..
 # idle_rich_customers TPC-H closure, bpe_merges, dsir_select,
-# datasketch_gates) are appended at the END, not the front: the
-# certification budget this round belongs to the r1/r2 tail per the
-# staleness policy, and they are locally oracle-verified at sf0.01
-# AND sf0.1 (tools/compare_oracle.py). ROUND 5's front must be:
-# orders_calendar, percentiles_acctbal, events_json_props (slipped
-# tail), then these 17, then anything new/changed in round 5.
+# datasketch_gates, stream_upsert_store) are appended at the END, not
+# the front: the certification budget this round belongs to the r1/r2
+# tail per the staleness policy, and they are locally oracle-verified
+# at sf0.01 AND sf0.1 (tools/compare_oracle.py). ROUND 5's front must
+# be: orders_calendar, percentiles_acctbal, events_json_props
+# (slipped tail), then these 18, then anything new/changed in round 5.
 QUERIES = {
     # --- new or changed in round 4 ---
     "segment_dedup": segment_dedup,
@@ -3421,4 +3437,5 @@ QUERIES = {
     "bpe_merges": bpe_merges,
     "dsir_select": dsir_select,
     "datasketch_gates": datasketch_gates,
+    "stream_upsert_store": stream_upsert_store,
 }

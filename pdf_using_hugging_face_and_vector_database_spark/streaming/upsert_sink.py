@@ -1,0 +1,160 @@
+"""Streaming upsert sink — the reference's S8 vector-store upsert
+(`streamlit_app.py:108-121`, Pinecone `index.upsert` with retry)
+re-expressed as a continuously-ingesting Structured Streaming sink:
+stream -> foreachBatch -> last-writer-wins upsert into a parquet
+store.
+
+Exactly-once story: the foreachBatch body is a read-modify-write of
+the whole store keyed by (id, version) LWW — IDEMPOTENT, so Spark's
+at-least-once foreachBatch contract composes to exactly-once table
+state (a replayed batch converges to the same table). Combined with
+the checkpoint's offset log, a crashed-and-restarted query resumes
+without losing or double-applying updates — the property
+tests/test_streaming_upsert.py drives end to end.
+
+At 100 TB the full-rewrite store below becomes a partitioned MERGE
+(operators/upsert.upsert_cocluster rewrites only touched buckets);
+the sink contract — idempotent LWW merge per micro-batch — is
+unchanged, which is the point of routing every batch through the
+same `upsert()` operator the batch path certifies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.upsert import upsert
+
+VECTOR_SCHEMA = "id string, doc_id long, ingest_version long, text string"
+
+
+def apply_upsert_batch(
+    spark: SparkSession,
+    store_dir: str,
+    batch: DataFrame,
+    id_col: str = "id",
+    version_col: str = "ingest_version",
+) -> None:
+    """One idempotent LWW merge of ``batch`` into the parquet store.
+    Write-then-swap (tmp dir + atomic rename) so a crash mid-write
+    leaves the previous store intact — the streaming twin of the
+    batch store's marker-file ordering (operators/ann.py)."""
+    if os.path.isdir(store_dir):
+        existing = spark.read.parquet(store_dir)
+        merged = upsert(existing, batch, id_col=id_col, version_col=version_col)
+    else:
+        merged = upsert(
+            batch.limit(0), batch, id_col=id_col, version_col=version_col
+        )
+    tmp = store_dir.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = store_dir.rstrip("/") + ".old"
+    if os.path.isdir(store_dir):
+        os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    if os.path.isdir(old):
+        import shutil
+
+        shutil.rmtree(old)
+
+
+def run_upsert_stream(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "upsert_stream",
+    schema: str = VECTOR_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all currently-available files from ``src_dir`` into the
+    store, one idempotent LWW merge per micro-batch; re-invoking with
+    the same checkpoint resumes after a crash."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_upsert_batch(spark, store_dir, batch_df)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+UPSERT_STREAM_SCHEMA = "id string, text string, ingest_version long"
+
+
+def streamed_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-query path: materialize the S8 fixture's existing table
+    and update batch as two parquet files in a fingerprint-keyed
+    landing dir, stream them through the LWW upsert sink (one
+    micro-batch per file — the continuous-ingest shape), and return
+    the final store. Fingerprint-fresh runs reuse the finished store
+    (same crash-safe marker ordering as the persisted indexes);
+    stale fingerprints rebuild landing + checkpoint + store from
+    scratch, so the stream actually re-runs whenever inputs change.
+
+    The result equals upsert_compact's LWW compact by construction
+    (versions differ on every colliding id, so micro-batch boundaries
+    can't change the outcome) — the shared oracle certifies the whole
+    write -> stream -> merge-per-batch -> store loop.
+    """
+    import glob
+    import json
+    import shutil
+
+    from ..io import table_path
+    from ..operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
+
+    # late import: queries.py imports this module's sibling package
+    from ..queries import _upsert_fixture
+
+    root = os.path.join(
+        INDEX_ROOT, f"upsert_stream_{dataset_dir_key(sf_dir)}"
+    )
+    salt = "upsert_stream:v1"
+    fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
+    marker = os.path.join(root, "meta.json")
+    store = os.path.join(root, "store")
+    ok = False
+    try:
+        with open(marker) as f:
+            ok = json.load(f).get("fingerprint") == fp
+    except (OSError, ValueError):
+        ok = False
+    if not (ok and os.path.isdir(store)):
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        landing = os.path.join(root, "landing")
+        os.makedirs(landing, exist_ok=True)
+        existing, batch = _upsert_fixture(spark, sf_dir)
+        for name, df in (("00_existing", existing), ("01_batch", batch)):
+            tmp = os.path.join(root, f"_tmp_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.rename(part, os.path.join(landing, f"{name}.parquet"))
+            shutil.rmtree(tmp)
+        run_upsert_stream(
+            spark,
+            landing,
+            store,
+            os.path.join(root, "ckpt"),
+            query_name="upsert_store_stream",
+            schema=UPSERT_STREAM_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
+            json.dump({"fingerprint": fp, "salt": salt}, fh)
+        os.replace(tmp_marker, marker)
+    return spark.read.parquet(store)
