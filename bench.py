@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "datasketch_gates",
     "stream_upsert_store",
+    "events_gapfill",
 ]
 
 

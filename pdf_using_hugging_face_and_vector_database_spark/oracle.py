@@ -2215,4 +2215,39 @@ SELECT 'kll_p95', round(quantile_cont(l_extendedprice, 0.95), 6), TRUE
 FROM lineitem
 """
 
+    # time-series gap-fill: integer minute keys vs the fixed anchor,
+    # rounded sums forward-filled with IGNORE NULLS — grid from
+    # range(), same shapes as the Spark plan
+    from .queries import (
+        GAPFILL_ANCHOR_EPOCH,
+        GAPFILL_MINUTES,
+    )
+
+    _gf_end = GAPFILL_ANCHOR_EPOCH + GAPFILL_MINUTES * 60
+    sql["events_gapfill"] = f"""
+WITH binned AS MATERIALIZED (
+  SELECT event_type,
+         (floor(epoch(ts))::BIGINT - {GAPFILL_ANCHOR_EPOCH}) // 60 AS minute,
+         count(*)::BIGINT AS n,
+         round({_dsum('value')}, 6) AS v
+  FROM events
+  WHERE epoch(ts) >= {GAPFILL_ANCHOR_EPOCH} AND epoch(ts) < {_gf_end}
+  GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, g.minute
+  FROM (SELECT DISTINCT event_type FROM binned) t,
+       (SELECT unnest(range(0, {GAPFILL_MINUTES})) AS minute) g),
+joined AS (
+  SELECT grid.event_type, grid.minute, b.n, b.v
+  FROM grid LEFT JOIN binned b USING (event_type, minute))
+SELECT event_type, minute,
+       coalesce(n, 0)::BIGINT AS n_events,
+       (n IS NULL) AS is_gap,
+       v AS value_sum,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY minute
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM joined
+"""
+
     return sql

@@ -178,6 +178,15 @@ Q21_NATIONS = tuple(f"NATION_{i}" for i in range(1, 6))
 Q21_TOPN = 20
 Q22_CODE_MOD = 10                 # cntrycode proxy: custkey mod 10
 Q22_IDLE_START = "2000-01-01"
+# time-series gap-fill: minute grid over the first week of the events
+# fixture. The GRID is SF-constant (10080 minutes x event types) while
+# density scales with SF, so gaps exist (and the forward-fill path
+# executes) at every SF instead of vanishing at sf0.1 the way an
+# hourly grid would.
+GAPFILL_ANCHOR = "2024-01-01"
+GAPFILL_ANCHOR_EPOCH = 1704067200          # 2024-01-01T00:00:00Z
+GAPFILL_MINUTES = 7 * 24 * 60
+
 # BPE merge induction: enough rounds to exercise merged-symbol pairs
 # (rounds 4/6 on the fixture merge 'er'+'</w>' and 'ow'+'</w>')
 BPE_N_MERGES = 6
@@ -3135,6 +3144,54 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization — the resample/gap-fill/forward-fill
+    family: events binned to a minute grid per type over one week,
+    missing buckets materialized from an exploded sequence (grid
+    cardinality is bounded: minutes x types, never event-scale), and
+    the last known value carried forward with an IGNORE NULLS running
+    window per type. Minute keys are integer epoch arithmetic vs a
+    fixed anchor (no interval/format dialect drift); fills carry the
+    already-rounded sums so both engines forward identical values."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit(GAPFILL_ANCHOR).cast("timestamp"))
+        & (
+            F.col("ts").cast("long")
+            < F.lit(GAPFILL_ANCHOR_EPOCH + GAPFILL_MINUTES * 60)
+        )
+    )
+    binned = (
+        ev.groupBy(
+            "event_type",
+            F.floor(
+                (F.col("ts").cast("long") - F.lit(GAPFILL_ANCHOR_EPOCH)) / 60
+            ).alias("minute"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dsum(F.col("value")), 6).alias("v"),
+        )
+    )
+    types = binned.select("event_type").distinct()
+    grid = types.crossJoin(
+        spark.range(GAPFILL_MINUTES).select(F.col("id").alias("minute"))
+    )
+    full = grid.join(binned, ["event_type", "minute"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return full.select(
+        "event_type",
+        "minute",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.col("v").alias("value_sum"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
 def stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8's streaming flavor: the upsert fixture streamed file-by-file
     through a foreachBatch LWW merge into a parquet store
@@ -3310,14 +3367,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything past the cap stays covered by CORRECTNESS_r03 (1 round
 # stale, within policy).
 #
-# The 18 late-round-4 queries (min_cost_supplier ..
+# The 19 late-round-4 queries (min_cost_supplier ..
 # idle_rich_customers TPC-H closure, bpe_merges, dsir_select,
-# datasketch_gates, stream_upsert_store) are appended at the END, not
-# the front: the certification budget this round belongs to the r1/r2
-# tail per the staleness policy, and they are locally oracle-verified
-# at sf0.01 AND sf0.1 (tools/compare_oracle.py). ROUND 5's front must
-# be: orders_calendar, percentiles_acctbal, events_json_props
-# (slipped tail), then these 18, then anything new/changed in round 5.
+# datasketch_gates, stream_upsert_store, events_gapfill) are appended
+# at the END, not the front: the certification budget this round
+# belongs to the r1/r2 tail per the staleness policy, and they are
+# locally oracle-verified at sf0.01 AND sf0.1
+# (tools/compare_oracle.py). ROUND 5's front must be:
+# orders_calendar, percentiles_acctbal, events_json_props (slipped
+# tail), then these 19, then anything new/changed in round 5.
 QUERIES = {
     # --- new or changed in round 4 ---
     "segment_dedup": segment_dedup,
@@ -3438,4 +3496,5 @@ QUERIES = {
     "dsir_select": dsir_select,
     "datasketch_gates": datasketch_gates,
     "stream_upsert_store": stream_upsert_store,
+    "events_gapfill": events_gapfill,
 }
