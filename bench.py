@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "datasketch_gates",
     "stream_upsert_store",
     "events_gapfill",
+    "profile_lineitem",
+    "quality_gates",
 ]
 
 

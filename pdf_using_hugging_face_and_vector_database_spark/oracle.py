@@ -2250,4 +2250,83 @@ SELECT event_type, minute,
 FROM joined
 """
 
+    # data profiling: every cell recomputed from scratch, one
+    # UNION ALL branch per column
+    prof_num = [
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    ]
+    prof_str = ["l_returnflag", "l_linestatus"]
+    branches = []
+    for c in prof_num:
+        branches.append(
+            f"SELECT '{c}' AS column, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+            f"round(min({c})::DOUBLE, 6) AS min_num, "
+            f"round(max({c})::DOUBLE, 6) AS max_num, "
+            f"NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str "
+            f"FROM lineitem"
+        )
+    for c in prof_str:
+        branches.append(
+            f"SELECT '{c}', "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT, "
+            f"count(DISTINCT {c})::BIGINT, NULL::DOUBLE, NULL::DOUBLE, "
+            f"min({c}), max({c}) FROM lineitem"
+        )
+    branches.append(
+        "SELECT 'l_shipdate', "
+        "SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT, "
+        "count(DISTINCT l_shipdate)::BIGINT, NULL::DOUBLE, NULL::DOUBLE, "
+        "strftime(min(l_shipdate), '%Y-%m-%d'), "
+        "strftime(max(l_shipdate), '%Y-%m-%d') FROM lineitem"
+    )
+    sql["profile_lineitem"] = "\nUNION ALL\n".join(branches)
+
+    # quality gates: violation counts recomputed per rule
+    sql["quality_gates"] = """
+WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem)
+SELECT 'quantity_in_1_50' AS rule, n_rows,
+       (SELECT count(*) FROM lineitem
+        WHERE NOT (l_quantity BETWEEN 1 AND 50))::BIGINT AS n_violations,
+       (SELECT count(*) FROM lineitem
+        WHERE NOT (l_quantity BETWEEN 1 AND 50)) = 0 AS ok FROM n
+UNION ALL
+SELECT 'discount_in_0_0.1', n_rows,
+       (SELECT count(*) FROM lineitem
+        WHERE NOT (l_discount BETWEEN 0.0 AND 0.1))::BIGINT,
+       (SELECT count(*) FROM lineitem
+        WHERE NOT (l_discount BETWEEN 0.0 AND 0.1)) = 0 FROM n
+UNION ALL
+SELECT 'returnflag_in_domain', n_rows,
+       (SELECT count(*) FROM lineitem
+        WHERE l_returnflag NOT IN ('A', 'N', 'R'))::BIGINT,
+       (SELECT count(*) FROM lineitem
+        WHERE l_returnflag NOT IN ('A', 'N', 'R')) = 0 FROM n
+UNION ALL
+SELECT 'extendedprice_positive', n_rows,
+       (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)::BIGINT,
+       (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0) = 0 FROM n
+UNION ALL
+SELECT 'lineitem_has_order', n_rows,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l.l_orderkey))::BIGINT,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l.l_orderkey)) = 0 FROM n
+UNION ALL
+SELECT 'ship_on_or_after_order',
+       (SELECT count(*) FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey)::BIGINT,
+       (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate < o_orderdate)::BIGINT,
+       (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate < o_orderdate) = 0 FROM n
+"""
+
     return sql

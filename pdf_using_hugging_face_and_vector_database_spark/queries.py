@@ -3144,6 +3144,71 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (Deequ/dbt-docs style): one wide-agg pass over
+    lineitem -> per-column null/distinct/min/max report
+    (operators/profiling.profile_columns). The oracle recomputes every
+    cell from scratch."""
+    from .operators.profiling import profile_columns
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        numeric_cols=(
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ),
+        string_cols=("l_returnflag", "l_linestatus"),
+        date_cols=("l_shipdate",),
+    )
+
+
+def quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate report (dbt tests / Deequ checks): domain,
+    range and referential constraints over lineitem in one
+    conditional-count pass + one anti-join
+    (operators/profiling.validate_rules). The ship-before-order rule
+    genuinely fires on the fixture (~49% of lines — the synthetic
+    generator draws dates independently), so the report shows a real
+    failure, not a wall of greens."""
+    from .operators.profiling import validate_rules
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    li_orders = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    base_rules = [
+        ("quantity_in_1_50", ~F.col("l_quantity").between(1, 50)),
+        ("discount_in_0_0.1", ~F.col("l_discount").between(0.0, 0.1)),
+        (
+            "returnflag_in_domain",
+            ~F.col("l_returnflag").isin("A", "N", "R"),
+        ),
+        ("extendedprice_positive", F.col("l_extendedprice") <= 0),
+    ]
+    report = validate_rules(
+        li,
+        base_rules,
+        anti_rules=[
+            (
+                "lineitem_has_order",
+                orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+            )
+        ],
+    )
+    shipped_early = validate_rules(
+        li_orders,
+        [("ship_on_or_after_order", F.col("l_shipdate") < F.col("o_orderdate"))],
+    )
+    return report.unionByName(shipped_early)
+
+
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization — the resample/gap-fill/forward-fill
     family: events binned to a minute grid per type over one week,
@@ -3367,15 +3432,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything past the cap stays covered by CORRECTNESS_r03 (1 round
 # stale, within policy).
 #
-# The 19 late-round-4 queries (min_cost_supplier ..
+# The 21 late-round-4 queries (min_cost_supplier ..
 # idle_rich_customers TPC-H closure, bpe_merges, dsir_select,
-# datasketch_gates, stream_upsert_store, events_gapfill) are appended
-# at the END, not the front: the certification budget this round
-# belongs to the r1/r2 tail per the staleness policy, and they are
-# locally oracle-verified at sf0.01 AND sf0.1
-# (tools/compare_oracle.py). ROUND 5's front must be:
-# orders_calendar, percentiles_acctbal, events_json_props (slipped
-# tail), then these 19, then anything new/changed in round 5.
+# datasketch_gates, stream_upsert_store, events_gapfill,
+# profile_lineitem, quality_gates) are appended at the END, not the
+# front: the certification budget this round belongs to the r1/r2
+# tail per the staleness policy, and they are locally oracle-verified
+# at sf0.01 AND sf0.1 (tools/compare_oracle.py). ROUND 5's front must
+# be: orders_calendar, percentiles_acctbal, events_json_props
+# (slipped tail), then these 21, then anything new/changed in round 5.
 QUERIES = {
     # --- new or changed in round 4 ---
     "segment_dedup": segment_dedup,
@@ -3497,4 +3562,6 @@ QUERIES = {
     "datasketch_gates": datasketch_gates,
     "stream_upsert_store": stream_upsert_store,
     "events_gapfill": events_gapfill,
+    "profile_lineitem": profile_lineitem,
+    "quality_gates": quality_gates,
 }
