@@ -134,6 +134,13 @@ BENCH_QUERIES = [
     "events_gapfill",
     "profile_lineitem",
     "quality_gates",
+    "crossdoc_spans",
+    "gopher_quality",
+    "hybrid_search_rrf",
+    "mixture_sample",
+    "q3_ann_binary_rerank",
+    "q3_ann_lsh",
+    "stream_dedup_incremental",
 ]
 
 
