@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q3_ann_binary_rerank",
     "q3_ann_lsh",
     "stream_dedup_incremental",
+    "neardup_ppjoin",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Exact set-similarity self-join via prefix filtering (PPJoin-style).
+
+The fourth dedup modality beside exact-hash, MinHash-LSH, and
+SimHash: an EXACT Jaccard-threshold join whose candidate generation
+is pruned but provably complete — no false negatives, unlike the
+probabilistic LSH band join (reference analogue: the near-duplicate
+detection implied by the vector store's cosine metric,
+`streamlit_app.py:49`; this is the set-space counterpart).
+
+Prefix-filtering principle (Chaudhuri et al. 2006 / Xiao et al.
+PPJoin, both published): order every set by a single global total
+order (ascending document frequency, rarest first — ties broken by
+element value so the order is deterministic). If J(a, b) >= t, the
+two sets must share at least one element within their first
+``|s| - ceil(t * |s|) + 1`` elements under that order. So an
+equi-join on exploded PREFIX elements proposes every qualifying pair
+while skipping the all-pairs cross product entirely.
+
+Scale shape: one explode + groupBy for document frequencies (the
+inverted-index shuffle every exact set-join pays), one shuffle join
+to attach ranks, a bucket self-join on prefix elements (candidates
+only — prefix length shrinks as t grows), then an exact verify over
+just the candidates. Rare-first ordering makes prefix buckets the
+SMALLEST buckets of the index, which is what keeps the self-join
+sub-quadratic; AQE skew-join splits any residual hot element.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_gram_sets(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-gram set per document: (doc_id, g).
+
+    explode + collect_set, NOT array_distinct(transform(sequence(...))):
+    the higher-order-function form is CodegenFallback (interpreted per
+    row) and measured 15.8s vs 2.5s at sf0.1 for the same sets (see
+    queries.neardup_jaccard, where the shape was first established).
+    """
+    from ..functions.text import tokens
+
+    toked = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
+    n_pos = F.greatest(F.size("__t") - F.lit(n - 1), F.lit(1))
+    exploded = toked.select(
+        "doc_id", "__t", F.explode(F.sequence(F.lit(1), n_pos)).alias("pos")
+    )
+    gram = F.concat_ws(
+        " ", *[F.get("__t", F.col("pos") - 1 + F.lit(j)) for j in range(n)]
+    )
+    return (
+        exploded.select("doc_id", gram.alias("__g1"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("__g1").alias("g"))
+    )
+
+
+def prefix_filtered_pairs(
+    gsets: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    set_col: str = "g",
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) via prefix filtering + length
+    filter. Complete for Jaccard >= threshold; may contain false
+    positives (the caller verifies exactly).
+
+    The ceil in the prefix length subtracts 1e-9 first so a float
+    product that lands epsilon ABOVE an integer cannot shorten the
+    prefix by one and silently drop a qualifying pair — erring long
+    costs candidates, erring short costs correctness.
+    """
+    el = gsets.select(
+        F.col(id_col).alias("doc_id"), F.explode(set_col).alias("el")
+    )
+    freq = el.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
+    # global total order: (document frequency asc, element asc) —
+    # deterministic, and rare-first minimizes prefix bucket sizes
+    ordered = (
+        el.join(freq, "el")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "el"))),
+                lambda s: s["el"],
+            ).alias("__ord")
+        )
+    )
+    s = F.size("__ord")
+    plen = (
+        s
+        - F.ceil(s.cast("double") * F.lit(threshold) - F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
+    pp = ordered.select(
+        "doc_id",
+        s.alias("__s"),
+        F.posexplode(F.slice("__ord", F.lit(1), plen)).alias("pos", "el"),
+    ).select(
+        # join on the 64-bit hash of the shingle, not the string: the
+        # self-join shuffles long keys instead of multi-word text. A
+        # hash collision can only ADD a candidate (the exact verify
+        # kills it), never drop one — completeness is unaffected.
+        "doc_id",
+        "__s",
+        "pos",
+        F.xxhash64("el").alias("el"),
+    )
+    lhs = pp.alias("l")
+    rhs = pp.alias("r")
+    # length filter: J >= t  =>  t * max(|a|, |b|) <= min(|a|, |b|).
+    # positional filter (PPJoin): a match at 0-indexed prefix positions
+    # (i, j) bounds the total overlap by 1 + min(sa-i-1, sb-j-1); a
+    # qualifying pair needs overlap >= t/(1+t) * (sa+sb), and its FIRST
+    # shared element always passes the bound, so keeping a pair when
+    # ANY matched prefix element passes stays complete. On a corpus
+    # with repeated common shingles this is the filter that bites:
+    # measured 735k -> far fewer candidates at sf0.1 (see query doc).
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("l.__s") + F.col("r.__s")).cast("double")
+        - F.lit(1e-9)
+    )
+    ubound = (
+        F.lit(1)
+        + F.least(
+            F.col("l.__s") - F.col("l.pos") - F.lit(1),
+            F.col("r.__s") - F.col("r.pos") - F.lit(1),
+        )
+    )
+    return (
+        lhs.join(
+            rhs,
+            (F.col("l.el") == F.col("r.el"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (
+                F.least("l.__s", "r.__s").cast("double")
+                >= F.lit(threshold) * F.greatest("l.__s", "r.__s").cast("double")
+            )
+            & (ubound >= min_overlap),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def set_similarity_join(
+    gsets: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    set_col: str = "g",
+) -> DataFrame:
+    """Exact Jaccard-threshold self-join: prefix-filtered candidates,
+    then exact |intersect| / |union| verify over candidates only.
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6 dp; the
+    threshold cut runs on the UNROUNDED IEEE quotient (identical in
+    Spark and DuckDB), so the boundary cannot drift cross-engine.
+    """
+    from ..caching import persist_tracked
+
+    base = persist_tracked(
+        gsets.select(
+            F.col(id_col).alias("doc_id"), F.col(set_col).alias("g")
+        ).filter(F.size("g") > 0)
+    )
+    cand = prefix_filtered_pairs(base, threshold)
+    ga = base.select(F.col("doc_id").alias("id_a"), F.col("g").alias("__ga"))
+    gb = base.select(F.col("doc_id").alias("id_b"), F.col("g").alias("__gb"))
+    # broadcast the PER-DOC gram tables, not the pair list: on a corpus
+    # with repeated shingles the candidate set can be orders of
+    # magnitude larger than the doc count, and shipping it twice as a
+    # broadcast was the cost center (measured at sf0.1). At scale,
+    # where neither side broadcasts, drop the hints and this becomes
+    # the standard pair-by-id shuffle join.
+    joined = cand.join(F.broadcast(ga), "id_a").join(F.broadcast(gb), "id_b")
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = (F.size("__ga") + F.size("__gb")).cast("double") - inter
+    return (
+        joined.filter(inter / union >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+    )

@@ -1053,6 +1053,35 @@ verified AS (
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
+    # PPJoin oracle: ALL-PAIRS exact truth through an inverted-index
+    # group-by (a pair appears iff it shares >= 1 gram, which J >= t > 0
+    # implies), so the prefix-filtered Spark join is checked for
+    # completeness, not just precision. Threshold cut on the UNROUNDED
+    # IEEE quotient, mirroring the Spark side.
+    from .queries import PPJOIN_THRESHOLD
+
+    sql["neardup_ppjoin"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
+  FROM documents),
+g AS (SELECT doc_id, list_distinct({_word_ngrams('text', WORD_NGRAM)}) AS g FROM corpus),
+gsz AS (SELECT doc_id, len(g) AS s FROM g WHERE len(g) > 0),
+e AS (SELECT doc_id, unnest(g) AS el FROM g),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.el = b.el AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT m.id_a, m.id_b, m.inter::DOUBLE AS i,
+         (sa.s + sb.s - m.inter)::DOUBLE AS u
+  FROM m JOIN gsz sa ON sa.doc_id = m.id_a JOIN gsz sb ON sb.doc_id = m.id_b)
+SELECT id_a, id_b, round(i / u, 6) AS jaccard
+FROM j WHERE i / u >= {PPJOIN_THRESHOLD}
+"""
+
     from .functions.text import BPE_TOKEN_RE
 
     sql["token_counts"] = f"""

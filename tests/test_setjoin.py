@@ -1,0 +1,118 @@
+"""Exact set-similarity join (PPJoin-style prefix filtering):
+correctness against a brute-force all-pairs truth, boundary behavior,
+and the no-cross-product plan property."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+from pdf_using_hugging_face_and_vector_database_spark import queries as Q
+from pdf_using_hugging_face_and_vector_database_spark.operators.setjoin import (
+    prefix_filtered_pairs,
+    set_similarity_join,
+    word_gram_sets,
+)
+from pdf_using_hugging_face_and_vector_database_spark.plans import formatted_plan
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("g", ArrayType(StringType())),
+    ]
+)
+
+
+def _brute_force(rows, t):
+    out = {}
+    for (ida, sa), (idb, sb) in combinations(rows, 2):
+        a, b = set(sa), set(sb)
+        if not a or not b:
+            continue
+        inter = len(a & b)
+        uni = len(a | b)
+        if inter / uni >= t:
+            key = (min(ida, idb), max(ida, idb))
+            out[key] = round(inter / uni, 6)
+    return out
+
+
+def _spark_result(spark, rows, t):
+    df = spark.createDataFrame(
+        [(i, list(s)) for i, s in rows], schema=SCHEMA
+    )
+    got = set_similarity_join(df, t).collect()
+    return {(r.id_a, r.id_b): r.jaccard for r in got}
+
+
+def test_matches_brute_force(spark):
+    """Deterministic mixed corpus: identical docs, near-dups at several
+    overlap levels, disjoint docs, an empty set, and a singleton."""
+    rows = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a", "b", "c", "d", "e"]),  # J(1,2) = 1.0
+        (3, ["a", "b", "c", "d", "x"]),  # J(1,3) = 4/6 = 0.667
+        (4, ["a", "b", "x", "y", "z"]),  # J(1,4) = 2/8 = 0.25
+        (5, ["p", "q", "r"]),  # disjoint from 1..4
+        (6, ["p", "q", "r", "s"]),  # J(5,6) = 3/4 = 0.75
+        (7, []),  # empty: never matches
+        (8, ["a"]),  # singleton
+        (9, ["a"]),  # J(8,9) = 1.0
+    ]
+    for t in (0.4, 0.6, 0.75, 1.0):
+        assert _spark_result(spark, rows, t) == _brute_force(rows, t), t
+
+
+def test_threshold_boundary_pair_is_kept(spark):
+    """J exactly == t must survive the cut (>=, not >) — and the
+    1e-9-guarded ceil must not shorten the prefix past it."""
+    rows = [(1, ["a", "b", "c"]), (2, ["a", "b", "c", "d", "e"])]
+    # J = 3/5 = 0.6 exactly
+    got = _spark_result(spark, rows, 0.6)
+    assert got == {(1, 2): 0.6}
+    assert _spark_result(spark, rows, 0.61) == {}
+
+
+def test_prefix_candidates_complete_but_pruned(spark):
+    """The candidate set contains every qualifying pair and, for a
+    corpus of mostly-disjoint docs, far fewer than all pairs."""
+    rows = [(i, [f"t{i}_{j}" for j in range(10)] + ["shared"]) for i in range(20)]
+    rows.append((100, [f"t5_{j}" for j in range(10)] + ["shared"]))  # dup of 5
+    df = spark.createDataFrame([(i, list(s)) for i, s in rows], schema=SCHEMA)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in prefix_filtered_pairs(df, 0.8).collect()
+    }
+    assert (5, 100) in cand
+    # every doc shares "shared", but at t=0.8 the length+prefix filters
+    # must prune the all-pairs blowup (21*20/2 = 210 pairs)
+    assert len(cand) < 50
+
+
+def test_no_cross_product_in_plan(spark, sf_dir):
+    """The candidate join must be an equi-join on prefix elements —
+    never a cartesian / nested-loop over the corpus."""
+    plan = formatted_plan(Q.neardup_ppjoin(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_query_agrees_with_lsh_verify_path(spark, sf_dir):
+    """Cross-operator consistency: every pair the exact join reports at
+    t=0.6 must also be reported by neardup_jaccard's LSH+verify path
+    at its 0.5 cut IF the LSH bands proposed it — and where both
+    report a pair, the jaccard values must be identical."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in Q.neardup_ppjoin(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in Q.neardup_jaccard(spark, sf_dir).collect()
+    }
+    overlap = set(exact) & set(lsh)
+    assert overlap, "expected shared near-dup pairs between the two paths"
+    for k in overlap:
+        assert exact[k] == lsh[k], k
