@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "q3_ann_lsh",
     "stream_dedup_incremental",
     "neardup_ppjoin",
+    "dataset_split",
+    "split_leakage",
 ]
 
 

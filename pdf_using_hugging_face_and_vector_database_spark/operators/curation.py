@@ -260,3 +260,56 @@ def dsir_weights(
             ).alias("dsir_weight"),
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing the stable
+    document key — the split operator every training pipeline needs
+    before anything touches an example.
+
+    Design choices for 100 TB:
+
+    - Pure projection, ZERO shuffle: the assignment is a function of
+      the key alone. A row_number-per-stratum "exact" split needs a
+      window over every stratum (one sort task per source at scale)
+      and, worse, CHANGES existing assignments when new docs arrive.
+      Hash assignment is stable under corpus growth: a doc's split
+      never flips when other docs are added or removed — the property
+      that keeps yesterday's test set untouched by today's ingest.
+    - Proportions hold per stratum in expectation (the hash is
+      uniform within any subpopulation), asserted within tolerance by
+      tests rather than forced exactly.
+    - Cross-engine reproducible: bucket = md5_int('<salt>:' || key)
+      % buckets, the repo's standard oracle-parity hash
+      (functions/hashing.py), so DuckDB recomputes every assignment.
+
+    ``fractions`` maps split name -> fraction (must sum to ~1); cut
+    points are floor(cumulative * buckets), matching the oracle's
+    integer arithmetic exactly.
+    """
+    from ..functions.hashing import md5_int
+
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = md5_int(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    ) % F.lit(buckets)
+    cum = 0.0
+    cuts: list[tuple[str, int]] = []
+    for name, frac in fractions.items():
+        cum += frac
+        cuts.append((name, int(cum * buckets + 1e-9)))
+    # CASE WHEN bucket < cut_1 THEN name_1 WHEN bucket < cut_2 ... —
+    # first-match-wins, remainder bucket takes the last split
+    expr = None
+    for name, cut in cuts[:-1]:
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(cuts[-1][0]) if expr is None else expr.otherwise(F.lit(cuts[-1][0]))
+    return df.withColumn("bucket", bucket).withColumn("split", expr)

@@ -1053,6 +1053,69 @@ verified AS (
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
+    # hash split: same md5 bucket + CASE cuts, recomputed from scratch
+    from .queries import SPLIT_BUCKETS, SPLIT_FRACTIONS
+
+    _bucket = (
+        "(('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 6))::BIGINT) "
+        f"% {SPLIT_BUCKETS}"
+    )
+    _names = list(SPLIT_FRACTIONS)
+    _cuts, _cum = [], 0.0
+    for _n in _names[:-1]:
+        _cum += SPLIT_FRACTIONS[_n]
+        _cuts.append((_n, int(_cum * SPLIT_BUCKETS + 1e-9)))
+    _split_case = (
+        "CASE "
+        + " ".join(f"WHEN bucket < {c} THEN '{n}'" for n, c in _cuts)
+        + f" ELSE '{_names[-1]}' END"
+    )
+    sql["dataset_split"] = f"""
+WITH b AS (SELECT doc_id, source, {_bucket} AS bucket FROM documents)
+SELECT doc_id, source, bucket, {_split_case} AS split FROM b
+"""
+
+    sql["split_leakage"] = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
+  FROM documents),
+hashed AS (SELECT doc_id, {_element_hashes(_word_ngrams('text', WORD_NGRAM))} AS hs FROM corpus),
+sigs AS (SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS sig FROM hashed),
+banded AS (
+  SELECT doc_id, b::INT AS band_index,
+         list_slice(sig, b * {rows_per_band} + 1, (b + 1) * {rows_per_band}) AS band_sig
+  FROM (SELECT doc_id, sig, unnest(range(0, {MINHASH_BANDS})) AS b FROM sigs)),
+star AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band_index, band_sig) AS bmin
+  FROM banded),
+edges AS (
+  SELECT DISTINCT doc_id AS src, bmin AS dst FROM star WHERE doc_id <> bmin
+  UNION
+  SELECT DISTINCT bmin AS src, doc_id AS dst FROM star WHERE doc_id <> bmin),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id AS r FROM sigs
+  UNION
+  SELECT reach.doc_id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+groups AS (SELECT doc_id, MIN(r)::BIGINT AS group_rep FROM reach GROUP BY doc_id),
+assigned AS (
+  SELECT doc_id, {_split_case} AS split
+  FROM (SELECT doc_id, {_bucket} AS bucket FROM corpus)),
+agg AS (
+  SELECT g.group_rep,
+         count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN a.split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+         sum(CASE WHEN a.split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+         sum(CASE WHEN a.split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+  FROM groups g JOIN assigned a USING (doc_id)
+  GROUP BY g.group_rep)
+SELECT group_rep, n_docs, n_train, n_val, n_test,
+       (n_train > 0 AND n_test > 0) AS leaked
+FROM agg WHERE n_docs > 1
+"""
+
     # PPJoin oracle: ALL-PAIRS exact truth through an inverted-index
     # group-by (a pair appears iff it shares >= 1 gram, which J >= t > 0
     # implies), so the prefix-filtered Spark join is checked for

@@ -3413,6 +3413,64 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PPJOIN_THRESHOLD = 0.6  # exact-join Jaccard cut (word-3-gram sets)
 
+SPLIT_BUCKETS = 1000
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — zero
+    shuffle, stable under corpus growth (a doc's split never flips
+    when other docs arrive), cross-engine reproducible via the
+    oracle-parity md5 bucket. The scalable alternative to
+    row_number-per-stratum splits, which re-deal every assignment on
+    ingest and sort whole strata."""
+    from .operators.curation import hash_split
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(docs, "doc_id", SPLIT_FRACTIONS, buckets=SPLIT_BUCKETS).select(
+        "doc_id", "source", "bucket", "split"
+    )
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-dup GROUPS that span the
+    split boundary. Composes the LSH star-contraction components with
+    the hash split — if any member of a near-dup group lands in train
+    while a sibling lands in test, the eval set leaks. One row per
+    multi-doc group with per-split member counts and the leak verdict;
+    the oracle replays connected components (recursive CTE) plus the
+    same md5 bucket assignment from scratch."""
+    from .operators.curation import hash_split
+    from .operators.dedup import neardup_representatives, persisted_signatures
+
+    corpus = neardup_corpus(spark, sf_dir)
+    sigs = persisted_signatures(
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
+    )
+    groups = neardup_representatives(
+        sigs,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        nodes=corpus.select("doc_id"),
+    )
+    assigned = hash_split(
+        corpus.select("doc_id"), "doc_id", SPLIT_FRACTIONS, buckets=SPLIT_BUCKETS
+    )
+    j = groups.join(assigned, "doc_id")
+    return (
+        j.groupBy("group_rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
+            F.sum((F.col("split") == "val").cast("int")).alias("n_val"),
+            F.sum((F.col("split") == "test").cast("int")).alias("n_test"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .withColumn(
+            "leaked", (F.col("n_train") > 0) & (F.col("n_test") > 0)
+        )
+    )
+
 
 def neardup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard-threshold near-dup join via prefix filtering
@@ -3593,4 +3651,6 @@ QUERIES = {
     "quality_gates": quality_gates,
     # --- added after the r4 bench sweep; round-5 certification front ---
     "neardup_ppjoin": neardup_ppjoin,
+    "dataset_split": dataset_split,
+    "split_leakage": split_leakage,
 }

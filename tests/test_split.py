@@ -1,0 +1,62 @@
+"""hash_split: deterministic train/val/test assignment — stability
+under corpus growth, per-stratum proportions, and the zero-shuffle
+plan property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark import queries as Q
+from pdf_using_hugging_face_and_vector_database_spark.operators.curation import hash_split
+from pdf_using_hugging_face_and_vector_database_spark.plans.explain import count_shuffles
+
+
+def test_assignment_stable_under_growth(spark):
+    """A doc's split is a function of its key alone: adding rows must
+    not flip any existing assignment (the property window-based
+    splits lack)."""
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(small).collect()}
+    b = {r.doc_id: r.split for r in hash_split(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_proportions_within_tolerance(spark):
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r.split: r["count"]
+        for r in hash_split(df).groupBy("split").count().collect()
+    }
+    n = sum(counts.values())
+    assert n == 20_000
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.01
+    assert abs(counts["test"] / n - 0.1) < 0.01
+
+
+def test_custom_fractions_and_buckets(spark):
+    df = spark.range(0, 5_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, fractions={"a": 0.5, "b": 0.5}, buckets=10)
+    got = {r.split for r in out.select("split").distinct().collect()}
+    assert got == {"a", "b"}
+    assert out.filter(F.col("bucket") >= 10).count() == 0
+
+
+def test_split_is_shuffle_free(spark, sf_dir):
+    """The assignment is a pure projection: zero Exchanges in the
+    dataset_split plan."""
+    assert count_shuffles(Q.dataset_split(spark, sf_dir)) == 0
+
+
+def test_leakage_counts_are_consistent(spark, sf_dir):
+    """Per-group member counts must sum, and the synthetic corpus
+    (doc + its truncation, identical keys mod 100000) is expected to
+    leak: a pair's two members hash independently, so ~16% of pairs
+    straddle train/test."""
+    rows = Q.split_leakage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_train + r.n_val + r.n_test == r.n_docs
+        assert r.leaked == (r.n_train > 0 and r.n_test > 0)
+    assert any(r.leaked for r in rows)
