@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "neardup_ppjoin",
     "dataset_split",
     "split_leakage",
+    "bpe_encode",
 ]
 
 

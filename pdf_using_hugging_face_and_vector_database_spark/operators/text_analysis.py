@@ -520,3 +520,74 @@ def bpe_merge_table(
         merge_rows,
         "merge_rank int, lhs string, rhs string, merged string, pair_count long",
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode every document with a learned BPE merge chain and report
+    per-doc token statistics — the tokenizer APPLICATION half of the
+    bpe_merge_table/bpe_apply pair (train once, encode the corpus).
+
+    Scale shape: the merge chain runs over the DISTINCT-WORD table
+    (vocabulary-scale), never per occurrence — each word is encoded
+    once and joined back to the corpus on the word key. Merges are
+    driver literals (a learned tokenizer is small by construction), so
+    each merge is one codegen'd literal replace with the same greedy
+    left-to-right non-overlap semantics as training; the bracket
+    delimiters make `[a][b]` unambiguous (see bpe_merge_table).
+
+    Output per doc: n_words, n_tokens (post-merge), n_base_symbols
+    (chars + one end-of-word marker per word), and the compression
+    ratio base/tokens.
+    """
+    from ..functions.text import occurrence_count, tokens
+
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word")).distinct()
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    seq = F.concat(
+        F.lit("["),
+        F.array_join(chars, "]["),
+        F.lit("]["),
+        F.lit(BPE_EOW),
+        F.lit("]"),
+    )
+    enc = words.select("word", seq.alias("seq"))
+    for lhs, rhs in merges:
+        enc = enc.select(
+            "word",
+            F.replace(
+                F.col("seq"), F.lit(f"[{lhs}][{rhs}]"), F.lit(f"[{lhs}{rhs}]")
+            ).alias("seq"),
+        )
+    enc = enc.select(
+        "word",
+        occurrence_count(F.col("seq"), "[").cast("long").alias("w_tokens"),
+        (F.length("word") + F.lit(1)).cast("long").alias("w_base"),
+    )
+    # vocabulary-scale side broadcast; at a 100 TB corpus vocabulary
+    # (millions of words) drop the hint and this is a word-key shuffle
+    # join against a table still ~6 orders smaller than the corpus
+    doc_words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    return (
+        doc_words.join(F.broadcast(enc), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_tokens").alias("n_tokens"),
+            F.sum("w_base").alias("n_base_symbols"),
+        )
+        .withColumn(
+            "compression",
+            F.round(
+                F.col("n_base_symbols").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+    )

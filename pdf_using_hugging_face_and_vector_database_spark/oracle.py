@@ -2242,6 +2242,54 @@ v{r + 1} AS MATERIALIZED (
         "WITH " + ",\n".join(bpe_ctes) + "\n" + bpe_union
     )
 
+    # tokenizer application: reuse the learning CTE chain verbatim,
+    # then run the same replace chain over the DISTINCT-WORD table and
+    # join back to the corpus by word (mirrors operators.bpe_apply)
+    enc_ctes = list(bpe_ctes)
+    enc_ctes.append(
+        f"""w0 AS MATERIALIZED (
+  SELECT DISTINCT word,
+         '[' || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> word[i]), '][')
+           || '][{BPE_EOW}]' AS seq
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t != ''))
+          AS word FROM documents))"""
+    )
+    for r in range(BPE_N_MERGES):
+        enc_ctes.append(
+            f"""w{r + 1} AS MATERIALIZED (
+  SELECT word,
+         replace(seq,
+           '[' || (SELECT lhs FROM t{r}) || '][' || (SELECT rhs FROM t{r}) || ']',
+           '[' || (SELECT lhs FROM t{r}) || (SELECT rhs FROM t{r}) || ']') AS seq
+  FROM w{r})"""
+        )
+    enc_ctes.append(
+        f"""wt AS (
+  SELECT word,
+         (length(seq) - length(replace(seq, '[', '')))::BIGINT AS w_tokens,
+         (length(word) + 1)::BIGINT AS w_base
+  FROM w{BPE_N_MERGES})"""
+    )
+    enc_ctes.append(
+        """d AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+  FROM documents)"""
+    )
+    sql["bpe_encode"] = (
+        "WITH "
+        + ",\n".join(enc_ctes)
+        + """
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       SUM(w_tokens)::BIGINT AS n_tokens,
+       SUM(w_base)::BIGINT AS n_base_symbols,
+       round(SUM(w_base)::DOUBLE / SUM(w_tokens)::DOUBLE, 6) AS compression
+FROM d JOIN wt USING (word)
+GROUP BY doc_id
+"""
+    )
+
     # DSIR: same hashed-unigram buckets (md5 24-bit prefix), same
     # add-alpha smoothing; bucket log-ratios rounded to 9 dp BEFORE
     # the per-doc decimal-exact mean (ln may differ by an ulp across

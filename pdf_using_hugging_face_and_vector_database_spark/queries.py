@@ -3387,6 +3387,29 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs, n_merges=BPE_N_MERGES)
 
 
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: learn the K-rule BPE merge chain
+    (bpe_merges' operator, same deterministic tie-breaks), then encode
+    every document through it — merges run over the DISTINCT-WORD
+    table (vocabulary-scale) and join back to the corpus by word. Per
+    doc: word/token/base-symbol counts + compression ratio. The
+    DuckDB oracle replays BOTH halves from scratch: the full learning
+    chain and the word-level encode join."""
+    from .operators.text_analysis import bpe_apply, bpe_merge_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    # K learned rules: a driver-side literal list by construction
+    # (same class of collect as the IVF centroids — the tokenizer IS
+    # small; the corpus never is)
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merge_table(docs, n_merges=BPE_N_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return bpe_apply(docs, rules)
+
+
 # ---------------- flagship (entry-point smoke query) ----------------
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3653,4 +3676,5 @@ QUERIES = {
     "neardup_ppjoin": neardup_ppjoin,
     "dataset_split": dataset_split,
     "split_leakage": split_leakage,
+    "bpe_encode": bpe_encode,
 }

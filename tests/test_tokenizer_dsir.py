@@ -76,3 +76,37 @@ def test_dsir_weights_are_length_normalized(spark):
     }
     assert w[2][1] == 2 * w[1][1]
     assert w[1][0] == w[2][0]
+
+
+def test_bpe_apply_counts_and_greedy_semantics(spark):
+    """Encode with a hand-built merge chain: 'aa'+'a' must NOT
+    re-merge overlapping occurrences (greedy left-to-right), and the
+    chained rule must consume the output symbol of the earlier rule."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import bpe_apply
+
+    df = spark.createDataFrame(
+        [(1, "aaaa ab"), (2, "b")], "doc_id long, text string"
+    )
+    # rules: (a,a)->aa then (aa,a)->aaa
+    out = {
+        r.doc_id: r
+        for r in bpe_apply(df, [("a", "a"), ("aa", "a")]).collect()
+    }
+    # 'aaaa' -> [a][a][a][a][</w>] -> [aa][aa][</w>] (greedy pairs, no
+    # overlap) -> rule 2 needs [aa][a], absent -> 3 tokens
+    # 'ab' -> [a][b][</w>] -> 3 tokens;  'b' -> [b][</w>] -> 2 tokens
+    assert out[1].n_words == 2
+    assert out[1].n_tokens == 3 + 3
+    assert out[1].n_base_symbols == 5 + 3
+    assert out[2].n_tokens == 2
+    assert out[2].compression == 1.0
+
+
+def test_bpe_encode_compresses_the_corpus(spark, sf_dir):
+    """Learned merges must strictly compress: every doc's token count
+    lands strictly between 0 and its base symbol count."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import bpe_encode
+
+    rows = bpe_encode(spark, sf_dir).collect()
+    assert rows
+    assert all(0 < r.n_tokens < r.n_base_symbols for r in rows)
