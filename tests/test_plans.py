@@ -358,3 +358,38 @@ def test_acctbal_window_single_exchange(spark, sf_dir):
     """ntile + percent_rank + cume_dist share one (partition, order):
     one Exchange, one WindowExec pipeline."""
     assert count_shuffles(Q.acctbal_window_stats(spark, sf_dir)) == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime semi-join reduction: with a selective dim predicate and
+    a non-broadcast join, Catalyst must inject a bloom_filter_agg on
+    the dim side and a might_contain filter above the fact scan — the
+    shape that skips most of a 100 TB fact table's rows before the
+    shuffle. Thresholds are tuned for the test's data sizes (at real
+    scale the 10 GB application-side default is what gates it)."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, sf_dir, "lineitem")
+        supp = read_table(spark, sf_dir, "supplier").filter(
+            F.col("s_nationkey") == 3
+        )
+        j = li.join(supp, li.l_suppkey == supp.s_suppkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt
+        assert "might_contain" in opt
+        # the filter must sit on the FACT (lineitem) key
+        assert "might_contain" in opt and "l_suppkey" in opt.split("might_contain")[1][:120]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
