@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "dataset_split",
     "split_leakage",
     "bpe_encode",
+    "retrieval_eval",
 ]
 
 

@@ -240,6 +240,51 @@ SELECT vec_id, label, q_dot, round(s, 6) AS score
 FROM rer ORDER BY s DESC, vec_id LIMIT 10
 """
 
+    # retrieval-eval: replay the int8 stage-1 ranking AND the exact
+    # truth ranking, then recompute recall/MRR/NDCG with the same
+    # driver-literal discount table the Spark side uses
+    from .queries import EVAL_K, IDCG_AT_K, NDCG_DISCOUNTS
+
+    _disc_list = "[" + ", ".join(repr(d) for d in NDCG_DISCOUNTS) + "]"
+    sql["retrieval_eval"] = f"""
+WITH coded AS (
+  SELECT vec_id, label, v,
+         list_transform(v,
+           x -> least(greatest(round(x / scale), -127.0), 127.0)::INT) AS codes
+  FROM (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))),
+                    1e-12) / 127.0 AS scale
+    FROM embeddings)),
+q AS (SELECT v AS qv, codes AS qcodes FROM coded WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+           i -> (c.codes[i] * q.qcodes[i])::BIGINT))::BIGINT AS q_dot
+  FROM coded c CROSS JOIN q),
+sysr AS (
+  SELECT vec_id, row_number() OVER (ORDER BY q_dot DESC, vec_id) AS rank
+  FROM (SELECT * FROM scored ORDER BY q_dot DESC, vec_id LIMIT {EVAL_K})),
+truth AS (
+  SELECT vec_id, 1 AS rel FROM (
+    SELECT c.vec_id, {_cos('c.v', 'q.qv', EMBED_DIM)} AS s
+    FROM coded c CROSS JOIN q)
+  ORDER BY s DESC, vec_id LIMIT {EVAL_K}),
+j AS (
+  SELECT s.rank,
+         coalesce(t.rel, 0) AS rel,
+         ({_disc_list})[s.rank] AS disc
+  FROM sysr s LEFT JOIN truth t USING (vec_id))
+SELECT {EVAL_K} AS k,
+       SUM(rel)::BIGINT AS n_relevant,
+       round(SUM(rel)::DOUBLE / {float(EVAL_K)!r}, 6) AS recall_at_k,
+       round(MAX(rel::DOUBLE / rank::DOUBLE), 6) AS mrr,
+       round(CAST(SUM(CAST(CASE WHEN rel = 1 THEN disc ELSE 0.0 END
+                           AS DECIMAL(27,9))) AS DOUBLE)
+             / {IDCG_AT_K!r}, 6) AS ndcg_at_k
+FROM j
+"""
+
     # binary (sign-bit) prefilter + exact re-rank twin: packed 32-bit
     # words as explicit conditional sums (shift < 32 keeps every word
     # an overflow-safe BIGINT in both engines), Hamming via

@@ -14,6 +14,9 @@ bit-identical arithmetic (see functions/hashing.py).
 
 from __future__ import annotations
 
+import math as _math
+from decimal import Decimal as _Decimal
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3387,6 +3390,69 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs, n_merges=BPE_N_MERGES)
 
 
+EVAL_K = 10
+# rank -> 1/log2(rank+1), 9 dp — DRIVER-side literals injected into
+# both engines, so cross-engine log-implementation ulps cannot exist;
+# the 9dp decimal carrier makes the 10-term sums associativity-proof
+NDCG_DISCOUNTS = [round(1.0 / _math.log2(i + 1), 9) for i in range(1, EVAL_K + 1)]
+IDCG_AT_K = float(sum(_Decimal(repr(d)) for d in NDCG_DISCOUNTS))
+
+
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics — recall@k, MRR, NDCG@k — of the
+    int8 stage-1 prefilter ranking against the exact-cosine truth
+    ranking (binary relevance = membership in the exact top-k). Both
+    rankings are seed-free and deterministic, so the DuckDB oracle
+    replays retrieval AND evaluation end-to-end: the eval harness
+    itself is correctness-gated, not just the index. Discount weights
+    are driver literals shared verbatim with the oracle (no
+    cross-engine log2 ulp risk); the DCG sums ride the repo's scale-9
+    decimal carrier."""
+    from .operators.ann import persisted_int8_codes, quantized_candidates
+    from .functions.vector import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    codes = persisted_int8_codes(spark, sf_dir, emb)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sysr = quantized_candidates(codes, q, cand_k=EVAL_K)
+    w = Window.orderBy(F.desc("q_dot"), "vec_id")
+    sys_ranked = sysr.select("vec_id", "q_dot").withColumn(
+        "rank", F.row_number().over(w)
+    )
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    qvd = F.transform("qv", lambda x: x.cast("double"))
+    truth = (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(dv, qvd).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(EVAL_K)
+        .select("vec_id", F.lit(1).alias("rel"))
+    )
+    joined = sys_ranked.join(truth, "vec_id", "left")
+    rel = F.coalesce(F.col("rel"), F.lit(0))
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in NDCG_DISCOUNTS]), F.col("rank")
+    )
+    dec9 = "decimal(27,9)"
+    return joined.agg(
+        F.lit(EVAL_K).alias("k"),
+        F.sum(rel).alias("n_relevant"),
+        F.round(F.sum(rel).cast("double") / F.lit(float(EVAL_K)), 6).alias(
+            "recall_at_k"
+        ),
+        F.round(
+            F.max(rel.cast("double") / F.col("rank").cast("double")), 6
+        ).alias("mrr"),
+        F.round(
+            F.sum(
+                F.when(rel == 1, disc).otherwise(F.lit(0.0)).cast(dec9)
+            ).cast("double")
+            / F.lit(IDCG_AT_K),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+
+
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer application: learn the K-rule BPE merge chain
     (bpe_merges' operator, same deterministic tie-breaks), then encode
@@ -3677,4 +3743,5 @@ QUERIES = {
     "dataset_split": dataset_split,
     "split_leakage": split_leakage,
     "bpe_encode": bpe_encode,
+    "retrieval_eval": retrieval_eval,
 }

@@ -180,3 +180,18 @@ def test_rrf_fuse_semantics(spark):
     assert out[3]["kw_rank"] is None
     # tie between doc 1 (kw rank 1) and doc 3 (vec rank 2)? no: 1/61 > 1/62
     assert out[1]["fused_rank"] == 2 and out[3]["fused_rank"] == 3
+
+
+def test_retrieval_eval_invariants(spark, sf_dir):
+    """Eval-harness sanity: the self-query must rank itself first
+    (MRR = 1), metrics live in (0, 1], and recall is n_relevant/k."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import retrieval_eval
+
+    r = retrieval_eval(spark, sf_dir).collect()[0]
+    assert r.mrr == 1.0
+    assert 0 < r.ndcg_at_k <= 1.0
+    assert 0 < r.recall_at_k <= 1.0
+    assert r.recall_at_k == round(r.n_relevant / r.k, 6)
+    # NDCG can't exceed what recall allows, and a perfectly-ordered
+    # prefix can't make NDCG lower than a tail-only arrangement
+    assert r.ndcg_at_k <= 1.0
