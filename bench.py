@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "split_leakage",
     "bpe_encode",
     "retrieval_eval",
+    "store_compaction",
 ]
 
 

@@ -240,6 +240,15 @@ SELECT vec_id, label, q_dot, round(s, 6) AS score
 FROM rer ORDER BY s DESC, vec_id LIMIT 10
 """
 
+    # compaction gate: the rewrite must preserve content exactly, so
+    # the digest of the compacted store must equal the digest of the
+    # source table
+    sql["store_compaction"] = """
+SELECT source, count(*)::BIGINT AS n_docs, SUM(doc_id)::BIGINT AS sum_ids,
+       SUM(('0x' || substr(md5(text), 1, 6))::BIGINT)::BIGINT AS sum_text_hash
+FROM documents GROUP BY source
+"""
+
     # retrieval-eval: replay the int8 stage-1 ranking AND the exact
     # truth ranking, then recompute recall/MRR/NDCG with the same
     # driver-literal discount table the Spark side uses

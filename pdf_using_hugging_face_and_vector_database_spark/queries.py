@@ -3390,6 +3390,60 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs, n_merges=BPE_N_MERGES)
 
 
+def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/maintenance.compact_store):
+    a deliberately fragmented 32-file store is rewritten into
+    ~target-sized files behind a write-then-swap, and the query
+    returns a per-source content digest (row counts, id sums, text
+    hash sums) of the COMPACTED store. The oracle recomputes the same
+    digest from the source table — so the maintenance job is gated on
+    preserving every row and every byte of text, which is the only
+    thing that matters about a rewrite. File-count mechanics are
+    pytest-asserted (tests/test_maintenance.py); content is
+    driver-asserted here."""
+    import json as _json
+    import os as _os
+
+    from .functions.hashing import md5_int
+    from .io import table_path
+    from .operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
+    from .operators.maintenance import compact_store, store_data_size
+
+    key = dataset_dir_key(sf_dir)
+    base = _os.path.join(INDEX_ROOT, f"frag_{key}")
+    frag = _os.path.join(base, "data")
+    fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt="frag32")
+    marker = _os.path.join(base, "meta.json")
+    ok = False
+    try:
+        with open(marker) as f:
+            ok = _json.load(f).get("fingerprint") == fp
+    except (OSError, ValueError):
+        ok = False
+    if not ok:
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        _os.makedirs(base, exist_ok=True)
+        if _os.path.exists(marker):
+            _os.remove(marker)
+        docs.repartition(32).write.mode("overwrite").parquet(frag)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"fingerprint": fp}, f)
+        _os.replace(tmp, marker)
+    total, _nf = store_data_size(frag)
+    out_dir = _os.path.join(INDEX_ROOT, f"compacted_{key}", "data")
+    compacted = compact_store(
+        spark, frag, out_dir, target_bytes=max(total // 4, 1)
+    )
+    return compacted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(md5_int(F.col("text"))).alias("sum_text_hash"),
+    )
+
+
 EVAL_K = 10
 # rank -> 1/log2(rank+1), 9 dp — DRIVER-side literals injected into
 # both engines, so cross-engine log-implementation ulps cannot exist;
@@ -3744,4 +3798,5 @@ QUERIES = {
     "split_leakage": split_leakage,
     "bpe_encode": bpe_encode,
     "retrieval_eval": retrieval_eval,
+    "store_compaction": store_compaction,
 }
