@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "retrieval_eval",
     "store_compaction",
+    "mv_incremental_refresh",
 ]
 
 

@@ -240,6 +240,15 @@ SELECT vec_id, label, q_dot, round(s, 6) AS score
 FROM rer ORDER BY s DESC, vec_id LIMIT 10
 """
 
+    # MV refresh gate: the incremental splice must equal a full
+    # from-scratch recompute
+    sql["mv_incremental_refresh"] = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
     # compaction gate: the rewrite must preserve content exactly, so
     # the digest of the compacted store must equal the digest of the
     # source table

@@ -3390,6 +3390,36 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs, n_merges=BPE_N_MERGES)
 
 
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/matview.refresh_changed_partitions): the monthly
+    (month, status) revenue MV is built WITHOUT the late-arriving
+    batch (orders with o_orderkey % 1000 == 7), then refreshed by
+    re-aggregating ONLY the months that batch touches and splicing
+    them with the untouched MV rows (broadcast anti + semi joins on
+    the month list). The oracle is a full from-scratch GROUP BY over
+    all orders — the spliced path must be indistinguishable from the
+    recompute, including the exact-decimal revenue sums."""
+    from .operators.matview import refresh_changed_partitions
+
+    orders = read_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    base = orders.select(
+        month, "o_orderstatus", "o_totalprice", "o_orderkey"
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("month", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+
+    late = base.filter(F.col("o_orderkey") % 1000 == 7)
+    mv0 = agg(base.filter(F.col("o_orderkey") % 1000 != 7))
+    changed = late.select("month").distinct()
+    return refresh_changed_partitions(base, mv0, "month", changed, agg)
+
+
 def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (operators/maintenance.compact_store):
     a deliberately fragmented 32-file store is rewritten into
@@ -3799,4 +3829,5 @@ QUERIES = {
     "bpe_encode": bpe_encode,
     "retrieval_eval": retrieval_eval,
     "store_compaction": store_compaction,
+    "mv_incremental_refresh": mv_incremental_refresh,
 }
