@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "retrieval_eval",
     "store_compaction",
     "mv_incremental_refresh",
+    "store_clustering",
 ]
 
 

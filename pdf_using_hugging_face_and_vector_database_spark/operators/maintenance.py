@@ -63,3 +63,107 @@ def compact_store(
         shutil.rmtree(dst_dir)
     os.replace(tmp, dst_dir)
     return spark.read.parquet(dst_dir)
+
+
+def cluster_store(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    key: str,
+    n_files: int | None = None,
+    target_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Rewrite a store CLUSTERED on ``key``: range-repartition so each
+    output file owns a disjoint key range, sort within partitions so
+    every parquet row group's min/max stats are tight. After this, any
+    point or range predicate on ``key`` prunes to the few row groups
+    whose [min, max] intersect it — the data-skipping layout that
+    turns a 100 TB scan into a few-GB scan without an index.
+
+    Same write-then-swap contract as compact_store. Output file count
+    defaults to the same size-derived heuristic.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if n_files is None:
+        total, _ = store_data_size(src_dir)
+        n_files = max(1, math.ceil(total / target_bytes))
+    tmp = dst_dir.rstrip("/") + ".tmp"
+    (
+        spark.read.parquet(src_dir)
+        .repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    if os.path.exists(dst_dir):
+        shutil.rmtree(dst_dir)
+    os.replace(tmp, dst_dir)
+    return spark.read.parquet(dst_dir)
+
+
+def row_group_ranges(path: str, key: str) -> list[tuple]:
+    """(min, max) of ``key`` for every parquet row group in the store —
+    driver-side metadata read via pyarrow (footers only, never data).
+    The clustering quality metric: disjoint ranges == perfect
+    skipping; heavy overlap == every range query touches every file."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = schema_names.index(key)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    out.append((st.min, st.max))
+    return out
+
+
+def overlap_fraction(ranges: list[tuple]) -> float:
+    """Fraction of range pairs that overlap — 0.0 is perfectly
+    clustered, ~1.0 is unclustered."""
+    n = len(ranges)
+    if n < 2:
+        return 0.0
+    hits = 0
+    pairs = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            pairs += 1
+            a, b = ranges[i], ranges[j]
+            if a[0] <= b[1] and b[0] <= a[1]:
+                hits += 1
+    return hits / pairs
+
+
+def ensure_store(base_dir: str, fingerprint: str, build) -> str:
+    """Fingerprint-keyed store-build idiom shared by the maintenance
+    fixtures (same crash-safe marker ordering as persisted_signatures):
+    returns the data dir, calling ``build(data_dir)`` only when the
+    marker is missing or stale."""
+    import json
+
+    marker = os.path.join(base_dir, "meta.json")
+    data_dir = os.path.join(base_dir, "data")
+    try:
+        with open(marker) as f:
+            if json.load(f).get("fingerprint") == fingerprint:
+                return data_dir
+    except (OSError, ValueError):
+        pass
+    os.makedirs(base_dir, exist_ok=True)
+    if os.path.exists(marker):
+        os.remove(marker)
+    build(data_dir)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"fingerprint": fingerprint}, f)
+    os.replace(tmp, marker)
+    return data_dir

@@ -240,6 +240,18 @@ SELECT vec_id, label, q_dot, round(s, 6) AS score
 FROM rer ORDER BY s DESC, vec_id LIMIT 10
 """
 
+    # clustering gate: content through the re-layout must be exact
+    from .queries import CLUSTER_BAND
+
+    sql["store_clustering"] = f"""
+SELECT l_returnflag, count(*)::BIGINT AS n_items,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+       SUM(l_orderkey)::BIGINT AS sum_keys
+FROM lineitem
+WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
+GROUP BY l_returnflag
+"""
+
     # MV refresh gate: the incremental splice must equal a full
     # from-scratch recompute
     sql["mv_incremental_refresh"] = f"""

@@ -3390,6 +3390,56 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs, n_merges=BPE_N_MERGES)
 
 
+CLUSTER_BAND = ("1995-03-01", "1995-03-15")  # narrow shipdate slice
+
+
+def store_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout clustering (operators/maintenance.cluster_store): a
+    deliberately scrambled 16-file lineitem store is rewritten
+    range-partitioned + sorted on l_shipdate, then a narrow date-band
+    aggregate runs AGAINST THE CLUSTERED STORE. The oracle recomputes
+    the band from the source table, so the rewrite is gated on
+    row-perfect content through the re-layout; the skipping property
+    itself (disjoint row-group min/max ranges, pyarrow footer stats)
+    is asserted in tests/test_maintenance.py."""
+    import os as _os
+
+    from .io import table_path
+    from .operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
+    from .operators.maintenance import cluster_store, ensure_store
+
+    key = dataset_dir_key(sf_dir)
+    fp = dataset_fingerprint(table_path(sf_dir, "lineitem"), salt="scram16")
+    frag = ensure_store(
+        _os.path.join(INDEX_ROOT, f"scrambled_{key}"),
+        fp,
+        lambda d: read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_returnflag", "l_quantity")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(d),
+    )
+    clustered = cluster_store(
+        spark,
+        frag,
+        _os.path.join(INDEX_ROOT, f"clustered_{key}", "data"),
+        key="l_shipdate",
+        n_files=8,
+    )
+    lo, hi = CLUSTER_BAND
+    return (
+        clustered.filter(
+            (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.sum("l_orderkey").alias("sum_keys"),
+        )
+    )
+
+
 def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance
     (operators/matview.refresh_changed_partitions): the monthly
@@ -3830,4 +3880,5 @@ QUERIES = {
     "retrieval_eval": retrieval_eval,
     "store_compaction": store_compaction,
     "mv_incremental_refresh": mv_incremental_refresh,
+    "store_clustering": store_clustering,
 }
