@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "store_compaction",
     "mv_incremental_refresh",
     "store_clustering",
+    "supplier_pagerank",
 ]
 
 

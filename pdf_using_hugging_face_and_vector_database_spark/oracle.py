@@ -240,6 +240,54 @@ SELECT vec_id, label, q_dot, round(s, 6) AS score
 FROM rer ORDER BY s DESC, vec_id LIMIT 10
 """
 
+    # PageRank: 5-round chained-CTE power-method replay. The teleport
+    # numerator and damping ride as repr() double literals so both
+    # engines divide/multiply the SAME doubles; contributions are
+    # 9dp-rounded and decimal-summed exactly like the Spark side.
+    from .queries import PR_DAMPING, PR_ITERS
+
+    _tn = repr(1.0 - PR_DAMPING)
+    _d = repr(PR_DAMPING)
+    pr_ctes = [
+        """pairs AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        """pr_edges AS MATERIALIZED (
+  SELECT src, dst FROM pairs
+  UNION SELECT dst AS src, src AS dst FROM pairs)""",
+        """pr_nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM pr_edges UNION ALL SELECT dst FROM pr_edges))""",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM pr_nodes)",
+        """pr_deg AS MATERIALIZED (
+  SELECT src, count(*)::BIGINT AS out_deg FROM pr_edges GROUP BY src)""",
+        """pr0 AS MATERIALIZED (
+  SELECT node, round(1.0::DOUBLE / (SELECT n FROM nn), 9) AS rank
+  FROM pr_nodes)""",
+    ]
+    for k in range(PR_ITERS):
+        pr_ctes.append(
+            f"""pa{k} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(round(r.rank / d.out_deg, 9) AS DECIMAL(27,9)))
+              AS DOUBLE) AS inflow
+  FROM pr_edges e JOIN pr_deg d ON e.src = d.src
+  JOIN pr{k} r ON e.src = r.node
+  GROUP BY e.dst)"""
+        )
+        pr_ctes.append(
+            f"""pr{k + 1} AS MATERIALIZED (
+  SELECT n.node,
+         round({_tn}::DOUBLE / (SELECT n FROM nn)
+               + {_d}::DOUBLE * coalesce(a.inflow, 0.0::DOUBLE), 9) AS rank
+  FROM pr_nodes n LEFT JOIN pa{k} a USING (node))"""
+        )
+    sql["supplier_pagerank"] = (
+        "WITH "
+        + ",\n".join(pr_ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM pr{PR_ITERS}\n"
+    )
+
     # clustering gate: content through the re-layout must be exact
     from .queries import CLUSTER_BAND
 

@@ -3390,6 +3390,44 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs, n_merges=BPE_N_MERGES)
 
 
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.pagerank) over the customer↔supplier
+    purchase graph (orders⋈lineitem edges, both directions, distinct):
+    the fixed-iteration power-method family beside the fixpoint CC
+    family. 5 rounds of edge-join + dst-groupBy; per-edge
+    contributions are 9dp-rounded and decimal-summed so the DuckDB
+    oracle's 5-round chained-CTE replay is bit-identical — an
+    ITERATIVE algorithm with a full hash oracle, not a rows-only
+    check."""
+    from .operators.graph import pagerank
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    # dedup on the INT pair before stringifying (the distinct shuffles
+    # 16-byte key pairs, not concatenated strings) and broadcast the
+    # 2-column orders projection into the fact join
+    ipairs = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = ipairs.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
+
+
 CLUSTER_BAND = ("1995-03-01", "1995-03-15")  # narrow shipdate slice
 
 
@@ -3881,4 +3919,5 @@ QUERIES = {
     "store_compaction": store_compaction,
     "mv_incremental_refresh": mv_incremental_refresh,
     "store_clustering": store_clustering,
+    "supplier_pagerank": supplier_pagerank,
 }
