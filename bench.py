@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "mv_incremental_refresh",
     "store_clustering",
     "supplier_pagerank",
+    "pit_priority_revenue",
 ]
 
 

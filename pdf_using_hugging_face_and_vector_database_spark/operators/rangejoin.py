@@ -70,3 +70,35 @@ def range_join(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
     )
     return verified.drop(BUCKET_COL)
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    time_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (AS OF) join of a fact table against a Type-2
+    dimension: each fact row picks the dimension version whose
+    half-open validity interval ``[valid_from, valid_to)`` contains
+    the fact's ``time_col`` (``valid_to`` NULL = open current row).
+
+    Scale shape: because SCD2 intervals are DISJOINT per key (the
+    scd2_from_changelog invariant), this is a plain equi-join on the
+    key with an interval residual — each fact matches at most one
+    version, so no dedup, no window, no sort. Fact-side fan-out per
+    key is the version count (change-log depth, bounded); the dim is
+    usually the broadcast side. This is the shape warehouse PIT joins
+    want at 100 TB — contrast the union+last_value as-of join
+    (queries.asof_join_events), which is the EVENT-STREAM as-of where
+    the right side has no interval structure to exploit.
+    """
+    cond = (
+        (facts[key] == dim[key])
+        & (facts[time_col] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (facts[time_col] < dim[valid_to]))
+    )
+    return facts.join(dim, cond, how).drop(dim[key])

@@ -1898,6 +1898,40 @@ FROM changed
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
+    # PIT join: replay SCD2 build + interval match + digest
+    sql["pit_priority_revenue"] = f"""
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+changed AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM ordered WHERE prev IS NULL OR o_orderpriority <> prev),
+dim AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to,
+         (row_number() OVER w)::INT AS version
+  FROM changed
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+facts AS (
+  SELECT o.o_custkey, l.l_shipdate, l.l_orderkey, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+j AS (
+  SELECT d.o_orderpriority AS priority_at_ship, f.l_orderkey,
+         f.l_extendedprice, d.version
+  FROM facts f JOIN dim d
+    ON f.o_custkey = d.o_custkey
+   AND f.l_shipdate >= d.valid_from
+   AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to))
+SELECT priority_at_ship, count(*)::BIGINT AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS revenue,
+       SUM(l_orderkey)::BIGINT AS sum_keys,
+       SUM(version)::BIGINT AS sum_versions
+FROM j GROUP BY priority_at_ship
+"""
+
     # robust MAD outliers: medians rounded at 6 BEFORE scoring in both
     # engines, so the score arithmetic starts from identical numbers
     sql["anomaly_mad"] = f"""

@@ -3390,6 +3390,41 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs, n_merges=BPE_N_MERGES)
 
 
+def pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join (operators/rangejoin.pit_join):
+    every lineitem is joined to the customer-priority SCD2 version
+    valid ON ITS SHIP DATE — the warehouse "what did the dimension say
+    when the fact happened" join, exploiting SCD2's disjoint-interval
+    invariant (equi-join on key + interval residual; no window, no
+    dedup). Digest output per matched priority: line count, revenue,
+    key and version checksums — a single misattributed version shifts
+    the sums. The oracle replays change detection, intervals, and the
+    PIT match from scratch."""
+    from .operators.rangejoin import pit_join
+    from .operators.upsert import scd2_from_changelog
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = scd2_from_changelog(
+        orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+        key="o_custkey",
+        attr="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        valid_col="o_orderdate",
+    )
+    facts = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("o_custkey", "l_shipdate", "l_orderkey", "l_extendedprice")
+    j = pit_join(facts, dim, key="o_custkey", time_col="l_shipdate")
+    return j.groupBy(F.col("o_orderpriority").alias("priority_at_ship")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum(F.col("l_extendedprice")).alias("revenue"),
+        F.sum("l_orderkey").alias("sum_keys"),
+        F.sum("version").alias("sum_versions"),
+    )
+
+
 PR_ITERS = 5
 PR_DAMPING = 0.85
 
@@ -3920,4 +3955,5 @@ QUERIES = {
     "mv_incremental_refresh": mv_incremental_refresh,
     "store_clustering": store_clustering,
     "supplier_pagerank": supplier_pagerank,
+    "pit_priority_revenue": pit_priority_revenue,
 }

@@ -1,0 +1,83 @@
+"""pit_join: interval semantics against a hand-built SCD2 dimension —
+half-open boundaries, open current row, before-first-version drop,
+and the at-most-one-match invariant on the real query graph."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import pit_join
+
+DIM_ROWS = [
+    # key, attr, valid_from, valid_to, version
+    (1, "LOW", dt.date(2020, 1, 1), dt.date(2020, 6, 1), 1),
+    (1, "HIGH", dt.date(2020, 6, 1), None, 2),
+    (2, "MED", dt.date(2021, 1, 1), None, 1),
+]
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        DIM_ROWS, "k int, attr string, valid_from date, valid_to date, version int"
+    )
+
+
+def test_interval_semantics(spark):
+    facts = spark.createDataFrame(
+        [
+            (1, dt.date(2020, 3, 1)),   # inside v1
+            (1, dt.date(2020, 6, 1)),   # boundary: half-open -> v2
+            (1, dt.date(2025, 1, 1)),   # open current row -> v2
+            (1, dt.date(2019, 1, 1)),   # before first version -> dropped
+            (2, dt.date(2021, 1, 1)),   # valid_from inclusive -> v1
+            (3, dt.date(2021, 1, 1)),   # unknown key -> dropped
+        ],
+        "k int, t date",
+    )
+    out = pit_join(facts, _dim(spark), key="k", time_col="t").collect()
+    got = {(r.k, str(r.t)): (r.attr, r.version) for r in out}
+    assert got == {
+        (1, "2020-03-01"): ("LOW", 1),
+        (1, "2020-06-01"): ("HIGH", 2),
+        (1, "2025-01-01"): ("HIGH", 2),
+        (2, "2021-01-01"): ("MED", 1),
+    }
+
+
+def test_at_most_one_match_on_real_dim(spark, sf_dir):
+    """Disjoint SCD2 intervals => the PIT join never duplicates a
+    fact row. Checked on the actual query composition."""
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        scd2_from_changelog,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = scd2_from_changelog(
+        orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+        key="o_custkey",
+        attr="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        valid_col="o_orderdate",
+    )
+    # the fixture has duplicate (l_orderkey, l_linenumber) pairs (dates
+    # are drawn independently — see quality_gates), so tag each fact
+    # row with a unique id for the duplication check
+    facts = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_shipdate", "l_orderkey")
+        .withColumn("fid", F.monotonically_increasing_id())
+        .persist()
+    )
+    n_facts = facts.count()  # pin the ids before both consumers
+    j = pit_join(facts, dim, key="o_custkey", time_col="l_shipdate")
+    dup = j.groupBy("fid").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+    assert j.count() <= n_facts
+    facts.unpersist()
