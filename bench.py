@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "store_clustering",
     "supplier_pagerank",
     "pit_priority_revenue",
+    "mmr_diversified_topk",
 ]
 
 

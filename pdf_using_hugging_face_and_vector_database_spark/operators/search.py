@@ -201,3 +201,77 @@ def delete_by_ids(corpus: DataFrame, ids: Sequence, id_col: str = "vec_id") -> D
     """Q5 delete — anti-join rewrite (no Delta in this container); at
     cluster scale this is `MERGE ... WHEN MATCHED DELETE` on Delta."""
     return corpus.filter(~F.col(id_col).isin(list(ids)))
+
+
+def mmr_select(
+    cand: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    simq_col: str = "simq",
+) -> list[tuple]:
+    """Maximal Marginal Relevance re-ranking over a candidate pool:
+    greedily pick k items maximizing
+    ``lam * sim(query, d) - (1 - lam) * max_{s in selected} sim(d, s)``
+    — the standard diversity-aware retrieval pass that runs AFTER a
+    distributed top-N candidate scan (the pool is result-scale by
+    construction; the corpus work already happened upstream).
+
+    Determinism contract shared with the DuckDB oracle: both the
+    query-similarity and all pairwise similarities are rounded to 9 dp
+    BEFORE any comparison, the MMR score is re-rounded to 9 dp, and
+    argmax ties break on the id — so K greedy rounds are bit-stable
+    cross-engine (same discipline as pagerank's rounded power
+    iteration). The K per-round 1-row argmax collects are the same
+    driver-interaction class as bpe_merge_table's per-round top pair.
+
+    Returns [(rank, id, simq), ...] — driver-side, pool-scale.
+    """
+    from ..caching import persist_tracked
+    from ..functions.vector import cosine as _cos
+
+    cand = persist_tracked(cand)
+    a = cand.alias("a")
+    b = cand.alias("b")
+    va = F.transform(f"a.{vec_col}", lambda x: x.cast("double"))
+    vb = F.transform(f"b.{vec_col}", lambda x: x.cast("double"))
+    pairs = persist_tracked(
+        a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("ia"),
+            F.col(f"b.{id_col}").alias("ib"),
+            F.round(_cos(va, vb), 9).alias("sim"),
+        )
+    )
+    one_m = 1.0 - lam
+    selected: list[tuple] = []
+    for rank in range(1, k + 1):
+        rem = cand
+        sel_ids = [s[1] for s in selected]
+        if sel_ids:
+            rem = rem.filter(~F.col(id_col).isin(sel_ids))
+            pen = (
+                pairs.filter(F.col("ib").isin(sel_ids))
+                .groupBy("ia")
+                .agg(F.max("sim").alias("pen"))
+                .withColumnRenamed("ia", id_col)
+            )
+            rem = rem.join(pen, id_col, "left")
+        else:
+            rem = rem.withColumn("pen", F.lit(0.0))
+        score = F.round(
+            F.lit(lam) * F.col(simq_col)
+            - F.lit(one_m) * F.coalesce(F.col("pen"), F.lit(0.0)),
+            9,
+        )
+        top = (
+            rem.select(id_col, simq_col, score.alias("mmr"))
+            .orderBy(F.desc("mmr"), id_col)
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        selected.append((rank, top[0][id_col], top[0][simq_col]))
+    return selected

@@ -240,6 +240,54 @@ SELECT vec_id, label, q_dot, round(s, 6) AS score
 FROM rer ORDER BY s DESC, vec_id LIMIT 10
 """
 
+    # MMR: replay the 10-round greedy diversified selection — chained
+    # argmax CTEs with the same 9dp-rounded scores and id tie-breaks
+    from .queries import MMR_K, MMR_LAMBDA, MMR_POOL
+
+    _lam = f"{MMR_LAMBDA!r}::DOUBLE"
+    _oml = f"{1.0 - MMR_LAMBDA!r}::DOUBLE"
+    mmr_ctes = [
+        "mq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""mcands AS MATERIALIZED (
+  SELECT vec_id, v, round({_cos('v', 'mq.qv', EMBED_DIM)}, 9) AS simq
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  CROSS JOIN mq
+  ORDER BY simq DESC, vec_id LIMIT {MMR_POOL})""",
+        f"""mps AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round({_cos('a.v', 'b.v', EMBED_DIM)}, 9) AS sim
+  FROM mcands a JOIN mcands b ON a.vec_id <> b.vec_id)""",
+        f"""mp1 AS MATERIALIZED (
+  SELECT vec_id, simq FROM mcands
+  ORDER BY round({_lam} * simq - {_oml} * 0.0::DOUBLE, 9) DESC, vec_id
+  LIMIT 1)""",
+        "ms1 AS (SELECT vec_id FROM mp1)",
+    ]
+    for r in range(2, MMR_K + 1):
+        mmr_ctes.append(
+            f"""mp{r} AS MATERIALIZED (
+  SELECT c.vec_id, c.simq
+  FROM mcands c LEFT JOIN (
+    SELECT ia AS vec_id, max(sim) AS pen FROM mps
+    WHERE ib IN (SELECT vec_id FROM ms{r - 1}) GROUP BY ia) pn
+  USING (vec_id)
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM ms{r - 1})
+  ORDER BY round({_lam} * c.simq - {_oml} * coalesce(pn.pen, 0.0::DOUBLE), 9)
+           DESC, c.vec_id
+  LIMIT 1)"""
+        )
+        mmr_ctes.append(
+            f"ms{r} AS (SELECT vec_id FROM ms{r - 1} "
+            f"UNION ALL SELECT vec_id FROM mp{r})"
+        )
+    mmr_union = "\nUNION ALL\n".join(
+        f"SELECT {r}::INT AS rank, vec_id, round(simq, 6) AS simq FROM mp{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    sql["mmr_diversified_topk"] = (
+        "WITH " + ",\n".join(mmr_ctes) + "\n" + mmr_union
+    )
+
     # PageRank: 5-round chained-CTE power-method replay. The teleport
     # numerator and damping ride as repr() double literals so both
     # engines divide/multiply the SAME doubles; contributions are

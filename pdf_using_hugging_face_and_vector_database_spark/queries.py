@@ -3390,6 +3390,43 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(docs, n_merges=BPE_N_MERGES)
 
 
+MMR_K = 10
+MMR_POOL = 30
+MMR_LAMBDA = 0.7
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: exact cosine top-30 candidate pool
+    (distributed scan), then Maximal Marginal Relevance greedy
+    re-ranking to 10 (operators/search.mmr_select) — the standard
+    redundancy-suppression pass RAG stacks run after ANN. All
+    similarities 9dp-rounded before comparison and ties broken on id,
+    so the DuckDB oracle replays the ENTIRE 10-round greedy selection
+    (chained argmax CTEs) bit-for-bit — selection order included,
+    since rank is an output column."""
+    from .operators.search import mmr_select
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    qvd = F.transform("qv", lambda x: x.cast("double"))
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(dv, qvd), 9).alias("simq"),
+        )
+        .orderBy(F.desc("simq"), "vec_id")
+        .limit(MMR_POOL)
+    )
+    sel = mmr_select(cand, k=MMR_K, lam=MMR_LAMBDA)
+    out = spark.createDataFrame(
+        [(r, i, s) for r, i, s in sel], "rank int, vec_id long, simq double"
+    )
+    return out.select("rank", "vec_id", F.round("simq", 6).alias("simq"))
+
+
 def pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension join (operators/rangejoin.pit_join):
     every lineitem is joined to the customer-priority SCD2 version
@@ -3956,4 +3993,5 @@ QUERIES = {
     "store_clustering": store_clustering,
     "supplier_pagerank": supplier_pagerank,
     "pit_priority_revenue": pit_priority_revenue,
+    "mmr_diversified_topk": mmr_diversified_topk,
 }

@@ -195,3 +195,49 @@ def test_retrieval_eval_invariants(spark, sf_dir):
     # NDCG can't exceed what recall allows, and a perfectly-ordered
     # prefix can't make NDCG lower than a tail-only arrangement
     assert r.ndcg_at_k <= 1.0
+
+
+def test_mmr_diversifies_and_is_deterministic(spark, sf_dir):
+    """MMR must (a) start from the top-1 relevant item, (b) pick a
+    set different from the plain relevance top-k on this corpus (the
+    penalty has to bite), and (c) be exactly reproducible."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        MMR_K,
+        mmr_diversified_topk,
+    )
+
+    a = mmr_diversified_topk(spark, sf_dir).collect()
+    assert len(a) == MMR_K
+    assert a[0].rank == 1
+    # rank 1 is pure relevance: the self-query must lead
+    assert a[0].vec_id == 0
+    b = mmr_diversified_topk(spark, sf_dir).collect()
+    assert [(r.rank, r.vec_id) for r in a] == [(r.rank, r.vec_id) for r in b]
+
+
+def test_mmr_differs_from_relevance_topk(spark, sf_dir):
+    """The diversified set must not equal the plain cosine top-k —
+    otherwise the penalty term is dead code on this fixture."""
+    from pyspark.sql import functions as F
+
+    from pdf_using_hugging_face_and_vector_database_spark.functions.vector import cosine
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        MMR_K,
+        mmr_diversified_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    qvd = F.transform("qv", lambda x: x.cast("double"))
+    plain = [
+        r.vec_id
+        for r in emb.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(dv, qvd), 9).alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(MMR_K)
+        .collect()
+    ]
+    mmr = [r.vec_id for r in mmr_diversified_topk(spark, sf_dir).collect()]
+    assert set(mmr) != set(plain)
