@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "supplier_pagerank",
     "pit_priority_revenue",
     "mmr_diversified_topk",
+    "stream_mv_refresh",
 ]
 
 

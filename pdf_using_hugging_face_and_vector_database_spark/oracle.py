@@ -356,6 +356,9 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
        CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue
 FROM orders GROUP BY 1, 2
 """
+    # the streamed continuous aggregate must converge to the same
+    # from-scratch recompute (additive decimal folds are associative)
+    sql["stream_mv_refresh"] = sql["mv_incremental_refresh"]
 
     # compaction gate: the rewrite must preserve content exactly, so
     # the digest of the compacted store must equal the digest of the

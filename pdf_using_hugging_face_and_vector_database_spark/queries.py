@@ -3500,6 +3500,21 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate (streaming/matview.py): orders
+    land in 4 micro-batches; each folds ADDITIVELY into a persisted
+    monthly MV through a TRANSACTIONAL foreachBatch sink — the
+    batch-id watermark commits atomically WITH the data, so replay
+    skips (additive merges aren't idempotent; this is the other
+    exactly-once mechanism beside the LWW sink's idempotence).
+    Decimal addition is associative, so the streamed MV must equal a
+    from-scratch GROUP BY over all orders — the oracle it shares with
+    mv_incremental_refresh."""
+    from .streaming.matview import streamed_mv_store
+
+    return streamed_mv_store(spark, sf_dir)
+
+
 CLUSTER_BAND = ("1995-03-01", "1995-03-15")  # narrow shipdate slice
 
 
@@ -3994,4 +4009,5 @@ QUERIES = {
     "supplier_pagerank": supplier_pagerank,
     "pit_priority_revenue": pit_priority_revenue,
     "mmr_diversified_topk": mmr_diversified_topk,
+    "stream_mv_refresh": stream_mv_refresh,
 }
