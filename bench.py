@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "pit_priority_revenue",
     "mmr_diversified_topk",
     "stream_mv_refresh",
+    "store_zorder",
 ]
 
 

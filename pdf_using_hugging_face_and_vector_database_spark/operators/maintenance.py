@@ -167,3 +167,91 @@ def ensure_store(base_dir: str, fingerprint: str, build) -> str:
         json.dump({"fingerprint": fingerprint}, f)
     os.replace(tmp, marker)
     return data_dir
+
+
+def zorder_value(cols, mins, maxs, bits: int = 16):
+    """Morton (Z-order) key from N numeric columns: each column is
+    min/max-scaled to ``bits`` buckets (stats come from a cheap
+    pre-pass aggregate, broadcast as literals), then the bucket bits
+    are interleaved. Rows close in EVERY dimension get close z-values,
+    so sorting by z gives row groups whose min/max stats are tight in
+    ALL the z-ordered columns at once — the multi-column data-skipping
+    layout (single-key clustering only tightens one column).
+    Pure codegen'd bit arithmetic; no shuffle of its own."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        c = F.col(c) if isinstance(c, str) else c
+        span = float(hi) - float(lo)
+        if span <= 0:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        b = F.floor(
+            (c.cast("double") - F.lit(float(lo)))
+            / F.lit(span)
+            * F.lit(float((1 << bits) - 1))
+        ).cast("long")
+        scaled.append(F.greatest(F.least(b, F.lit((1 << bits) - 1)), F.lit(0)))
+    # Column & / | are BOOLEAN operators in PySpark — bitwise ops must
+    # go through bitwiseAND / bitwiseOR
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftrightunsigned(s, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j).cast("long"))
+    return z
+
+
+def zorder_store(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    keys: list[str],
+    n_files: int | None = None,
+    target_bytes: int = 128 << 20,
+    bits: int = 16,
+) -> DataFrame:
+    """Rewrite a store Z-ORDERED on ``keys``: one stats pre-pass for
+    min/max, then range-repartition + sort on the interleaved Morton
+    key. Same write-then-swap contract as cluster_store."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_dir)
+    # stats in DOUBLE space (temporal keys become epoch seconds —
+    # TIMESTAMP_NTZ has no direct double cast, so route through
+    # timestamp), keeping the scaling arithmetic uniform across types
+    dtypes = dict(df.dtypes)
+    def _num(k):
+        c = F.col(k)
+        if dtypes[k].startswith(("timestamp", "date")):
+            c = c.cast("timestamp")
+        return c.cast("double")
+
+    kcols = [_num(k) for k in keys]
+    stats = df.agg(
+        *[F.min(c).alias(f"min_{k}") for k, c in zip(keys, kcols)],
+        *[F.max(c).alias(f"max_{k}") for k, c in zip(keys, kcols)],
+    ).collect()[0]
+    mins = [stats[f"min_{k}"] for k in keys]
+    maxs = [stats[f"max_{k}"] for k in keys]
+    if n_files is None:
+        total, _ = store_data_size(src_dir)
+        n_files = max(1, math.ceil(total / target_bytes))
+    z = zorder_value(kcols, mins, maxs, bits=bits)
+    tmp = dst_dir.rstrip("/") + ".tmp"
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    if os.path.exists(dst_dir):
+        shutil.rmtree(dst_dir)
+    os.replace(tmp, dst_dir)
+    return spark.read.parquet(dst_dir)

@@ -348,6 +348,19 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # z-order gate: 2-D band digest, content through the re-layout
+    from .queries import ZORDER_KEY_BAND
+
+    sql["store_zorder"] = f"""
+SELECT l_returnflag, count(*)::BIGINT AS n_items,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+       SUM(l_orderkey)::BIGINT AS sum_keys
+FROM lineitem
+WHERE l_orderkey >= {ZORDER_KEY_BAND[0]} AND l_orderkey < {ZORDER_KEY_BAND[1]}
+  AND l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
+GROUP BY l_returnflag
+"""
+
     # MV refresh gate: the incremental splice must equal a full
     # from-scratch recompute
     sql["mv_incremental_refresh"] = f"""

@@ -3518,6 +3518,29 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUSTER_BAND = ("1995-03-01", "1995-03-15")  # narrow shipdate slice
 
 
+def _scrambled_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Shared layout-fixture: a 16-file round-robin-scrambled lineitem
+    store (fingerprint-keyed) — the 'before' state for the clustering
+    and z-order rewrites."""
+    import os as _os
+
+    from .io import table_path
+    from .operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
+    from .operators.maintenance import ensure_store
+
+    key = dataset_dir_key(sf_dir)
+    fp = dataset_fingerprint(table_path(sf_dir, "lineitem"), salt="scram16")
+    return ensure_store(
+        _os.path.join(INDEX_ROOT, f"scrambled_{key}"),
+        fp,
+        lambda d: read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_returnflag", "l_quantity")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(d),
+    )
+
+
 def store_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-layout clustering (operators/maintenance.cluster_store): a
     deliberately scrambled 16-file lineitem store is rewritten
@@ -3529,21 +3552,11 @@ def store_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests/test_maintenance.py."""
     import os as _os
 
-    from .io import table_path
-    from .operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
-    from .operators.maintenance import cluster_store, ensure_store
+    from .operators.ann import INDEX_ROOT, dataset_dir_key
+    from .operators.maintenance import cluster_store
 
     key = dataset_dir_key(sf_dir)
-    fp = dataset_fingerprint(table_path(sf_dir, "lineitem"), salt="scram16")
-    frag = ensure_store(
-        _os.path.join(INDEX_ROOT, f"scrambled_{key}"),
-        fp,
-        lambda d: read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_shipdate", "l_returnflag", "l_quantity")
-        .repartition(16)
-        .write.mode("overwrite")
-        .parquet(d),
-    )
+    frag = _scrambled_lineitem(spark, sf_dir)
     clustered = cluster_store(
         spark,
         frag,
@@ -3555,6 +3568,51 @@ def store_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clustered.filter(
             (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.sum("l_orderkey").alias("sum_keys"),
+        )
+    )
+
+
+ZORDER_KEY_BAND = (1000, 3000)  # l_orderkey slice for the 2-D probe
+
+
+def store_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column Z-order layout (operators/maintenance.zorder_store):
+    the scrambled lineitem store is rewritten sorted on the Morton
+    interleave of (l_orderkey, l_shipdate), then a TWO-dimensional
+    band probe (key slice AND date band) runs against the z-ordered
+    store — the query shape single-key clustering cannot serve for
+    both predicates at once. Content gate: the oracle recomputes the
+    band digest from the source table; the layout property (row-group
+    min/max tightened in BOTH columns) is pytest-asserted with
+    pyarrow footer stats."""
+    import os as _os
+
+    from .operators.ann import INDEX_ROOT, dataset_dir_key
+    from .operators.maintenance import zorder_store
+
+    key = dataset_dir_key(sf_dir)
+    frag = _scrambled_lineitem(spark, sf_dir)
+    zed = zorder_store(
+        spark,
+        frag,
+        _os.path.join(INDEX_ROOT, f"zordered_{key}", "data"),
+        keys=["l_orderkey", "l_shipdate"],
+        n_files=8,
+    )
+    lo, hi = CLUSTER_BAND
+    klo, khi = ZORDER_KEY_BAND
+    return (
+        zed.filter(
+            (F.col("l_orderkey") >= klo)
+            & (F.col("l_orderkey") < khi)
+            & (F.col("l_shipdate") >= F.lit(lo))
+            & (F.col("l_shipdate") < F.lit(hi))
         )
         .groupBy("l_returnflag")
         .agg(
@@ -4010,4 +4068,5 @@ QUERIES = {
     "pit_priority_revenue": pit_priority_revenue,
     "mmr_diversified_topk": mmr_diversified_topk,
     "stream_mv_refresh": stream_mv_refresh,
+    "store_zorder": store_zorder,
 }
