@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "mmr_diversified_topk",
     "stream_mv_refresh",
     "store_zorder",
+    "snapshot_diff",
 ]
 
 

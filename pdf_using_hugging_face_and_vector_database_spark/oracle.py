@@ -348,6 +348,37 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # snapshot diff: rebuild v2 + full-outer reconciliation
+    sql["snapshot_diff"] = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN source || '_v2' ELSE source END AS source,
+         CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT 900000 + i AS doc_id, 'srcnew' AS source,
+         'new doc ' || i AS text
+  FROM (SELECT unnest(range(0, 30)) AS i)),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new,
+         CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL THEN
+           list_sort(
+             (CASE WHEN o.source IS DISTINCT FROM n.source
+                   THEN ['source'] ELSE [] END)
+             || (CASE WHEN o.text IS DISTINCT FROM n.text
+                      THEN ['text'] ELSE [] END))
+         ELSE [] END AS changed_cols
+  FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN NOT in_old THEN 'insert'
+            WHEN NOT in_new THEN 'delete'
+            ELSE 'update' END AS change_type,
+       changed_cols
+FROM j
+WHERE NOT in_old OR NOT in_new OR len(changed_cols) > 0
+"""
+
     # z-order gate: 2-D band digest, content through the re-layout
     from .queries import ZORDER_KEY_BAND
 

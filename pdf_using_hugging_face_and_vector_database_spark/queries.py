@@ -3500,6 +3500,44 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.table_diff): documents
+    v1 vs a derived v2 (every 5th text uppercased, every 17th doc
+    deleted, 30 new docs inserted, every 7th source renamed) — one
+    full-outer key join with null-safe column compares, emitting the
+    change class and the exact changed-column set per key. The oracle
+    rebuilds v2 and the diff from scratch in DuckDB."""
+    from .operators.diff import table_diff
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    v2 = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("source"), F.lit("_v2"))
+            )
+            .otherwise(F.col("source"))
+            .alias("source"),
+            F.when(F.col("doc_id") % 5 == 0, F.upper(F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.limit(0).unionByName(
+                spark.range(30).select(
+                    (F.col("id") + F.lit(900000)).alias("doc_id"),
+                    F.lit("srcnew").alias("source"),
+                    F.concat(F.lit("new doc "), F.col("id")).alias("text"),
+                )
+            )
+        )
+    )
+    return table_diff(docs, v2, key_cols=["doc_id"], compare_cols=["source", "text"])
+
+
 def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming continuous aggregate (streaming/matview.py): orders
     land in 4 micro-batches; each folds ADDITIVELY into a persisted
@@ -4069,4 +4107,5 @@ QUERIES = {
     "mmr_diversified_topk": mmr_diversified_topk,
     "stream_mv_refresh": stream_mv_refresh,
     "store_zorder": store_zorder,
+    "snapshot_diff": snapshot_diff,
 }
