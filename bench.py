@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "stream_mv_refresh",
     "store_zorder",
     "snapshot_diff",
+    "entity_resolution",
 ]
 
 

@@ -1,0 +1,71 @@
+"""Record linkage / entity resolution.
+
+The classic two-stage shape every large-scale ER system uses
+(Fellegi-Sunter lineage): BLOCK so the pair space is per-bucket, not
+all-pairs, then score candidate pairs with field similarities and
+keep the best match per incoming record. Here the similarity is
+Levenshtein edit distance — a JVM built-in in Spark SQL and a
+built-in in DuckDB with identical standard semantics, so the whole
+pipeline is exactly replayable cross-engine (no phonetic/Jaro
+dialects).
+
+Scale shape: the block join shuffles on the block key only (pair
+count = sum of block sizes squared — the blocking key's job is to
+keep that sum sane; at 100 TB you block on something finer than a
+25-value nation key, e.g. name prefix + nation), the edit distance is
+codegen'd per pair, and best-match selection is one window per dirty
+record partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def best_match(
+    dirty: DataFrame,
+    clean: DataFrame,
+    block_col: str,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Resolve each ``dirty`` record to its best ``clean`` candidate
+    within the same block: minimum edit distance, ties to the smaller
+    candidate id; records with no candidate within ``max_dist`` are
+    dropped (unresolved). Returns
+    (dirty_id, match_id, lev, name_sim) with name_sim = 1 - lev/max
+    length, rounded to 6 dp."""
+    d = dirty.select(
+        F.col(id_col).alias("dirty_id"),
+        F.col(block_col).alias("__blk"),
+        F.col(text_col).alias("__dt"),
+    )
+    c = clean.select(
+        F.col(id_col).alias("match_id"),
+        F.col(block_col).alias("__blk"),
+        F.col(text_col).alias("__ct"),
+    )
+    lev = F.levenshtein("__dt", "__ct")
+    pairs = (
+        d.join(c, "__blk")
+        .withColumn("lev", lev)
+        .filter(F.col("lev") <= max_dist)
+    )
+    w = Window.partitionBy("dirty_id").orderBy("lev", "match_id")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "dirty_id",
+            "match_id",
+            "lev",
+            F.round(
+                F.lit(1.0)
+                - F.col("lev").cast("double")
+                / F.greatest(F.length("__dt"), F.length("__ct")).cast("double"),
+                6,
+            ).alias("name_sim"),
+        )
+    )

@@ -348,6 +348,28 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # entity resolution: replay block + levenshtein + argmin
+    sql["entity_resolution"] = """
+WITH dirty AS (
+  SELECT c_custkey + 1000000 AS dirty_id,
+         substr(c_name, 1, 2) || substr(c_name, 4) AS dname,
+         c_nationkey
+  FROM customer WHERE c_custkey % 4 = 0),
+pairs AS (
+  SELECT d.dirty_id, c.c_custkey AS match_id,
+         levenshtein(d.dname, c.c_name)::INT AS lev,
+         length(d.dname) AS dl, length(c.c_name) AS cl
+  FROM dirty d JOIN customer c ON d.c_nationkey = c.c_nationkey
+  WHERE levenshtein(d.dname, c.c_name) <= 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY dirty_id
+                               ORDER BY lev, match_id) AS rn
+  FROM pairs)
+SELECT dirty_id, match_id, lev,
+       round(1.0 - lev::DOUBLE / greatest(dl, cl)::DOUBLE, 6) AS name_sim
+FROM ranked WHERE rn = 1
+"""
+
     # snapshot diff: rebuild v2 + full-outer reconciliation
     sql["snapshot_diff"] = """
 WITH v2 AS (

@@ -3500,6 +3500,34 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.best_match): every 4th
+    customer re-enters under a new key with its name corrupted (3rd
+    character deleted); blocking on nation, Levenshtein scoring, and
+    per-record argmin selection must link each corrupted record back
+    to its source. Levenshtein is a built-in with identical semantics
+    in Spark SQL and DuckDB, so the oracle replays block, score, and
+    argmin exactly."""
+    from .operators.linkage import best_match
+
+    cust = read_table(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 4 == 0).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        F.concat(
+            F.substring("c_name", 1, 2), F.expr("substring(c_name, 4)")
+        ).alias("c_name"),
+        "c_nationkey",
+    )
+    return best_match(
+        dirty,
+        cust,
+        block_col="c_nationkey",
+        text_col="c_name",
+        id_col="c_custkey",
+        max_dist=3,
+    )
+
+
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (operators/diff.table_diff): documents
     v1 vs a derived v2 (every 5th text uppercased, every 17th doc
@@ -4108,4 +4136,5 @@ QUERIES = {
     "stream_mv_refresh": stream_mv_refresh,
     "store_zorder": store_zorder,
     "snapshot_diff": snapshot_diff,
+    "entity_resolution": entity_resolution,
 }

@@ -53,3 +53,38 @@ def test_multi_column_change_is_sorted(spark):
 def test_identical_snapshots_diff_empty(spark):
     df = spark.createDataFrame([(1, "x", "y"), (2, None, None)], SCHEMA)
     assert table_diff(df, df, ["k"], ["a", "b"]).count() == 0
+
+
+def test_entity_resolution_links_back_to_source(spark, sf_dir):
+    """Every corrupted record must resolve to its own source row with
+    edit distance exactly 1 (one deleted character)."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import entity_resolution
+
+    rows = entity_resolution(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.match_id == r.dirty_id - 1000000
+        assert r.lev == 1
+
+
+def test_best_match_tie_breaks_and_max_dist(spark):
+    from pdf_using_hugging_face_and_vector_database_spark.operators.linkage import (
+        best_match,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, "alpha", 0), (2, "alphx", 0), (3, "omega", 0)],
+        "id long, name string, blk int",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "alph", 0), (11, "zzzzzzzzzz", 0)],
+        "id long, name string, blk int",
+    )
+    out = {
+        r.dirty_id: (r.match_id, r.lev)
+        for r in best_match(
+            dirty, clean, block_col="blk", text_col="name", id_col="id"
+        ).collect()
+    }
+    # 'alph' is lev 1 from both 'alpha' and 'alphx': tie -> smaller id
+    assert out == {10: (1, 1)}  # 11 unresolved (beyond max_dist)
