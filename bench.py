@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "store_zorder",
     "snapshot_diff",
     "entity_resolution",
+    "weighted_sample",
 ]
 
 

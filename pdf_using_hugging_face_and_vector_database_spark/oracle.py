@@ -348,6 +348,24 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # weighted sampling: replay every Efraimidis-Spirakis draw
+    from .queries import WRS_PER_SOURCE
+
+    sql["weighted_sample"] = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len({_tokens('text')})::INT AS weight,
+         round(-ln((('0x' || substr(md5('wrs:' || doc_id::VARCHAR), 1, 6))::BIGINT
+                    + 1)::DOUBLE / {float((1 << 24) + 1)!r})
+               / len({_tokens('text')})::DOUBLE, 9) AS k
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank
+  FROM scored)
+SELECT source, doc_id, weight, rank::INT AS rank
+FROM ranked WHERE rank <= {WRS_PER_SOURCE}
+"""
+
     # entity resolution: replay block + levenshtein + argmin
     sql["entity_resolution"] = """
 WITH dirty AS (

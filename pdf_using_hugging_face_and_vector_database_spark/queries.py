@@ -3500,6 +3500,40 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+WRS_PER_SOURCE = 5  # weighted sample size per stratum
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis): each doc draws key = -ln(u)/w with u a
+    deterministic md5-uniform in (0,1) and w = its token count, and
+    the k smallest keys per source win — one scan + one per-stratum
+    top-k, no sequential draw loop, which is why this is THE
+    weighted-sampling algorithm at 100 TB (mixture_sample covers
+    rate-based Bernoulli; this covers exact-size weighted draws).
+    Derandomized via the repo's oracle-parity hash, ln outputs ride
+    the usual 9dp rounding, so DuckDB replays every draw and the
+    selection is hash-gated end to end."""
+    from .functions.hashing import md5_int
+    from .functions.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        md5_int(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))) + 1
+    ).cast("double") / F.lit(float((1 << 24) + 1))
+    w = token_count(F.col("text")).cast("double")
+    key = F.round(-F.log(u) / w, 9)
+    scored = docs.select(
+        "doc_id", "source", w.cast("int").alias("weight"), key.alias("__k")
+    )
+    win = Window.partitionBy("source").orderBy("__k", "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= WRS_PER_SOURCE)
+        .select("source", "doc_id", "weight", "rank")
+    )
+
+
 def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage (operators/linkage.best_match): every 4th
     customer re-enters under a new key with its name corrupted (3rd
@@ -4137,4 +4171,5 @@ QUERIES = {
     "store_zorder": store_zorder,
     "snapshot_diff": snapshot_diff,
     "entity_resolution": entity_resolution,
+    "weighted_sample": weighted_sample,
 }

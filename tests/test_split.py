@@ -60,3 +60,30 @@ def test_leakage_counts_are_consistent(spark, sf_dir):
         assert r.n_train + r.n_val + r.n_test == r.n_docs
         assert r.leaked == (r.n_train > 0 and r.n_test > 0)
     assert any(r.leaked for r in rows)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """Deterministic E-S draw: exactly k rows per source, and the
+    weight bias must show — the sampled docs' mean token count
+    exceeds the corpus mean (longer docs draw smaller keys)."""
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.functions.text import (
+        token_count,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        WRS_PER_SOURCE,
+        weighted_sample,
+    )
+
+    rows = weighted_sample(spark, sf_dir).collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, WRS_PER_SOURCE + 1))
+               for v in per_source.values())
+    sampled_mean = sum(r.weight for r in rows) / len(rows)
+    docs = read_table(spark, sf_dir, "documents")
+    corpus_mean = (
+        docs.select(F.avg(token_count(F.col("text")))).collect()[0][0]
+    )
+    assert sampled_mean > corpus_mean
