@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "entity_resolution",
     "weighted_sample",
+    "rag_pipeline",
 ]
 
 

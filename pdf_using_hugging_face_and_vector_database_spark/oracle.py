@@ -348,6 +348,86 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # RAG capstone: the full chunk -> embed -> int8 prefilter -> exact
+    # pool -> 10-round MMR chain replayed from the raw documents table
+    from .queries import MMR_LAMBDA as _RL, RAG_K, RAG_POOL
+
+    _rlam = f"{_RL!r}::DOUBLE"
+    _roml = f"{1.0 - _RL!r}::DOUBLE"
+    _qtxt = "'" + QUERY_TEXT + "'"
+    rag_ctes = [
+        f"rchunks AS ({_chunks_cte(extra_cols=', source')})",
+        f"""remb AS (
+  SELECT 'doc-' || doc_id || '-' || chunk_index AS id,
+         doc_id, chunk_index, source,
+         {_det_embed('chunk_text', EMBED_DIM)} AS rv
+  FROM rchunks)""",
+        """rnv AS MATERIALIZED (
+  SELECT id, doc_id, chunk_index, source,
+         list_transform(rv, x -> x / n) AS v
+  FROM (SELECT *, sqrt(list_sum(list_transform(rv, x -> x * x))) AS n
+        FROM remb))""",
+        """rcoded AS MATERIALIZED (
+  SELECT id, list_transform(v,
+           x -> least(greatest(round(x / scale), -127.0), 127.0)::INT) AS codes
+  FROM (SELECT id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                 / 127.0 AS scale
+        FROM rnv))""",
+        f"""rq AS (
+  SELECT qv, list_transform(qv,
+           x -> least(greatest(round(x / scale), -127.0), 127.0)::INT) AS qcodes
+  FROM (SELECT qv, greatest(list_max(list_transform(qv, x -> abs(x))), 1e-12)
+                 / 127.0 AS scale
+        FROM (SELECT {_det_embed(_qtxt, EMBED_DIM)} AS qv)))""",
+        f"""rcands AS MATERIALIZED (
+  SELECT c.id FROM rcoded c CROSS JOIN rq
+  ORDER BY list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+             i -> (c.codes[i] * rq.qcodes[i])::BIGINT))::BIGINT DESC, c.id
+  LIMIT {RAG_POOL})""",
+        f"""rpool AS MATERIALIZED (
+  SELECT n.id, n.v, round({_cos('n.v', 'rq.qv', EMBED_DIM)}, 9) AS simq
+  FROM rnv n JOIN rcands USING (id) CROSS JOIN rq)""",
+        f"""rps AS MATERIALIZED (
+  SELECT a.id AS ia, b.id AS ib,
+         round({_cos('a.v', 'b.v', EMBED_DIM)}, 9) AS sim
+  FROM rpool a JOIN rpool b ON a.id <> b.id)""",
+        f"""rp1 AS MATERIALIZED (
+  SELECT id, simq FROM rpool
+  ORDER BY round({_rlam} * simq - {_roml} * 0.0::DOUBLE, 9) DESC, id
+  LIMIT 1)""",
+        "rs1 AS (SELECT id FROM rp1)",
+    ]
+    for r in range(2, RAG_K + 1):
+        rag_ctes.append(
+            f"""rp{r} AS MATERIALIZED (
+  SELECT c.id, c.simq
+  FROM rpool c LEFT JOIN (
+    SELECT ia AS id, max(sim) AS pen FROM rps
+    WHERE ib IN (SELECT id FROM rs{r - 1}) GROUP BY ia) pn
+  USING (id)
+  WHERE c.id NOT IN (SELECT id FROM rs{r - 1})
+  ORDER BY round({_rlam} * c.simq - {_roml} * coalesce(pn.pen, 0.0::DOUBLE), 9)
+           DESC, c.id
+  LIMIT 1)"""
+        )
+        rag_ctes.append(
+            f"rs{r} AS (SELECT id FROM rs{r - 1} UNION ALL SELECT id FROM rp{r})"
+        )
+    rag_union = "\nUNION ALL\n".join(
+        f"SELECT {r}::INT AS rank, id, simq FROM rp{r}"
+        for r in range(1, RAG_K + 1)
+    )
+    sql["rag_pipeline"] = (
+        "WITH "
+        + ",\n".join(rag_ctes)
+        + f"""
+SELECT m.rank, m.id, n.doc_id, n.chunk_index, n.source,
+       round(m.simq, 6) AS simq
+FROM ({rag_union}) m JOIN rnv n USING (id)
+"""
+    )
+
     # weighted sampling: replay every Efraimidis-Spirakis draw
     from .queries import WRS_PER_SOURCE
 

@@ -3500,6 +3500,73 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+RAG_POOL = 30
+RAG_K = 10
+
+
+def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval capstone — the reference's entire serving flow as
+    ONE hash-verified query: documents -> stride chunking (the
+    suite's 120/20 constants, so fixture docs multi-chunk; the
+    reference's 2000/100 defaults run in entry()) -> deterministic
+    embedding -> stable ids +
+    metadata -> int8-prefilter candidate scan (integer dot over
+    4x-compressed codes) -> exact cosine scoring of the pool -> MMR
+    diversified top-10 -> metadata join-back. Every stage is an
+    already-certified operator; the DuckDB oracle replays the full
+    chain (chunk arithmetic, md5 embedding, symmetric quantization,
+    integer-dot cut, 10-round greedy MMR) from the raw documents
+    table, so the COMPOSITION is pinned, not just the parts — the
+    retrieval-side twin of curation_pipeline."""
+    from .caching import persist_tracked
+    from .operators.ann import int8_codes_of, quantized_candidates
+    from .operators.search import mmr_select
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_stride(
+        docs,
+        chunk_size=CHUNK_SIZE,
+        chunk_overlap=CHUNK_OVERLAP,
+        keep_cols=("doc_id", "source"),
+    )
+    vec = persist_tracked(
+        with_metadata(
+            with_vector_id(embed_deterministic(chunks, "chunk_text", dim=EMBED_DIM))
+        ).select("id", "doc_id", "chunk_index", "source", "embedding")
+    )
+    qdf = spark.createDataFrame(
+        [(det_embed_py(QUERY_TEXT, EMBED_DIM),)], "qv array<double>"
+    )
+    codes = int8_codes_of(vec, vec_col="embedding", id_col="id", extra_cols=())
+    cands = quantized_candidates(
+        codes, qdf, cand_k=RAG_POOL, id_col="id", extra_cols=()
+    )
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    qvd = F.transform("qv", lambda x: x.cast("double"))
+    pool = (
+        vec.join(F.broadcast(cands.select("id")), "id")
+        .crossJoin(F.broadcast(qdf))
+        .select("id", "embedding", F.round(cosine(dv, qvd), 9).alias("simq"))
+    )
+    sel = mmr_select(pool, k=RAG_K, lam=MMR_LAMBDA, id_col="id")
+    out = spark.createDataFrame(
+        [(r, i, s) for r, i, s in sel], "rank int, id string, simq double"
+    )
+    meta = vec.select("id", "doc_id", "chunk_index", "source")
+    return (
+        F.broadcast(out)
+        .join(meta, "id")
+        .select(
+            "rank",
+            "id",
+            "doc_id",
+            "chunk_index",
+            "source",
+            F.round("simq", 6).alias("simq"),
+        )
+    )
+
+
 WRS_PER_SOURCE = 5  # weighted sample size per stratum
 
 
@@ -4172,4 +4239,5 @@ QUERIES = {
     "snapshot_diff": snapshot_diff,
     "entity_resolution": entity_resolution,
     "weighted_sample": weighted_sample,
+    "rag_pipeline": rag_pipeline,
 }

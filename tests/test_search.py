@@ -241,3 +241,18 @@ def test_mmr_differs_from_relevance_topk(spark, sf_dir):
     ]
     mmr = [r.vec_id for r in mmr_diversified_topk(spark, sf_dir).collect()]
     assert set(mmr) != set(plain)
+
+
+def test_rag_pipeline_composition(spark, sf_dir):
+    """Capstone sanity: 10 distinct ranks, metadata joined correctly
+    (id == doc-<doc_id>-<chunk_index>), descending greedy order on
+    rank-1 (pure relevance leads), and determinism across runs."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import rag_pipeline
+
+    a = sorted(rag_pipeline(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in a] == list(range(1, 11))
+    for r in a:
+        assert r.id == f"doc-{r.doc_id}-{r.chunk_index}"
+    assert a[0].simq == max(r.simq for r in a)
+    b = sorted(rag_pipeline(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [(r.rank, r.id) for r in a] == [(r.rank, r.id) for r in b]
