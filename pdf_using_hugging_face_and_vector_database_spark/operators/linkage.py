@@ -48,8 +48,18 @@ def best_match(
         F.col(text_col).alias("__ct"),
     )
     lev = F.levenshtein("__dt", "__ct")
+    # length filter BEFORE the edit distance: lev(a,b) >= |len(a) -
+    # len(b)|, so the band is pure pruning — the O(len^2) DP never
+    # runs for pairs that cannot match. (On the fixture's fixed-width
+    # names it prunes little — measured ~6 s either way at sf0.1, 9M
+    # pairs — but on real variable-length name data this is the
+    # standard first cut.)
+    len_band = (
+        F.abs(F.length("__dt") - F.length("__ct")) <= F.lit(max_dist)
+    )
     pairs = (
         d.join(c, "__blk")
+        .filter(len_band)
         .withColumn("lev", lev)
         .filter(F.col("lev") <= max_dist)
     )
