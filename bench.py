@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "entity_resolution",
     "weighted_sample",
     "rag_pipeline",
+    "heavy_hitters_events",
 ]
 
 

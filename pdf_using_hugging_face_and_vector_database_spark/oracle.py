@@ -348,6 +348,18 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # Misra-Gries gate: exact counts + the theorem booleans as literal
+    # trues (the summary is partition-order-dependent; the bound isn't)
+    from .queries import MG_K
+
+    sql["heavy_hitters_events"] = f"""
+WITH n AS (SELECT count(*)::DOUBLE AS n FROM events)
+SELECT event_type AS item, count(*)::BIGINT AS exact_count,
+       TRUE AS present, TRUE AS within_bound
+FROM events GROUP BY event_type
+HAVING count(*) > (SELECT n / {MG_K + 1.0} FROM n)
+"""
+
     # RAG capstone: the full chunk -> embed -> int8 prefilter -> exact
     # pool -> 10-round MMR chain replayed from the raw documents table
     from .queries import MMR_LAMBDA as _RL, RAG_K, RAG_POOL

@@ -3500,6 +3500,45 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+MG_K = 8  # Misra-Gries counter budget
+
+
+def heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over event types
+    (operators/heavyhitters.py): per-partition k-counter summaries
+    merged by summation, then GATED against the exact counts computed
+    in the same job — one row per TRUE heavy hitter (frequency >
+    n/(k+1)) with the exact count and the two theorem booleans
+    (present in summary; estimate within the additive n/(k+1)
+    undercount). The summary content is partition-order-dependent;
+    the theorem is not — so the oracle (exact counts + literal trues)
+    is deterministic, the datasketch_gates pattern."""
+    from .operators.heavyhitters import merged_summary
+
+    ev = read_table(spark, sf_dir, "events")
+    n = ev.count()
+    thresh = n / (MG_K + 1.0)
+    summ = merged_summary(ev, "event_type", MG_K)
+    exact = ev.groupBy(F.col("event_type").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    hh = exact.filter(F.col("exact_count") > F.lit(thresh))
+    j = hh.join(summ, "item", "left")
+    return j.select(
+        "item",
+        "exact_count",
+        F.col("est").isNotNull().alias("present"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("exact_count"))
+            & (
+                F.col("est")
+                >= F.col("exact_count").cast("double") - F.lit(thresh)
+            )
+        ).alias("within_bound"),
+    )
+
+
 RAG_POOL = 30
 RAG_K = 10
 
@@ -4244,4 +4283,5 @@ QUERIES = {
     "entity_resolution": entity_resolution,
     "weighted_sample": weighted_sample,
     "rag_pipeline": rag_pipeline,
+    "heavy_hitters_events": heavy_hitters_events,
 }

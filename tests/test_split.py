@@ -87,3 +87,30 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
         docs.select(F.avg(token_count(F.col("text")))).collect()[0][0]
     )
     assert sampled_mean > corpus_mean
+
+
+def test_misra_gries_bounds_and_memory(spark):
+    """MG guarantee on an adversarial skew: k counters, item with
+    freq > n/(k+1) always present, estimates within the additive
+    bound, and the summary never exceeds k rows per partition."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.heavyhitters import (
+        merged_summary,
+        misra_gries_partial,
+    )
+
+    # 10k rows: 'hot' 40%, 'warm' 20%, 100 cold tails
+    rows = (
+        [("hot",)] * 4000 + [("warm",)] * 2000
+        + [(f"cold{i % 100}",) for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    k = 4
+    parts = misra_gries_partial(df, "v", k)
+    # mapInPandas emits one summary per partition, <= k rows each
+    assert parts.count() <= k * 8
+    est = {r.item: r.est for r in merged_summary(df, "v", k).collect()}
+    n = 10_000
+    for item, true in (("hot", 4000), ("warm", 2000)):
+        assert item in est
+        assert est[item] <= true
+        assert est[item] >= true - n / (k + 1)
