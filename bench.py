@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "rag_pipeline",
     "heavy_hitters_events",
+    "lsh_exact_audit",
 ]
 
 

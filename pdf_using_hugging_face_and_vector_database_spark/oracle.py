@@ -348,6 +348,54 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # LSH-vs-exact audit: recompute the all-pairs truth AND the banded
+    # candidate set, then the recall arithmetic
+    from .queries import LSH_AUDIT_FLOOR, PPJOIN_THRESHOLD
+
+    _rpb = MINHASH_HASHES // MINHASH_BANDS
+    sql["lsh_exact_audit"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, length(text) - {NEARDUP_TRUNC}) AS text
+  FROM documents),
+g AS (SELECT doc_id, list_distinct({_word_ngrams('text', WORD_NGRAM)}) AS g FROM corpus),
+gsz AS (SELECT doc_id, len(g) AS s FROM g WHERE len(g) > 0),
+e AS (SELECT doc_id, unnest(g) AS el FROM g),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.el = b.el AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT m.id_a, m.id_b
+  FROM m JOIN gsz sa ON sa.doc_id = m.id_a JOIN gsz sb ON sb.doc_id = m.id_b
+  WHERE m.inter::DOUBLE / (sa.s + sb.s - m.inter)::DOUBLE >= {PPJOIN_THRESHOLD}),
+hashed AS (SELECT doc_id, {_element_hashes(_word_ngrams('text', WORD_NGRAM))} AS hs FROM corpus),
+sigs AS (SELECT doc_id, {_minhash_from_hashes('hs', MINHASH_HASHES)} AS sig FROM hashed),
+banded AS (
+  SELECT doc_id, b::INT AS band_index,
+         list_slice(sig, b * {_rpb} + 1, (b + 1) * {_rpb}) AS band_sig
+  FROM (SELECT doc_id, sig, unnest(range(0, {MINHASH_BANDS})) AS b FROM sigs)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_index = r.band_index AND l.band_sig = r.band_sig
+   AND l.doc_id < r.doc_id),
+counts AS (
+  SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+         (SELECT count(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM cand c
+                        WHERE c.id_a = t.id_a AND c.id_b = t.id_b))::BIGINT
+           AS n_hits)
+SELECT n_truth, n_candidates, n_hits,
+       round(n_hits::DOUBLE / n_truth::DOUBLE, 6) AS recall,
+       round(n_hits::DOUBLE / n_truth::DOUBLE, 6) >= {LSH_AUDIT_FLOOR}
+         AS recall_ok
+FROM counts
+"""
+
     # Misra-Gries gate: exact counts + the theorem booleans as literal
     # trues (the summary is partition-order-dependent; the bound isn't)
     from .queries import MG_K

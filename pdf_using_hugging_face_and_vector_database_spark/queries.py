@@ -3500,6 +3500,59 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+LSH_AUDIT_FLOOR = 0.8  # LSH candidate recall floor vs the exact join
+
+
+def lsh_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous audit of the probabilistic dedup path against the
+    exact one — possible only because the suite has BOTH: MinHash-LSH
+    band candidates (word-3-gram signatures, the neardup_jaccard
+    front end) are scored for RECALL against the provably-complete
+    prefix-filtered exact join at the same Jaccard threshold. One
+    row: truth size, candidate size, hit count, recall, and the
+    floor gate. Fully deterministic (md5 MinHash, exact join), so the
+    DuckDB oracle recomputes the entire audit — the number the 100 TB
+    operator watches before trusting banded dedup on a new corpus."""
+    from .caching import persist_tracked
+    from .operators.dedup import persisted_signatures
+    from .operators.setjoin import set_similarity_join, word_gram_sets
+
+    corpus = persist_tracked(neardup_corpus(spark, sf_dir))
+    truth = persist_tracked(
+        set_similarity_join(
+            word_gram_sets(corpus, WORD_NGRAM), PPJOIN_THRESHOLD
+        ).select("id_a", "id_b")
+    )
+    sigs = persisted_signatures(
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
+    )
+    cand = persist_tracked(
+        minhash_candidate_pairs(
+            sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS
+        ).select("id_a", "id_b")
+    )
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hits = hits.count()
+    # recall arithmetic through Spark's round (HALF_UP, == DuckDB's),
+    # NOT Python's round (banker's) — boundary values must agree
+    row = spark.createDataFrame(
+        [(n_truth, n_cand, n_hits)],
+        "n_truth long, n_candidates long, n_hits long",
+    )
+    recall = F.round(
+        F.col("n_hits").cast("double") / F.col("n_truth").cast("double"), 6
+    )
+    return row.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        recall.alias("recall"),
+        (recall >= F.lit(LSH_AUDIT_FLOOR)).alias("recall_ok"),
+    )
+
+
 MG_K = 8  # Misra-Gries counter budget
 
 
@@ -4284,4 +4337,5 @@ QUERIES = {
     "weighted_sample": weighted_sample,
     "rag_pipeline": rag_pipeline,
     "heavy_hitters_events": heavy_hitters_events,
+    "lsh_exact_audit": lsh_exact_audit,
 }

@@ -381,3 +381,18 @@ def test_incremental_pairs_empty_batch(spark):
         incremental_candidate_pairs(corpus, empty, num_hashes=16, bands=4).count()
         == 0
     )
+
+
+def test_lsh_exact_audit_semantics(spark, sf_dir):
+    """The audit's internal consistency: hits <= both sides, recall
+    matches the quotient, and the gate reflects the floor."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        LSH_AUDIT_FLOOR,
+        lsh_exact_audit,
+    )
+
+    (r,) = lsh_exact_audit(spark, sf_dir).collect()
+    assert r.n_hits <= r.n_truth and r.n_hits <= r.n_candidates
+    assert r.recall == round(r.n_hits / r.n_truth, 6)
+    assert r.recall_ok == (r.recall >= LSH_AUDIT_FLOOR)
+    assert r.recall_ok  # the configured bands must clear the floor
