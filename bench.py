@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "rag_pipeline",
     "heavy_hitters_events",
     "lsh_exact_audit",
+    "lineitem_skew_report",
 ]
 
 

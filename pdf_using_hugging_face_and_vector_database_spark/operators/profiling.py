@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 PROFILE_SCHEMA = (
@@ -133,3 +133,54 @@ def validate_rules(
         out.append((name, n_rows, n_orphans, n_orphans == 0))
     spark: SparkSession = df.sparkSession
     return spark.createDataFrame(out, RULES_SCHEMA)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Join-key skew diagnostic — the report an operator reads BEFORE
+    shuffling 100 TB on a key: per-key row counts aggregated once,
+    then the heavy-hitter keys with their corpus share plus the
+    summary stats every skew decision needs (distinct keys, mean and
+    max per-key count, skew_factor = max/mean). A skew_factor near 1
+    clears the key for a plain hash shuffle; a large one routes the
+    join through salting (operators/skew.salted_join) or AQE skew
+    handling.
+
+    One groupBy (the same shuffle the join would do, but counting
+    only) + a top-n over the key-count table — at scale the count
+    table is keys-scale, orders below the fact table.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), "key")
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "key")),
+        )
+    )
+    mean_cnt = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rank",
+        F.col("key").cast("string").alias("key"),
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 6).alias(
+            "share"
+        ),
+        "n_keys",
+        "n_rows",
+        F.round(mean_cnt, 6).alias("mean_cnt"),
+        F.round(F.col("max_cnt").cast("double") / mean_cnt, 6).alias(
+            "skew_factor"
+        ),
+    )

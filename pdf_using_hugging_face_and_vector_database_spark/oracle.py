@@ -348,6 +348,27 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # skew report: counts, top-n, and every ratio recomputed
+    sql["lineitem_skew_report"] = """
+WITH counts AS (
+  SELECT l_orderkey AS key, count(*)::BIGINT AS cnt
+  FROM lineitem GROUP BY 1),
+stats AS (
+  SELECT count(*)::BIGINT AS n_keys, SUM(cnt)::BIGINT AS n_rows,
+         MAX(cnt)::BIGINT AS max_cnt
+  FROM counts),
+top AS (
+  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+  FROM counts ORDER BY cnt DESC, key LIMIT 5)
+SELECT rank::INT AS rank, key::VARCHAR AS key, cnt,
+       round(cnt::DOUBLE / s.n_rows::DOUBLE, 6) AS share,
+       s.n_keys, s.n_rows,
+       round(s.n_rows::DOUBLE / s.n_keys::DOUBLE, 6) AS mean_cnt,
+       round(s.max_cnt::DOUBLE / (s.n_rows::DOUBLE / s.n_keys::DOUBLE), 6)
+         AS skew_factor
+FROM top CROSS JOIN stats s
+"""
+
     # LSH-vs-exact audit: recompute the all-pairs truth AND the banded
     # candidate set, then the recall arithmetic
     from .queries import LSH_AUDIT_FLOOR, PPJOIN_THRESHOLD

@@ -3500,6 +3500,19 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnostic (operators/profiling.skew_report)
+    on lineitem's join key: top heavy l_orderkey values with shares
+    plus distinct-key / mean / max / skew-factor summary — the number
+    that decides between a plain hash shuffle, salting, and AQE skew
+    handling before a 100 TB join. Oracle recomputes counts, top-n,
+    and every ratio."""
+    from .operators.profiling import skew_report
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_orderkey", top_n=5)
+
+
 LSH_AUDIT_FLOOR = 0.8  # LSH candidate recall floor vs the exact join
 
 
@@ -4338,4 +4351,5 @@ QUERIES = {
     "rag_pipeline": rag_pipeline,
     "heavy_hitters_events": heavy_hitters_events,
     "lsh_exact_audit": lsh_exact_audit,
+    "lineitem_skew_report": lineitem_skew_report,
 }

@@ -91,3 +91,24 @@ def test_range_join_banded_matches_naive(spark):
     assert got == naive
     assert (0, 100) in got and (2, 100) in got  # both boundaries inclusive
     assert (5, 102) not in got  # key mismatch filtered
+
+
+def test_skew_report_detects_planted_skew(spark):
+    """A planted 30%-hot key must surface at rank 1 with the right
+    share and a skew_factor near n_keys * share."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.profiling import (
+        skew_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") < 3_000, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("k")
+    )
+    rows = sorted(skew_report(df, "k", top_n=3).collect(), key=lambda r: r.rank)
+    assert rows[0].key == "7"
+    assert rows[0].cnt == 3_000 + 70  # hot block + its modulo share
+    assert rows[0].share == round(rows[0].cnt / 10_000, 6)
+    assert rows[0].skew_factor == round(rows[0].cnt / (10_000 / 100), 6)
+    assert all(r.n_keys == 100 and r.n_rows == 10_000 for r in rows)
