@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "heavy_hitters_events",
     "lsh_exact_audit",
     "lineitem_skew_report",
+    "value_histogram",
 ]
 
 

@@ -348,6 +348,19 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # equi-depth histogram: same ntile under the same total order
+    from .queries import HIST_BINS
+
+    sql["value_histogram"] = f"""
+WITH binned AS (
+  SELECT value, ntile({HIST_BINS}) OVER (ORDER BY value, event_id) AS bin
+  FROM events)
+SELECT bin::INT AS bin, count(*)::BIGINT AS n,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+FROM binned GROUP BY bin
+"""
+
     # skew report: counts, top-n, and every ratio recomputed
     sql["lineitem_skew_report"] = """
 WITH counts AS (

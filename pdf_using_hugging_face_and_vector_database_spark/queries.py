@@ -3500,6 +3500,31 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+HIST_BINS = 10
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of event values: ntile binning under a
+    deterministic total order (value, event_id), per-bin bounds,
+    count, and exact-decimal sum — the distribution view column
+    profiling (profile_lineitem) doesn't give. Scale note: a single
+    global ntile is one total sort; at 100 TB you'd approximate the
+    cut points with approx_percentile and bin by range instead (the
+    swap approx_percentiles_gate measures) — the equi-depth CONTRACT
+    (equal counts, ordered disjoint bounds) is what this query pins."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    binned = ev.select(
+        "value", F.ntile(HIST_BINS).over(w).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+
+
 def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-shuffle skew diagnostic (operators/profiling.skew_report)
     on lineitem's join key: top heavy l_orderkey values with shares
@@ -4352,4 +4377,5 @@ QUERIES = {
     "heavy_hitters_events": heavy_hitters_events,
     "lsh_exact_audit": lsh_exact_audit,
     "lineitem_skew_report": lineitem_skew_report,
+    "value_histogram": value_histogram,
 }

@@ -163,3 +163,21 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         )
     for r in dropped:
         assert r.vec_id != min_per_bucket[r.bucket]
+
+
+def test_value_histogram_equi_depth_contract(spark, sf_dir):
+    """Equal-count bins (±1), ordered disjoint bounds, total rows
+    preserved."""
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        HIST_BINS,
+        value_histogram,
+    )
+
+    rows = sorted(value_histogram(spark, sf_dir).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(1, HIST_BINS + 1))
+    total = read_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == total
+    assert max(r.n for r in rows) - min(r.n for r in rows) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.lo <= a.hi <= b.lo <= b.hi
