@@ -393,3 +393,35 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_snapshot_diff_is_single_full_outer_join(spark, sf_dir):
+    """Reconciliation must be ONE key join — no cartesian, no
+    nested-loop fallback."""
+    plan = formatted_plan(Q.snapshot_diff(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_single_shuffle(spark, sf_dir):
+    """E-S sampling = scan + one per-stratum window: exactly one
+    Exchange."""
+    assert count_shuffles(Q.weighted_sample(spark, sf_dir)) == 1
+
+
+def test_skew_report_counts_shuffle_key_scale(spark, sf_dir):
+    """The diagnostic's data movement is the counting groupBy plus
+    keys-scale reductions — and the heavy-key cut is a TakeOrdered,
+    never a global sort of the count table."""
+    df = Q.lineitem_skew_report(spark, sf_dir)
+    assert has_take_ordered(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_pit_join_is_equi_join_with_residual(spark, sf_dir):
+    """The PIT join must hash/sort-merge on the KEY with the interval
+    as a residual filter — never a nested loop over the dim."""
+    plan = formatted_plan(Q.pit_priority_revenue(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
