@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "lsh_exact_audit",
     "lineitem_skew_report",
     "value_histogram",
+    "impute_event_values",
 ]
 
 

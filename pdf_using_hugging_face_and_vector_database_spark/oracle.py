@@ -348,6 +348,26 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # imputation audit: same corruption, same surviving-median repair
+    sql["impute_event_values"] = f"""
+WITH holed AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 9 = 0 THEN NULL ELSE value END AS value
+  FROM events),
+med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM holed GROUP BY event_type),
+rep AS (
+  SELECT h.event_type, h.value, coalesce(h.value, m.med) AS repaired, m.med
+  FROM holed h JOIN med m USING (event_type))
+SELECT event_type, count(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_imputed,
+       any_value(med) AS imputation_value,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_before,
+       CAST(SUM(CAST(repaired AS {DEC})) AS DOUBLE) AS sum_after
+FROM rep GROUP BY event_type
+"""
+
     # equi-depth histogram: same ntile under the same total order
     from .queries import HIST_BINS
 

@@ -3500,6 +3500,43 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+def impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data repair: every 9th event's value is knocked out to NULL
+    (deterministic corruption), then imputed with its event_type's
+    median computed over the SURVIVING values (exact percentile,
+    rounded at 6 before writing — both engines impute identical
+    numbers). Output is a per-type audit: rows, nulls created, the
+    imputation value, and exact-decimal sums before/after — the
+    after-sum moves by exactly n_imputed * median, which the oracle
+    re-derives from scratch. The missing-data repair step every
+    feature pipeline runs; scale shape: one stats pass (broadcast
+    5-row medians) + one codegen'd coalesce projection."""
+    ev = read_table(spark, sf_dir, "events")
+    holed = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 9 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    med = holed.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    repaired = holed.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        F.coalesce(F.col("value"), F.col("med")).alias("repaired"),
+        "med",
+    )
+    return repaired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("n_imputed"),
+        F.first("med").alias("imputation_value"),
+        _dsum(F.col("value")).alias("sum_before"),
+        _dsum(F.col("repaired")).alias("sum_after"),
+    )
+
+
 HIST_BINS = 10
 
 
@@ -4378,4 +4415,5 @@ QUERIES = {
     "lsh_exact_audit": lsh_exact_audit,
     "lineitem_skew_report": lineitem_skew_report,
     "value_histogram": value_histogram,
+    "impute_event_values": impute_event_values,
 }

@@ -181,3 +181,17 @@ def test_value_histogram_equi_depth_contract(spark, sf_dir):
     assert max(r.n for r in rows) - min(r.n for r in rows) <= 1
     for a, b in zip(rows, rows[1:]):
         assert a.lo <= a.hi <= b.lo <= b.hi
+
+
+def test_imputation_arithmetic(spark, sf_dir):
+    """sum_after - sum_before must equal n_imputed * imputation_value
+    (within 6dp rounding), and every type imputes > 0 rows."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        impute_event_values,
+    )
+
+    for r in impute_event_values(spark, sf_dir).collect():
+        assert r.n_imputed > 0
+        assert abs(
+            (r.sum_after - r.sum_before) - r.n_imputed * r.imputation_value
+        ) < 1e-4
