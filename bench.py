@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "lineitem_skew_report",
     "value_histogram",
     "impute_event_values",
+    "q3_ann_append",
 ]
 
 

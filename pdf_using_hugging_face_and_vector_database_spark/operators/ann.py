@@ -302,6 +302,48 @@ def probe_ivf_index(
     )
 
 
+def append_ivf_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    tag: str,
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: assign a NEW batch against the
+    STORED centroids and append it into the cell-partitioned store —
+    no rebuild, no touch of existing rows. This is how a serving
+    index absorbs daily ingest; centroids drift only with the corpus
+    distribution, which a periodic full rebuild (build_ivf_index, the
+    stale-fingerprint path) corrects.
+
+    At-most-once per ``tag``: an already-recorded tag is a no-op
+    (returns 0), so pipeline retries don't double-insert. The tag
+    list lives in centroids.json and is rewritten atomically AFTER
+    the data append — a crash in between leaves an un-recorded
+    partial append, and the documented recovery is a rebuild (the
+    same answer as for any interrupted non-transactional bulk load).
+    Returns the number of appended rows.
+    """
+    marker = os.path.join(path, "centroids.json")
+    with open(marker) as f:
+        meta = json.load(f)
+    if tag in meta.get("appends", {}):
+        return 0
+    assigned = new_vectors.withColumn(
+        "cell", ivf_assign_udf(meta["centroids"])(F.col(vec_col))
+    )
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "assigned")
+    )
+    meta.setdefault("appends", {})[tag] = n
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, marker)
+    return n
+
+
 class BrpLshIndex:
     """Batch-built LSH index over an embedding column (MLlib-backed)."""
 

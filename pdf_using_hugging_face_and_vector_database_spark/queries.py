@@ -3500,6 +3500,68 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+def q3_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (operators/ann.append_ivf_index):
+    the IVF index is built WITHOUT a 2% held-out slice (vec_id % 50 ==
+    7), the slice is then APPENDED against the stored centroids (no
+    rebuild, new files land inside the existing cell partitions), and
+    a probe with one held-out vector must surface it at rank 1 with
+    cosine 1.0 — proof the appended rows are visible through the
+    partition-pruned read path. A same-tag re-append must be a no-op
+    (at-most-once). Output invariants are all recomputable or
+    mathematically guaranteed, so this is a hash-green row: base /
+    appended / total counts (DuckDB recomputes from the source
+    table), the no-op boolean, and the planted top-1 identity+score
+    (cos(q, q) = 1 and q's own cell is by construction among the
+    nprobe nearest — the self-match cannot miss)."""
+    import os as _os
+
+    from .io import table_path
+    from .operators.ann import (
+        append_ivf_index,
+        build_ivf_index,
+        dataset_fingerprint,
+        ivf_index_exists,
+        ivf_index_path,
+        probe_ivf_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    holdout = emb.filter(F.col("vec_id") % 50 == 7)
+    base = emb.filter(F.col("vec_id") % 50 != 7)
+    path = ivf_index_path(sf_dir, ANN_CELLS, root=None) + "_appendable"
+    fp = dataset_fingerprint(
+        table_path(sf_dir, "embeddings"), salt="append_base_v1"
+    )
+    if not ivf_index_exists(path, fp):
+        build_ivf_index(
+            base, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM, fingerprint=fp
+        )
+        append_ivf_index(spark, path, holdout, tag="holdout")
+    n_base = base.count()
+    n_holdout = holdout.count()
+    # same-tag re-append: must be the no-op path every retry takes
+    n_again = append_ivf_index(spark, path, holdout, tag="holdout")
+    assigned = spark.read.parquet(_os.path.join(path, "assigned"))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    top = probe_ivf_index(spark, path, qv, k=1, nprobe=ANN_NPROBE)
+    t = top.collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                n_base,
+                n_holdout,
+                assigned.count(),
+                n_again == 0,
+                int(t["vec_id"]),
+                float(round(t["score"], 6)),
+            )
+        ],
+        "n_base long, n_appended long, n_total long, "
+        "reappend_noop boolean, top1_id long, top1_score double",
+    )
+
+
 def impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data repair: every 9th event's value is knocked out to NULL
     (deterministic corruption), then imputed with its event_type's
@@ -4444,4 +4506,5 @@ QUERIES = {
     "lineitem_skew_report": lineitem_skew_report,
     "value_histogram": value_histogram,
     "impute_event_values": impute_event_values,
+    "q3_ann_append": q3_ann_append,
 }

@@ -256,3 +256,43 @@ def test_rag_pipeline_composition(spark, sf_dir):
     assert a[0].simq == max(r.simq for r in a)
     b = sorted(rag_pipeline(spark, sf_dir).collect(), key=lambda r: r.rank)
     assert [(r.rank, r.id) for r in a] == [(r.rank, r.id) for r in b]
+
+
+def test_ivf_append_visibility_and_idempotence(spark, tmp_path):
+    """Appended vectors must be probe-visible without a rebuild, and
+    a same-tag re-append must be a no-op."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        append_ivf_index,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    dim = 16
+    base = spark.createDataFrame(
+        [(i, det_embed_py(f"v:{i}", dim)) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    newbie = spark.createDataFrame(
+        [(999, det_embed_py("newcomer", dim))],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_cells=4, iters=2, dim=dim, fingerprint="t")
+    q = det_embed_py("newcomer", dim)
+    before = {r.vec_id for r in probe_ivf_index(spark, path, q, k=1, nprobe=2).collect()}
+    assert 999 not in before
+    assert append_ivf_index(spark, path, newbie, tag="b1") == 1
+    after = probe_ivf_index(spark, path, q, k=1, nprobe=2).collect()
+    assert after[0].vec_id == 999
+    assert append_ivf_index(spark, path, newbie, tag="b1") == 0  # no-op
+    import os
+
+    n_files = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(path, "assigned"))
+    )
+    assert append_ivf_index(spark, path, newbie, tag="b1") == 0
+    # the no-op really wrote nothing
+    n_files2 = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(path, "assigned"))
+    )
+    assert n_files2 == n_files
