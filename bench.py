@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "impute_event_values",
     "q3_ann_append",
+    "rolling_distinct_users",
 ]
 
 

@@ -348,6 +348,23 @@ WHERE l_shipdate >= '{CLUSTER_BAND[0]}' AND l_shipdate < '{CLUSTER_BAND[1]}'
 GROUP BY l_returnflag
 """
 
+    # rolling distinct: correlated band-subquery twin (neither engine
+    # has a windowed DISTINCT aggregate). Integer day key floors the
+    # epoch explicitly — DuckDB's epoch() ROUNDS fractional seconds
+    # where Spark's unix_timestamp truncates (the events_gapfill trap)
+    sql["rolling_distinct_users"] = """
+WITH daily AS (
+  SELECT DISTINCT event_type,
+         (floor(epoch(ts))::BIGINT // 86400) AS day, user_id
+  FROM events),
+days AS (SELECT DISTINCT event_type, day FROM daily)
+SELECT d.event_type, d.day,
+       (SELECT count(DISTINCT u.user_id) FROM daily u
+        WHERE u.event_type = d.event_type
+          AND u.day BETWEEN d.day - 2 AND d.day)::INT AS distinct_users_3d
+FROM days d
+"""
+
     # incremental-IVF append: counts recomputed from the source table;
     # the no-op and self-match invariants are mathematically
     # guaranteed (see the query docstring) and asserted as literals

@@ -3500,6 +3500,36 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
 
 
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count — the window family Spark has no native
+    aggregate for: per (event_type, day), the count of distinct users
+    over the trailing 3-day window, expressed as
+    size(collect_set(user)) over a RANGE frame on the integer day key.
+    The oracle computes the same thing with a correlated
+    band-subquery (DuckDB lacks windowed DISTINCT aggregates too).
+    Scale note (in-operator): exact rolling distinct carries the
+    window's value set per row — viable while per-window cardinality
+    is bounded (here: users); at unbounded cardinality this is
+    exactly what the mergeable-HLL column family (datasketch_gates)
+    replaces, trading exactness for O(sketch) state."""
+    ev = read_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400)).cast(
+        "long"
+    )
+    daily = ev.select("event_type", day.alias("day"), "user_id")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-2, 0)
+    )
+    out = daily.select(
+        "event_type",
+        "day",
+        F.size(F.collect_set("user_id").over(w)).alias("distinct_users_3d"),
+    ).distinct()
+    return out
+
+
 def q3_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance (operators/ann.append_ivf_index):
     the IVF index is built WITHOUT a 2% held-out slice (vec_id % 50 ==
@@ -4507,4 +4537,5 @@ QUERIES = {
     "value_histogram": value_histogram,
     "impute_event_values": impute_event_values,
     "q3_ann_append": q3_ann_append,
+    "rolling_distinct_users": rolling_distinct_users,
 }

@@ -195,3 +195,33 @@ def test_imputation_arithmetic(spark, sf_dir):
         assert abs(
             (r.sum_after - r.sum_before) - r.n_imputed * r.imputation_value
         ) < 1e-4
+
+
+def test_rolling_distinct_monotone_vs_daily(spark, sf_dir):
+    """The 3-day rolling distinct count is >= each member day's own
+    distinct count and <= the sum of the member days' counts."""
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        rolling_distinct_users,
+    )
+
+    rows = rolling_distinct_users(spark, sf_dir).collect()
+    assert rows
+    ev = read_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400)).cast(
+        "long"
+    )
+    daily = {
+        (r.event_type, r.day): r.n
+        for r in ev.select("event_type", day.alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        members = [
+            daily.get((r.event_type, d), 0)
+            for d in (r.day - 2, r.day - 1, r.day)
+        ]
+        assert r.distinct_users_3d >= max(members)
+        assert r.distinct_users_3d <= sum(members)
