@@ -4385,7 +4385,7 @@ def neardup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # be: q3_ann_lsh_join, order_count_distribution,
 # acctbal_window_stats (yielded their r4 slots to the stale tail),
 # then these 21, then the post-sweep block at the registry END
-# (neardup_ppjoin .. rag_pipeline — all locally oracle-verified at
+# (neardup_ppjoin .. rolling_distinct_users — all locally oracle-verified at
 # sf0.01), then anything new/changed in round 5. That is ~45 queries
 # of round-5 certification demand vs a 50-row budget: everything else
 # is r3/r4-certified and can stay put.
