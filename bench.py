@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "impute_event_values",
     "q3_ann_append",
     "rolling_distinct_users",
+    "rolling_distinct_users_sketch",
 ]
 
 

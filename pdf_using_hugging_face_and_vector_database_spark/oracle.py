@@ -365,6 +365,23 @@ SELECT d.event_type, d.day,
 FROM days d
 """
 
+    # sketch variant: exact counts recomputed (band subquery), the
+    # sketch-vs-exact bound asserted as a literal — DuckDB's own HLL
+    # differs bit-for-bit, so only the CHECKED bound is replayable
+    sql["rolling_distinct_users_sketch"] = """
+WITH daily AS (
+  SELECT DISTINCT event_type,
+         (floor(epoch(ts))::BIGINT // 86400) AS day, user_id
+  FROM events),
+days AS (SELECT DISTINCT event_type, day FROM daily)
+SELECT d.event_type, d.day,
+       (SELECT count(DISTINCT u.user_id) FROM daily u
+        WHERE u.event_type = d.event_type
+          AND u.day BETWEEN d.day - 2 AND d.day)::INT AS distinct_users_3d,
+       TRUE AS err_ok
+FROM days d
+"""
+
     # incremental-IVF append: counts recomputed from the source table;
     # the no-op and self-match invariants are mathematically
     # guaranteed (see the query docstring) and asserted as literals
@@ -2143,7 +2160,7 @@ flagged AS (
 rebuilt AS (
   SELECT doc_id,
          count(*) AS n_segments,
-         sum(keep::INT) AS kept_segments,
+         sum(keep::INT)::BIGINT AS kept_segments,
          coalesce(array_to_string(
            list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '), '')
            AS clean_text

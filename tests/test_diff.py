@@ -88,3 +88,32 @@ def test_best_match_tie_breaks_and_max_dist(spark):
     }
     # 'alph' is lev 1 from both 'alpha' and 'alphx': tie -> smaller id
     assert out == {10: (1, 1)}  # 11 unresolved (beyond max_dist)
+
+
+def test_best_match_composite_block_key(spark):
+    """A list-valued block_col joins on every component: candidates
+    sharing only one component never pair up."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.linkage import (
+        best_match,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, "alpha", 0, "a"), (2, "alphx", 0, "b"), (3, "alpho", 1, "a")],
+        "id long, name string, blk int, sfx string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "alph", 0, "a")], "id long, name string, blk int, sfx string"
+    )
+    out = {
+        r.dirty_id: (r.match_id, r.lev)
+        for r in best_match(
+            dirty,
+            clean,
+            block_col=["blk", "sfx"],
+            text_col="name",
+            id_col="id",
+        ).collect()
+    }
+    # id 2 shares blk but not sfx; id 3 shares sfx but not blk: only
+    # id 1 is a candidate even though all three are within lev 1.
+    assert out == {10: (1, 1)}
