@@ -268,6 +268,26 @@ def build_ivf_index(
     return idx
 
 
+def set_index_fingerprint(path: str, fingerprint: str) -> None:
+    """Atomically stamp the stored index's source fingerprint — the
+    deferred-commit half of a multi-step index fixture: build (and
+    any initial appends) run under a sentinel fingerprint, then this
+    single os.replace marks the whole sequence complete. A crash at
+    ANY earlier point leaves a non-matching fingerprint, so
+    ivf_index_exists reports the index absent and the next run
+    rebuilds from scratch instead of resuming a half-applied state
+    (the append-then-crash double-insert the round-4 advisor
+    flagged)."""
+    marker = os.path.join(path, "centroids.json")
+    with open(marker) as f:
+        meta = json.load(f)
+    meta["fingerprint"] = fingerprint
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, marker)
+
+
 def ivf_index_exists(path: str, fingerprint: str | None = None) -> bool:
     """True iff a readable index is present AND (when given) its stored
     source fingerprint matches — stale indexes count as absent."""
@@ -322,7 +342,11 @@ def append_ivf_index(
     the data append — a crash in between leaves an un-recorded
     partial append, and the documented recovery is a rebuild (the
     same answer as for any interrupted non-transactional bulk load).
-    Returns the number of appended rows.
+    Callers that must converge WITHOUT manual intervention run the
+    build+append sequence under a sentinel fingerprint and commit the
+    real one last via set_index_fingerprint (see q3_ann_append), so
+    any crash forces that rebuild automatically. Returns the number
+    of appended rows.
     """
     marker = os.path.join(path, "centroids.json")
     with open(marker) as f:

@@ -16,6 +16,8 @@ import os
 
 from pyspark.sql import DataFrame
 
+from ..storeswap import recover_store, swap_store, tmp_store
+
 
 def store_data_size(path: str) -> tuple[int, int]:
     """(total_bytes, n_data_files) of a parquet store directory —
@@ -48,20 +50,18 @@ def compact_store(
     per-partition-parallel with no driver bottleneck. Returns the
     compacted store as a DataFrame.
     """
+    recover_store(src_dir)
+    recover_store(dst_dir)
     total, _n = store_data_size(src_dir)
     n_out = max(1, math.ceil(total / target_bytes))
-    tmp = dst_dir.rstrip("/") + ".tmp"
+    tmp = tmp_store(dst_dir)
     (
         spark.read.parquet(src_dir)
         .repartition(n_out)
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    import shutil
-
-    if os.path.exists(dst_dir):
-        shutil.rmtree(dst_dir)
-    os.replace(tmp, dst_dir)
+    swap_store(dst_dir, tmp)
     return spark.read.parquet(dst_dir)
 
 
@@ -83,14 +83,14 @@ def cluster_store(
     Same write-then-swap contract as compact_store. Output file count
     defaults to the same size-derived heuristic.
     """
-    import shutil
-
     from pyspark.sql import functions as F
 
+    recover_store(src_dir)
+    recover_store(dst_dir)
     if n_files is None:
         total, _ = store_data_size(src_dir)
         n_files = max(1, math.ceil(total / target_bytes))
-    tmp = dst_dir.rstrip("/") + ".tmp"
+    tmp = tmp_store(dst_dir)
     (
         spark.read.parquet(src_dir)
         .repartitionByRange(n_files, F.col(key))
@@ -98,9 +98,7 @@ def cluster_store(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    if os.path.exists(dst_dir):
-        shutil.rmtree(dst_dir)
-    os.replace(tmp, dst_dir)
+    swap_store(dst_dir, tmp)
     return spark.read.parquet(dst_dir)
 
 
@@ -177,10 +175,24 @@ def zorder_value(cols, mins, maxs, bits: int = 16):
     so sorting by z gives row groups whose min/max stats are tight in
     ALL the z-ordered columns at once — the multi-column data-skipping
     layout (single-key clustering only tightens one column).
-    Pure codegen'd bit arithmetic; no shuffle of its own."""
+    Pure codegen'd bit arithmetic; no shuffle of its own.
+
+    The interleaved key must fit a signed 64-bit long: bits are
+    placed at positions up to len(cols)*bits - 1, and position 63 is
+    the sign bit (position >= 64 wraps mod 64 in the JVM), either of
+    which silently corrupts the Morton order. ``bits`` is therefore
+    auto-shrunk so len(cols) * bits <= 63 — with 4 columns you get
+    15 bits each, which is still 32k buckets per dimension, far finer
+    than any row-group layout resolves."""
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if n * bits > 63:
+        bits = 63 // n
+        if bits < 1:
+            raise ValueError(
+                f"zorder_value: {n} columns cannot share a 63-bit key"
+            )
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         c = F.col(c) if isinstance(c, str) else c
@@ -216,10 +228,10 @@ def zorder_store(
     """Rewrite a store Z-ORDERED on ``keys``: one stats pre-pass for
     min/max, then range-repartition + sort on the interleaved Morton
     key. Same write-then-swap contract as cluster_store."""
-    import shutil
-
     from pyspark.sql import functions as F
 
+    recover_store(src_dir)
+    recover_store(dst_dir)
     df = spark.read.parquet(src_dir)
     # stats in DOUBLE space (temporal keys become epoch seconds —
     # TIMESTAMP_NTZ has no direct double cast, so route through
@@ -242,7 +254,7 @@ def zorder_store(
         total, _ = store_data_size(src_dir)
         n_files = max(1, math.ceil(total / target_bytes))
     z = zorder_value(kcols, mins, maxs, bits=bits)
-    tmp = dst_dir.rstrip("/") + ".tmp"
+    tmp = tmp_store(dst_dir)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, F.col("__z"))
@@ -251,7 +263,5 @@ def zorder_store(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    if os.path.exists(dst_dir):
-        shutil.rmtree(dst_dir)
-    os.replace(tmp, dst_dir)
+    swap_store(dst_dir, tmp)
     return spark.read.parquet(dst_dir)

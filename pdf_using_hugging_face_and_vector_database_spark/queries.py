@@ -3593,7 +3593,17 @@ def q3_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended / total counts (DuckDB recomputes from the source
     table), the no-op boolean, and the planted top-1 identity+score
     (cos(q, q) = 1 and q's own cell is by construction among the
-    nprobe nearest — the self-match cannot miss)."""
+    nprobe nearest — the self-match cannot miss).
+
+    Crash convergence: build + initial append run under a SENTINEL
+    fingerprint; the real fingerprint is stamped by one atomic
+    set_index_fingerprint only after both complete. A crash anywhere
+    inside the fixture sequence (after the build marker, mid-append,
+    between data append and tag rewrite) leaves a non-matching
+    fingerprint, so the next run REBUILDS from scratch (overwrite
+    resets the assigned store) rather than re-appending into a
+    half-applied index — reappend_noop and n_total hold after any
+    interruption."""
     import os as _os
 
     from .io import table_path
@@ -3604,6 +3614,7 @@ def q3_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_index_exists,
         ivf_index_path,
         probe_ivf_index,
+        set_index_fingerprint,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -3615,9 +3626,15 @@ def q3_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not ivf_index_exists(path, fp):
         build_ivf_index(
-            base, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM, fingerprint=fp
+            base,
+            path,
+            n_cells=ANN_CELLS,
+            iters=2,
+            dim=EMBED_DIM,
+            fingerprint="__building__",
         )
         append_ivf_index(spark, path, holdout, tag="holdout")
+        set_index_fingerprint(path, fp)
     n_base = base.count()
     n_holdout = holdout.count()
     # same-tag re-append: must be the no-op path every retry takes

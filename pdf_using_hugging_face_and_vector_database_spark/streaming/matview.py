@@ -6,10 +6,14 @@ is free), an ADDITIVE aggregate merge is NOT idempotent: a replayed
 micro-batch would double-count. Exactly-once here therefore uses the
 other standard foreachBatch mechanism — a TRANSACTIONAL sink keyed on
 batch_id: the store carries the last applied batch id inside the
-store directory itself, and both data and watermark move in one
-atomic rename, so a crash at any point either keeps the old store
-(batch re-applies cleanly) or the new one (batch is skipped on
-replay). Both exactly-once mechanisms are now covered by the suite.
+store directory itself, and data and watermark move together through
+the storeswap recover/swap protocol — rename(tmp, store) is the
+single commit point and a crash in the rename-aside window is rolled
+back by recover_store before the next watermark read — so a crash at
+any point either keeps the old store (batch re-applies cleanly) or
+the new one (batch is skipped on replay). Both exactly-once
+mechanisms are covered by the suite, including a kill-in-the-window
+crash test (tests/test_storeswap.py).
 
 The merge itself is partition-local and additive: counts and
 DECIMAL-carrier sums of the incoming batch fold into the standing MV
@@ -29,6 +33,8 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..storeswap import recover_store, swap_store, tmp_store
 
 MV_DEC = "decimal(27,6)"
 ORDERS_SCHEMA = (
@@ -55,8 +61,14 @@ def apply_mv_batch(
     """Fold one micro-batch into the MV store, exactly once.
 
     The batch-id watermark lives INSIDE the store dir (_meta.json), so
-    the atomic store swap commits data and watermark together; a
-    replayed batch with id <= the stored watermark is a no-op."""
+    the store swap commits data and watermark together. The swap is
+    two renames (dir-over-dir replace is impossible on POSIX), so
+    recover_store runs FIRST: a crash between the renames leaves a
+    dangling .old that recovery rolls back before the watermark is
+    read — see storeswap's window analysis; rename(tmp, store) is the
+    commit point. A replayed batch with id <= the stored watermark is
+    a no-op."""
+    recover_store(store_dir)
     meta_path = os.path.join(store_dir, "_meta.json")
     last = -1
     if os.path.isfile(meta_path):
@@ -78,18 +90,12 @@ def apply_mv_batch(
         )
     else:
         merged = delta
-    tmp = store_dir.rstrip("/") + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = tmp_store(store_dir)
     os.makedirs(tmp, exist_ok=True)
     merged.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump({"last_batch_id": batch_id}, f)
-    old = store_dir.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(store_dir):
-        os.rename(store_dir, old)
-    os.rename(tmp, store_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_store(store_dir, tmp)
 
 
 def run_mv_stream(

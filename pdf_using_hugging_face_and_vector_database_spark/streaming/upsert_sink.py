@@ -26,6 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.upsert import upsert
+from ..storeswap import recover_store, swap_store, tmp_store
 
 VECTOR_SCHEMA = "id string, doc_id long, ingest_version long, text string"
 
@@ -38,9 +39,13 @@ def apply_upsert_batch(
     version_col: str = "ingest_version",
 ) -> None:
     """One idempotent LWW merge of ``batch`` into the parquet store.
-    Write-then-swap (tmp dir + atomic rename) so a crash mid-write
-    leaves the previous store intact — the streaming twin of the
-    batch store's marker-file ordering (operators/ann.py)."""
+    Write-then-swap via the storeswap recover/swap protocol: a crash
+    mid-write leaves the previous store intact, and a crash inside
+    the rename-aside window is rolled back by recover_store before
+    the next merge reads the store (LWW is idempotent, so the rolled-
+    back batch re-applies for free) — the streaming twin of the batch
+    store's marker-file ordering (operators/ann.py)."""
+    recover_store(store_dir)
     if os.path.isdir(store_dir):
         existing = spark.read.parquet(store_dir)
         merged = upsert(existing, batch, id_col=id_col, version_col=version_col)
@@ -48,16 +53,9 @@ def apply_upsert_batch(
         merged = upsert(
             batch.limit(0), batch, id_col=id_col, version_col=version_col
         )
-    tmp = store_dir.rstrip("/") + ".tmp"
+    tmp = tmp_store(store_dir)
     merged.write.mode("overwrite").parquet(tmp)
-    old = store_dir.rstrip("/") + ".old"
-    if os.path.isdir(store_dir):
-        os.rename(store_dir, old)
-    os.rename(tmp, store_dir)
-    if os.path.isdir(old):
-        import shutil
-
-        shutil.rmtree(old)
+    swap_store(store_dir, tmp)
 
 
 def run_upsert_stream(

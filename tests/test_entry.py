@@ -30,3 +30,18 @@ def test_all_queries_run(spark, sf_dir):
         df = fn(spark, sf_dir)
         n = df.count()
         assert n >= 0, name
+
+
+def test_readme_query_count_matches_registry():
+    """The README's 'N named queries' figure must track len(QUERIES)
+    — it drifted twice (r4 verdict); now it's pinned by the suite."""
+    import os
+    import re
+
+    from pdf_using_hugging_face_and_vector_database_spark.queries import QUERIES
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as f:
+        m = re.search(r"(\d+) named queries", f.read())
+    assert m, "README must state the named-query count"
+    assert int(m.group(1)) == len(QUERIES)

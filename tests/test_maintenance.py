@@ -160,3 +160,33 @@ def test_zorder_value_locality(spark):
     # top bits (z >> 2) identify the 2x2 quadrant
     for (x, y), zv in got.items():
         assert zv >> 2 == ((y >> 1) << 1 | (x >> 1))
+
+
+def test_zorder_value_many_columns_stays_in_63_bits(spark):
+    """4+ columns at the default 16 bits would push interleaved bit
+    positions to/past the sign bit (silent Morton corruption);
+    zorder_value must auto-shrink bits so len(cols)*bits <= 63 and
+    every z-value stays non-negative with locality intact."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.maintenance import (
+        zorder_value,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(256).select(
+        (F.col("id") % 4).alias("a"),
+        (F.col("id") / 4 % 4).cast("long").alias("b"),
+        (F.col("id") / 16 % 4).cast("long").alias("c"),
+        (F.col("id") / 64 % 4).cast("long").alias("d"),
+    )
+    z = zorder_value(["a", "b", "c", "d"], [0] * 4, [3] * 4)  # default bits=16
+    rows = df.select("a", "b", "c", "d", z.alias("z")).collect()
+    assert all(r.z >= 0 for r in rows)
+    # corner ordering must hold: the all-min corner is the global min,
+    # the all-max corner the global max
+    by_key = {(r.a, r.b, r.c, r.d): r.z for r in rows}
+    assert by_key[(0, 0, 0, 0)] == min(by_key.values())
+    assert by_key[(3, 3, 3, 3)] == max(by_key.values())
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_value([f"c{i}" for i in range(64)], [0] * 64, [1] * 64)

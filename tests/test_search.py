@@ -296,3 +296,43 @@ def test_ivf_append_visibility_and_idempotence(spark, tmp_path):
         len(fs) for _, _, fs in os.walk(os.path.join(path, "assigned"))
     )
     assert n_files2 == n_files
+
+
+def test_ivf_deferred_fingerprint_crash_convergence(spark, tmp_path):
+    """The build+append fixture sequence commits its real fingerprint
+    LAST (set_index_fingerprint): an index interrupted anywhere before
+    that single atomic stamp — including after the data append but
+    before the tag rewrite — reads as absent and is rebuilt, never
+    resumed half-applied."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_exists,
+        set_index_fingerprint,
+    )
+
+    dim = 16
+    base = spark.createDataFrame(
+        [(i, det_embed_py(f"v:{i}", dim)) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    extra = spark.createDataFrame(
+        [(999, det_embed_py("x", dim))], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf")
+
+    # crash after build, before the initial append: sentinel fp only
+    build_ivf_index(base, path, n_cells=4, iters=1, dim=dim,
+                    fingerprint="__building__")
+    assert not ivf_index_exists(path, "real_fp")
+
+    # crash after the data append, before the tag commit: simulate by
+    # appending under one tag but never stamping — still absent
+    append_ivf_index(spark, path, extra, tag="b1")
+    assert not ivf_index_exists(path, "real_fp")
+
+    # the completed sequence commits atomically and is then trusted
+    set_index_fingerprint(path, "real_fp")
+    assert ivf_index_exists(path, "real_fp")
+    # and the recorded tag still no-ops
+    assert append_ivf_index(spark, path, extra, tag="b1") == 0

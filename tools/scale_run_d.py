@@ -1,0 +1,183 @@
+"""Scale exponents for the round-4b/post-sweep operators the round-4
+verdict flagged as lacking measured growth evidence: rag_pipeline,
+entity_resolution (post composite-blocking fix), mmr_diversified_topk,
+bpe_encode, segment_dedup.
+
+Method (same as scale_run.py..c): build a K-times-expanded scratch
+fixture dir with the SAME table names/schemas the queries read, run
+each query at 1x and Kx through the identical code path, min-of-2
+cold repeats, exponent = log(t_K / t_1) / log(K). Expected shapes:
+
+- segment_dedup: one window over segments + one doc group-by -> e~1
+- bpe_encode: merge learning is word-histogram-scale (sublinear in
+  corpus once vocab saturates), encode pass linear -> e<=1
+- mmr_diversified_topk: linear candidate scan + bounded top-N pool
+  rerank -> e~1 with a constant MMR tail
+- entity_resolution: composite blocking keeps per-block size bounded,
+  pair count linear -> e~1 (nation-only blocking would be e~2 — the
+  round-5 fix; candidate-pair counts for both keys are recorded in
+  the query docstring)
+- rag_pipeline: store BUILD (chunk+embed+quantize) is linear; the
+  SERVE path reads the persisted store, prefilters on int8 codes and
+  reranks a bounded pool. Build (first run) and serve (min of next 2)
+  are recorded separately — serve is the production repeat cost.
+
+Usage: python tools/scale_run_d.py [K] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pdf_using_hugging_face_and_vector_database_spark.caching import release_caches
+from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+from pdf_using_hugging_face_and_vector_database_spark.session import get_spark
+from tools.scale_run import _min_of
+
+
+def expanded_documents_full(spark, sf_dir: str, factor: int):
+    """documents x factor, FULL fixture schema (doc_id, text, lang,
+    source, n_chars): replica text gets a distinct suffix so replicas
+    are near- not exact-duplicates."""
+    docs = read_table(spark, sf_dir, "documents")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    text = F.concat(F.col("text"), F.lit(" rep "), F.col("rep").cast("string"))
+    return docs.crossJoin(reps).select(
+        (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).alias("n_chars"),
+    )
+
+
+def expanded_embeddings_full(spark, sf_dir: str, factor: int):
+    """embeddings x factor with small deterministic per-(rep, comp)
+    noise; keeps vec_id 0 (the mmr query vector) at rep 0."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    noisy = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double")
+        + ((F.col("rep") * 31 + i) % 11 - 5).cast("double") * 0.01,
+    )
+    return emb.crossJoin(reps).select(
+        (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+        noisy.alias("embedding"),
+        "label",
+    )
+
+
+def expanded_customer(spark, sf_dir: str, factor: int):
+    """customer x factor: rekeyed custkey, rep-suffixed name (so the
+    ER fixture's corrupted twins stay uniquely resolvable), all other
+    columns preserved."""
+    cust = read_table(spark, sf_dir, "customer")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    others = [c for c in cust.columns if c not in ("c_custkey", "c_name")]
+    return cust.crossJoin(reps).select(
+        (F.col("c_custkey") * factor + F.col("rep")).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("-"), F.col("rep").cast("string")).alias(
+            "c_name"
+        ),
+        *others,
+    )
+
+
+def run(spark, sf_dir: str, factor: int) -> dict:
+    import shutil
+    import tempfile
+
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        bpe_encode,
+        entity_resolution,
+        mmr_diversified_topk,
+        rag_pipeline,
+        segment_dedup,
+    )
+
+    out: dict = {"factor": factor}
+    scratch = tempfile.mkdtemp(prefix=f"scaled_{factor}x_")
+    try:
+        for name, builder in (
+            ("documents", expanded_documents_full),
+            ("embeddings", expanded_embeddings_full),
+            ("customer", expanded_customer),
+        ):
+            builder(spark, sf_dir, factor).write.mode("overwrite").parquet(
+                os.path.join(scratch, f"{name}.parquet")
+            )
+        out["n_docs"] = spark.read.parquet(
+            os.path.join(scratch, "documents.parquet")
+        ).count()
+
+        def timed(q):
+            def _run():
+                release_caches()
+                q(spark, scratch).write.mode("overwrite").format("noop").save()
+
+            return _run
+
+        out["segment_dedup_sec"] = _min_of(2, timed(segment_dedup))
+        out["bpe_encode_sec"] = _min_of(2, timed(bpe_encode))
+        out["mmr_sec"] = _min_of(2, timed(mmr_diversified_topk))
+        out["entity_resolution_sec"] = _min_of(2, timed(entity_resolution))
+        # rag: first run builds the fingerprint-keyed store (scratch
+        # dir => always cold), the next two serve from it
+        t0 = time.time()
+        timed(rag_pipeline)()
+        out["rag_build_sec"] = round(time.time() - t0, 2)
+        out["rag_serve_sec"] = _min_of(2, timed(rag_pipeline))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    import math
+
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_r5.json"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale_run_d")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([(0, 1.0)], "k long, v double").groupBy(
+        "k"
+    ).applyInPandas(lambda p: p, "k long, v double").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    r1 = run(spark, sf_dir, 1)
+    rk = run(spark, sf_dir, factor)
+    result = {
+        "sf_dir": sf_dir,
+        "base": r1,
+        "expanded": rk,
+        "exponents": {
+            k.removesuffix("_sec"): round(
+                math.log(rk[k] / r1[k]) / math.log(factor), 2
+            )
+            for k in (
+                "segment_dedup_sec",
+                "bpe_encode_sec",
+                "mmr_sec",
+                "entity_resolution_sec",
+                "rag_build_sec",
+                "rag_serve_sec",
+            )
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
