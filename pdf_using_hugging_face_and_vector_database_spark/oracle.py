@@ -608,6 +608,11 @@ FROM ranked WHERE rank <= {WRS_PER_SOURCE}
 """
 
     # entity resolution: replay block + levenshtein + argmin
+    # DELIBERATELY nation-only blocking (no suffix refinement): this
+    # is the unblocked-within-nation truth, so a green hash also
+    # proves the Spark side's finer composite key — (right(name,3),
+    # nation), 387x fewer candidate pairs at sf0.1 — drops no pair
+    # that changes any argmin (see the query docstring)
     sql["entity_resolution"] = """
 WITH dirty AS (
   SELECT c_custkey + 1000000 AS dirty_id,
