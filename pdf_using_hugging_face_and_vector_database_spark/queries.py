@@ -3565,16 +3565,27 @@ def rolling_distinct_users_sketch(
         .orderBy("day")
         .rangeBetween(-2, 0)
     )
-    exact = F.size(
-        F.array_distinct(F.flatten(F.collect_list("us").over(w)))
+    # each window aggregate computed ONCE (referencing them inline in
+    # the final expressions would re-evaluate the collect_list three
+    # times in the Window operator), then a plain projection derives
+    # the gate
+    win = daily.select(
+        "event_type",
+        "day",
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("us").over(w)))
+        ).alias("__exact"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "__approx"
+        ),
     )
-    approx = F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
-    return daily.select(
+    exact = F.col("__exact")
+    return win.select(
         "event_type",
         "day",
         exact.alias("distinct_users_3d"),
         (
-            F.abs(approx - exact)
+            F.abs(F.col("__approx") - exact)
             <= F.greatest(F.round(exact * 0.05), F.lit(2))
         ).alias("err_ok"),
     )

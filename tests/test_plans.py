@@ -425,3 +425,19 @@ def test_pit_join_is_equi_join_with_residual(spark, sf_dir):
     plan = formatted_plan(Q.pit_priority_revenue(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_sketch_is_preagg_then_single_window(spark, sf_dir):
+    """The mergeable-HLL rolling distinct must collapse raw events to
+    per-(type, day) sketches MAP-SIDE (partial_hll_sketch_agg before
+    the group-by exchange), then run ONE window pass — each window
+    aggregate evaluated once (the exact collect_list is not
+    re-computed per derived expression) — with exactly two shuffles
+    (group-by, window partition) and a pruned 3-column scan."""
+    df = Q.rolling_distinct_users_sketch(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_hll_sketch_agg" in plan
+    assert plan.count("collect_list") == 1
+    assert plan.count("hll_union_agg") == 1
+    assert count_shuffles(df) == 2
+    assert "ReadSchema: struct<ts:" in plan and "value" not in plan.split("ReadSchema")[1]

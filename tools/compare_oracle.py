@@ -4,7 +4,13 @@ sf0.01, compare row-count + (name-sorted) schema + order-insensitive
 canonical values. Stricter than a hash compare: prints the first
 mismatching rows.
 
-Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+Usage: python tools/compare_oracle.py [sf_dir] [--twice] [query ...]
+
+``--twice`` re-builds and re-collects every Spark result and fails on
+any run-to-run drift (the driver's hash compare would too).
+``SPARK_GRAFT_VANILLA=1`` swaps in a bare SparkSession.builder session
+— the DRIVER's exact configuration — instead of the engine's
+get_spark().
 """
 
 from __future__ import annotations
@@ -61,9 +67,24 @@ def duck_rows(con, sql):
 def main():
     args = [a for a in sys.argv[1:]]
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    twice = "--twice" in args and (args.remove("--twice") or True)
     only = set(args)
 
-    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # replicate the DRIVER's session exactly: a vanilla builder
+        # with none of the engine's config (catches config-dependent
+        # bugs — e.g. nanosAsLong — before they cost a driver slot)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]"
+            )
+            .appName("compare_oracle_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -83,6 +104,18 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        if twice:
+            # determinism gate: a second build+collect must produce
+            # the identical multiset — a query that drifts between
+            # runs would hash-mismatch at the driver even with a
+            # correct oracle
+            import collections as _c
+
+            scols2, srows2 = spark_rows(fn(spark, sf_dir))
+            if scols2 != scols or _c.Counter(srows2) != _c.Counter(srows):
+                print(f"FAIL {name}: NONDETERMINISTIC between runs")
+                n_fail += 1
+                continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
