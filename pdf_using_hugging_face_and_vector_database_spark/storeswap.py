@@ -28,6 +28,12 @@ logical commit point:
 Either side of the commit point, exactly-once holds: the store is
 always the old state + pre-batch watermark, or the new state +
 post-batch watermark, never empty and never mixed.
+
+Single-writer protocol: callers are foreachBatch sinks (serialized
+per streaming query by Spark) and manual maintenance jobs — one
+writer per store at a time. recover/swap are not safe against two
+CONCURRENT writers on the same store dir; that coordination belongs
+to the scheduler, exactly as with any non-locking table format.
 """
 
 from __future__ import annotations
