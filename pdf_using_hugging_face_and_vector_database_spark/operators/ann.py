@@ -486,6 +486,14 @@ def int8_codes_of(
     [-127, 127] (functions/vector.int8_quantize — HALF_UP matches
     DuckDB's half-away-from-zero). This is the 4x-smaller column a
     serving deployment persists next to the vectors."""
+    return emb.select(id_col, *extra_cols, int8_codes_col(vec_col))
+
+
+def int8_codes_col(vec_col: str = "embedding"):
+    """The symmetric-int8 codes expression as a Column (aliased
+    ``codes``) — for builds that persist the codes alongside other
+    columns (rag_pipeline's chunk-vector store) and for
+    int8_codes_of's projection."""
     from ..functions.vector import int8_quantize
 
     v = F.transform(vec_col, lambda x: x.cast("double"))
@@ -495,9 +503,7 @@ def int8_codes_of(
         )
         / F.lit(127.0)
     )
-    return emb.select(
-        id_col, *extra_cols, int8_quantize(v, scale).alias("codes")
-    )
+    return int8_quantize(v, scale).alias("codes")
 
 
 def persisted_int8_codes(

@@ -223,55 +223,70 @@ def mmr_select(
     BEFORE any comparison, the MMR score is re-rounded to 9 dp, and
     argmax ties break on the id — so K greedy rounds are bit-stable
     cross-engine (same discipline as pagerank's rounded power
-    iteration). The K per-round 1-row argmax collects are the same
-    driver-interaction class as bpe_merge_table's per-round top pair.
+    iteration).
+
+    Execution shape: ALL vector arithmetic (the pairwise cosines) is
+    one distributed self-join over the bounded pool, collected once
+    together with the pool rows — pool-scale data, the same class as
+    the IVF centroid collect. The K greedy rounds then run
+    driver-side over those already-Spark-computed 9 dp values: per
+    round the only arithmetic is lam*simq - (1-lam)*pen (identical
+    IEEE doubles in Python) re-rounded via Decimal(repr(x)) HALF_UP,
+    which is bit-for-bit Spark's BigDecimal.valueOf(double) round —
+    the established oracle-parity idiom. (The previous version ran
+    each round as its own Spark job: K jobs of pure scheduling
+    overhead over a <=pool-size table, ~0.5 s/round at local scale,
+    for arithmetic identical to this.)
 
     Returns [(rank, id, simq), ...] — driver-side, pool-scale.
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
     from ..caching import persist_tracked
     from ..functions.vector import cosine as _cos
 
+    # the pool is referenced three times (both self-join sides + the
+    # pool collect); persist it so the upstream candidate scan — at
+    # serving scale the expensive part — executes once
     cand = persist_tracked(cand)
     a = cand.alias("a")
     b = cand.alias("b")
     va = F.transform(f"a.{vec_col}", lambda x: x.cast("double"))
     vb = F.transform(f"b.{vec_col}", lambda x: x.cast("double"))
-    pairs = persist_tracked(
+    pair_rows = (
         a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("ia"),
             F.col(f"b.{id_col}").alias("ib"),
             F.round(_cos(va, vb), 9).alias("sim"),
         )
+        .collect()
     )
+    pool = [
+        (r[id_col], r[simq_col])
+        for r in cand.select(id_col, simq_col).collect()
+    ]
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in pair_rows}
+    q9 = Decimal("0.000000001")
+
+    def round9(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP))
+
     one_m = 1.0 - lam
     selected: list[tuple] = []
+    remaining = dict(pool)
     for rank in range(1, k + 1):
-        rem = cand
-        sel_ids = [s[1] for s in selected]
-        if sel_ids:
-            rem = rem.filter(~F.col(id_col).isin(sel_ids))
-            pen = (
-                pairs.filter(F.col("ib").isin(sel_ids))
-                .groupBy("ia")
-                .agg(F.max("sim").alias("pen"))
-                .withColumnRenamed("ia", id_col)
-            )
-            rem = rem.join(pen, id_col, "left")
-        else:
-            rem = rem.withColumn("pen", F.lit(0.0))
-        score = F.round(
-            F.lit(lam) * F.col(simq_col)
-            - F.lit(one_m) * F.coalesce(F.col("pen"), F.lit(0.0)),
-            9,
-        )
-        top = (
-            rem.select(id_col, simq_col, score.alias("mmr"))
-            .orderBy(F.desc("mmr"), id_col)
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        if not remaining:
             break
-        selected.append((rank, top[0][id_col], top[0][simq_col]))
+        best = None
+        for cid, simq in remaining.items():
+            pen = max(
+                (sim.get((cid, s[1]), 0.0) for s in selected), default=0.0
+            )
+            mmr = round9(lam * simq - one_m * pen)
+            key = (-mmr, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, simq)
+        selected.append((rank, best[1], best[2]))
+        del remaining[best[1]]
     return selected

@@ -3870,7 +3870,7 @@ def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         INDEX_ROOT,
         dataset_dir_key,
         dataset_fingerprint,
-        int8_codes_of,
+        int8_codes_col,
         quantized_candidates,
     )
     from .operators.maintenance import ensure_store
@@ -3884,17 +3884,24 @@ def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk_overlap=CHUNK_OVERLAP,
             keep_cols=("doc_id", "source"),
         )
-        with_metadata(
+        vecs = with_metadata(
             with_vector_id(embed_deterministic(chunks, "chunk_text", dim=EMBED_DIM))
-        ).select(
-            "id", "doc_id", "chunk_index", "source", "embedding"
-        ).write.mode("overwrite").parquet(d)
+        ).select("id", "doc_id", "chunk_index", "source", "embedding")
+        # the int8 codes column is PERSISTED at build time (store v2):
+        # the serve path reads codes straight off parquet instead of
+        # re-quantizing the float column per query — at scale that is
+        # the whole point of a codes table (4x less I/O and no
+        # quantization arithmetic on the query path), and locally it
+        # removes the widest codegen'd expression from the hot loop
+        vecs.select("*", int8_codes_col("embedding")).write.mode(
+            "overwrite"
+        ).parquet(d)
 
     store = ensure_store(
         _os.path.join(INDEX_ROOT, f"chunkvecs_{dataset_dir_key(sf_dir)}"),
         dataset_fingerprint(
             table_path(sf_dir, "documents"),
-            salt=f"chunkvecs:{CHUNK_SIZE}:{CHUNK_OVERLAP}:{EMBED_DIM}",
+            salt=f"chunkvecs2:{CHUNK_SIZE}:{CHUNK_OVERLAP}:{EMBED_DIM}",
         ),
         _build,
     )
@@ -3902,9 +3909,9 @@ def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(
         [(det_embed_py(QUERY_TEXT, EMBED_DIM),)], "qv array<double>"
     )
-    codes = int8_codes_of(vec, vec_col="embedding", id_col="id", extra_cols=())
     cands = quantized_candidates(
-        codes, qdf, cand_k=RAG_POOL, id_col="id", extra_cols=()
+        vec.select("id", "codes"), qdf, cand_k=RAG_POOL, id_col="id",
+        extra_cols=(),
     )
     dv = F.transform("embedding", lambda x: x.cast("double"))
     qvd = F.transform("qv", lambda x: x.cast("double"))
