@@ -660,7 +660,8 @@ SELECT doc_id,
        CASE WHEN NOT in_old THEN 'insert'
             WHEN NOT in_new THEN 'delete'
             ELSE 'update' END AS change_type,
-       changed_cols
+       -- DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+       coalesce(array_to_string(changed_cols, ','), '') AS changed_cols
 FROM j
 WHERE NOT in_old OR NOT in_new OR len(changed_cols) > 0
 """

@@ -4019,7 +4019,14 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted, 30 new docs inserted, every 7th source renamed) — one
     full-outer key join with null-safe column compares, emitting the
     change class and the exact changed-column set per key. The oracle
-    rebuilds v2 and the diff from scratch in DuckDB."""
+    rebuilds v2 and the diff from scratch in DuckDB.
+
+    ``changed_cols`` is serialized to a comma-joined string at the
+    query surface (the operator keeps the typed array): the round-5
+    driver row failed not on values but in the driver's pandas
+    canonicalizer, which cannot sort/hash list-typed cells
+    (``TypeError: unhashable type: 'list'``). The array is
+    name-sorted before joining, so the string is canonical."""
     from .operators.diff import table_diff
 
     docs = read_table(spark, sf_dir, "documents").select(
@@ -4048,7 +4055,8 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return table_diff(docs, v2, key_cols=["doc_id"], compare_cols=["source", "text"])
+    diff = table_diff(docs, v2, key_cols=["doc_id"], compare_cols=["source", "text"])
+    return diff.withColumn("changed_cols", F.array_join("changed_cols", ","))
 
 
 def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
