@@ -256,16 +256,36 @@ def main() -> None:
             "timed_region": "DataFrame build + noop-sink write",
         },
     }
-    # the driver captures stdout's tail and has truncated the head of
-    # this line before (round 3 lost the q1/q2/q3 times); a side file
-    # keeps the full parsed dict recoverable regardless
+    # The driver records only the LAST 2000 chars of stdout and tries
+    # to json-parse them: the full 143-query payload is ~5 KB, so since
+    # round 3 the recorded BENCH_r{N}.json had "parsed": null — the
+    # judge got no machine-readable bench value. The full payload goes
+    # to the side file; stdout gets a compact line (headline metric +
+    # the slowest rows) guaranteed to fit the tail buffer.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_current.queries.json"),
         "w",
     ) as f:
         json.dump(payload, f, indent=1)
-    print(json.dumps(payload))
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries": slowest,
+        "queries_note": (
+            "20 slowest of %d; full per-query map + method in "
+            "BENCH_current.queries.json" % len(times)
+        ),
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"bench line too long for driver tail: {len(line)}"
+    print(line)
     spark.stop()
 
 
