@@ -4467,75 +4467,19 @@ def neardup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # jointly cover the whole registry; the round-4 header's "2 rounds"
 # claim was arithmetically impossible and is retired.
 #
-# Round-5 front (executes the certification debt the round-4 header
-# prescribed, exactly): segment_dedup (changed: oracle sum cast
-# fixed), rolling_distinct_users_sketch (new: mergeable-HLL window),
-# the 3 round-4 slot-yielders (q3_ann_lsh_join,
-# order_count_distribution, acctbal_window_stats), the 21 late-r4
-# queries (TPC-H shape closure + bpe_merges .. quality_gates), and
-# the 24-query post-sweep block (neardup_ppjoin ..
-# rolling_distinct_users, incl. entity_resolution, changed this
-# round: composite blocking key — same result set, nation-only
-# oracle retained as the completeness gate) = exactly 50, every one
-# either never driver-certified or changed this round. After the
-# front: the round-3-certified block (oldest certifications — the
-# natural round-6 front), then the round-4-certified blocks.
+# Round-6 front: snapshot_diff (changed this round — changed_cols
+# serialized to a string; its round-5 driver row errored in the
+# driver's pandas canonicalizer on the list-typed column, values were
+# locally verified correct), then the 44-query round-3-certified block
+# (oldest certifications — exactly 3 rounds stale, the rotation
+# bound), then the 5 head entries of the round-4-certified block =
+# exactly 50. After the front: the remaining round-4-certified rows
+# (45 — the natural round-7 front), then the round-5-certified block
+# (newest certifications) last.
 QUERIES = {
-    # --- changed (oracle cast fix) / new in round 5 ---
-    "segment_dedup": segment_dedup,
-    "rolling_distinct_users_sketch": rolling_distinct_users_sketch,
-    # --- yielded their round-4 slots; certify now ---
-    "q3_ann_lsh_join": q3_ann_lsh_join,
-    "order_count_distribution": order_count_distribution,
-    "acctbal_window_stats": acctbal_window_stats,
-    # --- late round 4, never driver-certified: TPC-H closure + ops ---
-    "min_cost_supplier": min_cost_supplier,
-    "priority_order_counts": priority_order_counts,
-    "nation_pair_volume": nation_pair_volume,
-    "market_share": market_share,
-    "product_profit": product_profit,
-    "important_parts": important_parts,
-    "shipmode_priority": shipmode_priority,
-    "promo_revenue_pct": promo_revenue_pct,
-    "supplier_part_counts": supplier_part_counts,
-    "small_qty_revenue": small_qty_revenue,
-    "disjunctive_revenue": disjunctive_revenue,
-    "excess_volume_suppliers": excess_volume_suppliers,
-    "waiting_suppliers": waiting_suppliers,
-    "idle_rich_customers": idle_rich_customers,
-    "bpe_merges": bpe_merges,
-    "dsir_select": dsir_select,
-    "datasketch_gates": datasketch_gates,
-    "stream_upsert_store": stream_upsert_store,
-    "events_gapfill": events_gapfill,
-    "profile_lineitem": profile_lineitem,
-    "quality_gates": quality_gates,
-    # --- post-r4-sweep block, never driver-certified (entity_resolution changed r5) ---
-    "neardup_ppjoin": neardup_ppjoin,
-    "dataset_split": dataset_split,
-    "split_leakage": split_leakage,
-    "bpe_encode": bpe_encode,
-    "retrieval_eval": retrieval_eval,
-    "store_compaction": store_compaction,
-    "mv_incremental_refresh": mv_incremental_refresh,
-    "store_clustering": store_clustering,
-    "supplier_pagerank": supplier_pagerank,
-    "pit_priority_revenue": pit_priority_revenue,
-    "mmr_diversified_topk": mmr_diversified_topk,
-    "stream_mv_refresh": stream_mv_refresh,
-    "store_zorder": store_zorder,
+    # --- changed in round 6 (array output serialized for the driver) ---
     "snapshot_diff": snapshot_diff,
-    "entity_resolution": entity_resolution,
-    "weighted_sample": weighted_sample,
-    "rag_pipeline": rag_pipeline,
-    "heavy_hitters_events": heavy_hitters_events,
-    "lsh_exact_audit": lsh_exact_audit,
-    "lineitem_skew_report": lineitem_skew_report,
-    "value_histogram": value_histogram,
-    "impute_event_values": impute_event_values,
-    "q3_ann_append": q3_ann_append,
-    "rolling_distinct_users": rolling_distinct_users,
-    # --- driver-green round 3 (oldest certification; round-6 front) ---
+    # --- driver-green round 3 (3 rounds stale; re-certify now) ---
     "rolling_fingerprint": rolling_fingerprint,
     "chunker_separator": chunker_separator,
     "q3_ann_recall": q3_ann_recall,
@@ -4580,12 +4524,13 @@ QUERIES = {
     "approx_distinct_parts": approx_distinct_parts,
     "tpch_q1_pricing": tpch_q1_pricing,
     "revenue_by_nation": revenue_by_nation,
-    # --- driver-green round 4 ---
+    # --- driver-green round 4, head (fills the 50-slot budget) ---
     "lm_bigram_quality": lm_bigram_quality,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "scd2_customer_priority": scd2_customer_priority,
     "anomaly_mad": anomaly_mad,
+    # --- driver-green round 4, remainder (round-7 front) ---
     "semantic_dedup": semantic_dedup,
     "large_order_customers": large_order_customers,
     "top_supplier_revenue": top_supplier_revenue,
@@ -4606,7 +4551,6 @@ QUERIES = {
     "q3_ann_lsh": q3_ann_lsh,
     "neardup_embedding": neardup_embedding,
     "merge_parts": merge_parts,
-    # --- r1/r2 tail re-certified round 4 ---
     "top_unshipped_orders": top_unshipped_orders,
     "local_supplier_volume": local_supplier_volume,
     "top_parts_per_brand": top_parts_per_brand,
@@ -4631,4 +4575,54 @@ QUERIES = {
     "orders_calendar": orders_calendar,
     "percentiles_acctbal": percentiles_acctbal,
     "events_json_props": events_json_props,
+    # --- driver-green round 5 (newest certifications) ---
+    "segment_dedup": segment_dedup,
+    "rolling_distinct_users_sketch": rolling_distinct_users_sketch,
+    "q3_ann_lsh_join": q3_ann_lsh_join,
+    "order_count_distribution": order_count_distribution,
+    "acctbal_window_stats": acctbal_window_stats,
+    "min_cost_supplier": min_cost_supplier,
+    "priority_order_counts": priority_order_counts,
+    "nation_pair_volume": nation_pair_volume,
+    "market_share": market_share,
+    "product_profit": product_profit,
+    "important_parts": important_parts,
+    "shipmode_priority": shipmode_priority,
+    "promo_revenue_pct": promo_revenue_pct,
+    "supplier_part_counts": supplier_part_counts,
+    "small_qty_revenue": small_qty_revenue,
+    "disjunctive_revenue": disjunctive_revenue,
+    "excess_volume_suppliers": excess_volume_suppliers,
+    "waiting_suppliers": waiting_suppliers,
+    "idle_rich_customers": idle_rich_customers,
+    "bpe_merges": bpe_merges,
+    "dsir_select": dsir_select,
+    "datasketch_gates": datasketch_gates,
+    "stream_upsert_store": stream_upsert_store,
+    "events_gapfill": events_gapfill,
+    "profile_lineitem": profile_lineitem,
+    "quality_gates": quality_gates,
+    "neardup_ppjoin": neardup_ppjoin,
+    "dataset_split": dataset_split,
+    "split_leakage": split_leakage,
+    "bpe_encode": bpe_encode,
+    "retrieval_eval": retrieval_eval,
+    "store_compaction": store_compaction,
+    "mv_incremental_refresh": mv_incremental_refresh,
+    "store_clustering": store_clustering,
+    "supplier_pagerank": supplier_pagerank,
+    "pit_priority_revenue": pit_priority_revenue,
+    "mmr_diversified_topk": mmr_diversified_topk,
+    "stream_mv_refresh": stream_mv_refresh,
+    "store_zorder": store_zorder,
+    "entity_resolution": entity_resolution,
+    "weighted_sample": weighted_sample,
+    "rag_pipeline": rag_pipeline,
+    "heavy_hitters_events": heavy_hitters_events,
+    "lsh_exact_audit": lsh_exact_audit,
+    "lineitem_skew_report": lineitem_skew_report,
+    "value_histogram": value_histogram,
+    "impute_event_values": impute_event_values,
+    "q3_ann_append": q3_ann_append,
+    "rolling_distinct_users": rolling_distinct_users,
 }
