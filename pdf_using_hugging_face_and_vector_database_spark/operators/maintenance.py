@@ -167,7 +167,7 @@ def ensure_store(base_dir: str, fingerprint: str, build) -> str:
     return data_dir
 
 
-def zorder_value(cols, mins, maxs, bits: int = 16):
+def zorder_value(cols, mins, maxs, bits: int | None = None):
     """Morton (Z-order) key from N numeric columns: each column is
     min/max-scaled to ``bits`` buckets (stats come from a cheap
     pre-pass aggregate, broadcast as literals), then the bucket bits
@@ -180,19 +180,30 @@ def zorder_value(cols, mins, maxs, bits: int = 16):
     The interleaved key must fit a signed 64-bit long: bits are
     placed at positions up to len(cols)*bits - 1, and position 63 is
     the sign bit (position >= 64 wraps mod 64 in the JVM), either of
-    which silently corrupts the Morton order. ``bits`` is therefore
-    auto-shrunk so len(cols) * bits <= 63 — with 4 columns you get
-    15 bits each, which is still 32k buckets per dimension, far finer
-    than any row-group layout resolves."""
+    which silently corrupts the Morton order. ``bits=None`` (default)
+    picks min(16, 63 // len(cols)) — with 4 columns that is 15 bits
+    each, still 32k buckets per dimension, far finer than any
+    row-group layout resolves. An EXPLICIT ``bits`` that cannot fit is
+    still shrunk (a corrupted Morton order is never acceptable) but
+    warns, so a caller requesting a specific resolution sees the
+    downgrade (ADVICE r5)."""
+    import warnings
+
     from pyspark.sql import functions as F
 
     n = len(cols)
-    if n * bits > 63:
+    if 63 // n < 1:
+        raise ValueError(f"zorder_value: {n} columns cannot share a 63-bit key")
+    if bits is None:
+        bits = min(16, 63 // n)
+    elif n * bits > 63:
+        warnings.warn(
+            f"zorder_value: requested bits={bits} with {n} columns "
+            f"exceeds the 63-bit key; shrinking to {63 // n} bits "
+            f"({1 << (63 // n)} buckets per dimension)",
+            stacklevel=2,
+        )
         bits = 63 // n
-        if bits < 1:
-            raise ValueError(
-                f"zorder_value: {n} columns cannot share a 63-bit key"
-            )
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         c = F.col(c) if isinstance(c, str) else c
@@ -223,7 +234,7 @@ def zorder_store(
     keys: list[str],
     n_files: int | None = None,
     target_bytes: int = 128 << 20,
-    bits: int = 16,
+    bits: int | None = None,
 ) -> DataFrame:
     """Rewrite a store Z-ORDERED on ``keys``: one stats pre-pass for
     min/max, then range-repartition + sort on the interleaved Morton

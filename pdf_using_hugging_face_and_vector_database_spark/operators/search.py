@@ -232,8 +232,14 @@ def mmr_select(
     driver-side over those already-Spark-computed 9 dp values: per
     round the only arithmetic is lam*simq - (1-lam)*pen (identical
     IEEE doubles in Python) re-rounded via Decimal(repr(x)) HALF_UP,
-    which is bit-for-bit Spark's BigDecimal.valueOf(double) round —
-    the established oracle-parity idiom. (The previous version ran
+    which matches Spark's BigDecimal.valueOf(double) round. Parity
+    caveat: BigDecimal.valueOf goes through Double.toString, which is
+    guaranteed shortest-round-trip (= Python's repr) only on JDK >= 19
+    (JDK-4511638); on older JDKs a longer digit string could in theory
+    flip a HALF_UP boundary at the 10th digit.
+    tests/test_search.py::test_round9_matches_spark_round pins the
+    equivalence executable on whatever JDK is present, over adversarial
+    .5-at-1e-9 boundary doubles. (The previous version ran
     each round as its own Spark job: K jobs of pure scheduling
     overhead over a <=pool-size table, ~0.5 s/round at local scale,
     for arithmetic identical to this.)
@@ -284,9 +290,18 @@ def mmr_select(
                 (sim.get((cid, s[1]), 0.0) for s in selected), default=0.0
             )
             mmr = round9(lam * simq - one_m * pen)
+            if mmr != mmr:
+                # NaN score (degenerate zero vector): every comparison
+                # against NaN is False, so a NaN seen first would stick
+                # as `best` in iteration order — nondeterministic. Spark
+                # orderBy sorts NaN last/greatest; skipping matches
+                # "never preferred over any finite score".
+                continue
             key = (-mmr, cid)
             if best is None or key < best[0]:
                 best = (key, cid, simq)
+        if best is None:
+            break
         selected.append((rank, best[1], best[2]))
         del remaining[best[1]]
     return selected

@@ -50,6 +50,26 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def count_nodes(df: DataFrame, op: str) -> int:
+    """Number of physical operators named ``op``, counted via the
+    formatted plan's numbered operator headers — the tree line and the
+    detail block never double-count, and expression text (which may
+    mention the same word) is not consulted."""
+    return len(re.findall(rf"\(\d+\) {re.escape(op)}\b", formatted_plan(df)))
+
+
+def window_arguments(df: DataFrame) -> list[str]:
+    """The Arguments line of every Window operator's detail block —
+    i.e. the window-function list actually evaluated per pass. Lets a
+    test assert 'this aggregate is computed once' against the
+    operator's own expression list instead of substring-counting the
+    whole plan dump."""
+    plan = formatted_plan(df)
+    return re.findall(
+        r"\(\d+\) Window\nInput[^\n]*\nArguments: ([^\n]*)", plan
+    )
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of Exchange operators (counted via the formatted plan's
     numbered operator headers, so the tree line and its detail block

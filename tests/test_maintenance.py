@@ -190,3 +190,24 @@ def test_zorder_value_many_columns_stays_in_63_bits(spark):
 
     with pytest.raises(ValueError):
         zorder_value([f"c{i}" for i in range(64)], [0] * 64, [1] * 64)
+
+
+def test_zorder_value_warns_on_explicit_bits_shrink(spark):
+    """An explicitly requested resolution that cannot fit 63 bits is
+    shrunk (never silently corrupted) but must WARN so the caller sees
+    the downgrade; the auto default must stay silent (ADVICE r5)."""
+    import warnings
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.maintenance import (
+        zorder_value,
+    )
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        zorder_value(["a", "b", "c", "d"], [0] * 4, [3] * 4, bits=16)
+    assert any("shrinking to 15 bits" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        zorder_value(["a", "b", "c", "d"], [0] * 4, [3] * 4)
+    assert not w

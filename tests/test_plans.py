@@ -434,10 +434,27 @@ def test_rolling_sketch_is_preagg_then_single_window(spark, sf_dir):
     aggregate evaluated once (the exact collect_list is not
     re-computed per derived expression) — with exactly two shuffles
     (group-by, window partition) and a pruned 3-column scan."""
+    from pdf_using_hugging_face_and_vector_database_spark.plans.explain import (
+        count_nodes,
+        scan_read_schema,
+        window_arguments,
+    )
+
     df = Q.rolling_distinct_users_sketch(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "partial_hll_sketch_agg" in plan
-    assert plan.count("collect_list") == 1
-    assert plan.count("hll_union_agg") == 1
-    assert count_shuffles(df) == 2
-    assert "ReadSchema: struct<ts:" in plan and "value" not in plan.split("ReadSchema")[1]
+    # map-side combine: the pre-exchange aggregate runs the sketch agg
+    # in partial mode (the mode prefix is the semantic anchor here)
+    assert "partial_hll_sketch_agg" in formatted_plan(df)
+    # ONE window pass, and ITS OWN expression list evaluates each
+    # aggregate exactly once (no re-computation per derived column)
+    import re
+
+    wargs = window_arguments(df)
+    assert len(wargs) == 1
+    assert wargs[0].count("collect_list") == 1
+    assert wargs[0].count("hll_union_agg") == 1
+    assert count_shuffles(df) == 2  # group-by + window partition
+    # pruned scan: only the three needed event columns are read
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1
+    cols = re.findall(r"(\w+):", schemas[0])
+    assert "ts" in cols and "value" not in cols and len(cols) <= 3

@@ -336,3 +336,76 @@ def test_ivf_deferred_fingerprint_crash_convergence(spark, tmp_path):
     assert ivf_index_exists(path, "real_fp")
     # and the recorded tag still no-ops
     assert append_ivf_index(spark, path, extra, tag="b1") == 0
+
+
+def test_round9_matches_spark_round(spark):
+    """Oracle-parity pin for the driver-side MMR rounding (ADVICE r5):
+    Decimal(repr(x)).quantize(1e-9, HALF_UP) must equal Spark's
+    F.round(x, 9) (BigDecimal.valueOf -> Double.toString). The
+    shortest-round-trip guarantee Double.toString shares with Python's
+    repr landed in JDK 19 (JDK-4511638); this test makes the
+    equivalence executable on whatever JDK runs Spark, over the
+    adversarial cases: doubles whose decimal expansion sits at a
+    .5-at-1e-9 HALF_UP boundary, plus a deterministic pseudo-random
+    sweep of cosine-range values."""
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("0.000000001")
+
+    def round9(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP))
+
+    # .5-at-the-10th-digit boundaries: k*1e-9 + 5e-10 is not binary-
+    # representable, so repr/toString must agree on which side the
+    # nearest double landed; include negatives and magnitude spread
+    cases = []
+    for k in range(0, 2000, 7):
+        for scale in (1.0, 1e-3, 1e3):
+            v = (k * 1e-9 + 5e-10) * scale
+            cases.extend([v, -v])
+    # deterministic xorshift sweep over [-1, 1] (cosine range)
+    s = 0x9E3779B97F4A7C15
+    for _ in range(2000):
+        s ^= (s << 13) & 0xFFFFFFFFFFFFFFFF
+        s ^= s >> 7
+        s ^= (s << 17) & 0xFFFFFFFFFFFFFFFF
+        cases.append((s % (2**53)) / float(2**52) - 1.0)
+    # exact binary fractions right at a representable boundary
+    cases.extend([struct.unpack("<d", struct.pack("<q", b))[0]
+                  for b in range(4607182418800017408, 4607182418800017408 + 64)])
+
+    df = spark.createDataFrame([(float(v),) for v in cases], "x double")
+    got = [r.r for r in df.select(F.round("x", 9).alias("r")).collect()]
+    want = [round9(v) for v in cases]
+    mism = [(cases[i], want[i], got[i]) for i in range(len(cases))
+            if want[i] != got[i]]
+    assert not mism, f"{len(mism)} parity breaks, first: {mism[:3]}"
+
+
+def test_mmr_select_skips_nan_candidates(spark):
+    """A NaN query-similarity (e.g. a degenerate upstream score — the
+    ANSI-mode cosine itself raises on a zero vector before reaching
+    here, so simq is the NaN ingress) must be skipped deterministically
+    by the driver-side argmax instead of letting dict iteration order
+    decide (ADVICE r5). The NaN candidate must never be selected, and
+    the remaining ranking must be stable across repeated runs."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.search import mmr_select
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1.0),
+        (1, [0.1, 0.1, 0.1], float("nan")),  # NaN relevance score
+        (2, [0.9, 0.1, 0.0], 0.9),
+        (3, [0.0, 1.0, 0.0], 0.5),
+    ]
+    cand = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, simq double"
+    )
+    out = [
+        tuple(t[:2])
+        for t in mmr_select(cand, k=4, lam=0.7)
+    ]
+    assert all(vid != 1 for _, vid in out), "NaN candidate selected"
+    assert len(out) == 3
+    again = [tuple(t[:2]) for t in mmr_select(cand, k=4, lam=0.7)]
+    assert out == again

@@ -137,6 +137,21 @@ def run(spark, sf_dir: str, factor: int) -> dict:
         out["rag_serve_sec"] = _min_of(2, timed(rag_pipeline))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+        # queries keyed stores under INDEX_ROOT by the scratch path
+        # (rag's chunkvecs_* at minimum); the scratch dir is gone, so
+        # those stores are orphans — remove every store keyed to it
+        # (ADVICE r5: each invocation leaked one embedded store)
+        import glob
+
+        from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+            INDEX_ROOT,
+            dataset_dir_key,
+        )
+
+        for p in glob.glob(
+            os.path.join(INDEX_ROOT, f"*_{dataset_dir_key(scratch)}")
+        ):
+            shutil.rmtree(p, ignore_errors=True)
     return out
 
 
