@@ -116,3 +116,46 @@ def test_query_agrees_with_lsh_verify_path(spark, sf_dir):
     assert overlap, "expected shared near-dup pairs between the two paths"
     for k in overlap:
         assert exact[k] == lsh[k], k
+
+
+def test_encoded_ids_follow_df_then_element_order(spark):
+    """The encoding contract everything rests on: element-id NUMERIC
+    order must equal the (document frequency asc, element asc) global
+    total order — monotonically_increasing_id over the range-
+    partitioned sort is (partition << 33) + offset, increasing along
+    the sort. If Spark ever broke that, prefixes would stop being the
+    rarest elements and candidate pruning would silently degrade
+    (completeness itself is guarded by the brute-force tests)."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.setjoin import (
+        encoded_sets,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rows = [
+        (1, ["common", "mid", "rare1"]),
+        (2, ["common", "mid", "rare2"]),
+        (3, ["common", "mid"]),
+        (4, ["common"]),
+    ]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("g", ArrayType(StringType()))]
+    )
+    enc = encoded_sets(spark.createDataFrame(rows, schema))
+    gi = {r.doc_id: r.gi for r in enc.collect()}
+    # df: rare1=1, rare2=1, mid=3, common=4 -> order rare1 < rare2 < mid < common
+    rare1 = gi[1][0]
+    rare2 = gi[2][0]
+    mid_id = gi[3][0]
+    common = gi[4][0]
+    assert rare1 < rare2 < mid_id < common
+    # each doc's array is ascending = rarest-first prefix order
+    for arr in gi.values():
+        assert list(arr) == sorted(arr)
+    # doc 1's prefix (rarest element) is rare1, not common
+    assert gi[1][0] == rare1 and gi[1][-1] == common
