@@ -457,22 +457,27 @@ def random_projection_buckets(
     """Signed-random-projection bucket id (0 .. 2^n_planes-1) as a pure
     SQL expression — a blocking key for embedding near-dup joins.
     Plane p component j = md5_int('plane:p:j') folded to [-1,1].
-    """
 
-    def plane_expr(p: int):
-        # capture p by closure so the transform lambda stays unary
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: md5_int(F.concat(F.lit(f"plane:{p}:"), j.cast("string")))
-            / F.lit(MAX24)
-            * 2.0
-            - 1.0,
-        )
+    The plane weights are CONSTANTS, so they are computed once
+    driver-side (md5_int_py is the exact integer twin of the SQL
+    md5_int, and the /MAX24*2-1 fold is the same IEEE double ops) and
+    embedded as literal arrays. The previous form rebuilt the weights
+    inside a transform() per row — dim * n_planes md5 hashes per
+    vector, interpreted: at sf0.1 that was ~4 M md5 calls per pass and
+    ~5 s of the semantic_dedup wall. Buckets are bit-identical: the
+    projection fold order (left-to-right aggregate over zip_with) is
+    unchanged.
+    """
+    from ..functions.hashing import md5_int_py
 
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
+        weights = [
+            md5_int_py(f"plane:{p}:{j}") / MAX24 * 2.0 - 1.0 for j in range(dim)
+        ]
+        plane = F.array(*[F.lit(float(w)) for w in weights])
         proj = F.aggregate(
-            F.zip_with(F.col(vec_col), plane_expr(p), lambda x, w: x.cast("double") * w),
+            F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda a, x: a + x,
         )

@@ -2443,12 +2443,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan speed; the self-join is bucket-bounded (never all-pairs); the
     drop set is |pairs|-bounded and broadcasts back against the
     corpus. Verdict per vector: (vec_id, label, bucket, is_kept)."""
+    from .caching import persist_tracked
     from .operators.ann import random_projection_buckets
     from .operators.dedup import embedding_neardup_pairs
 
     corpus = clustered_embeddings(spark, sf_dir)
-    bucketed = random_projection_buckets(
-        corpus, dim=EMBED_DIM, n_planes=SEMDEDUP_PLANES
+    # persisted: the pairs kernel AND the output join both consume the
+    # bucketed corpus, and its lineage holds the zip_with centroid
+    # derivation (higher-order function — interpreted, the expensive
+    # part at this scale) — compute it once, not per consumer
+    bucketed = persist_tracked(
+        random_projection_buckets(corpus, dim=EMBED_DIM, n_planes=SEMDEDUP_PLANES)
     )
     pairs = embedding_neardup_pairs(
         bucketed, block_col="bucket", threshold=SEMDEDUP_COS
