@@ -52,6 +52,24 @@ def canon(v):
 
 
 def spark_rows(df):
+    # The DRIVER's comparator canonicalizes through pandas sort_values,
+    # which cannot factorize list/dict cells: an array/map/struct
+    # OUTPUT column is a guaranteed driver error even when values are
+    # right (round 5's snapshot_diff red row). Reject it here so the
+    # gate catches the schema class, not just the values.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if complex_cols:
+        raise ValueError(
+            "driver-unsortable complex-typed output column(s): "
+            f"{complex_cols} — serialize them (e.g. array_join) at the "
+            "query surface"
+        )
     cols = sorted(df.columns)
     return cols, [tuple(canon(r[c]) for c in cols) for r in df.collect()]
 
