@@ -159,3 +159,18 @@ def test_encoded_ids_follow_df_then_element_order(spark):
         assert list(arr) == sorted(arr)
     # doc 1's prefix (rarest element) is rare1, not common
     assert gi[1][0] == rare1 and gi[1][-1] == common
+
+
+def test_encoded_join_plan_shape(spark, sf_dir):
+    """Structural pins for the encoded join: the per-doc id tables are
+    BROADCAST into the verify (never a shuffle of the pair list), and
+    the encoded-sets table is read through InMemoryTableScan — i.e.
+    the persist_tracked contract in encoded_sets is live in the plan.
+    (Positional ids make that persist a CORRECTNESS requirement, not
+    a cache: consumers must see one materialization.)"""
+    from pdf_using_hugging_face_and_vector_database_spark.plans.explain import count_nodes
+
+    df = Q.neardup_ppjoin(spark, sf_dir)
+    assert count_nodes(df, "BroadcastHashJoin") >= 2
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "InMemoryTableScan") >= 1
