@@ -65,22 +65,25 @@ def pagerank(
         # rank vector itself doesn't broadcast, pre-partition edges by
         # src and this becomes a co-partitioned shuffle join — the
         # groupBy stays the only per-round data movement that grows.
+        # contrib = round(rank / out_deg, 9) depends only on src, so it
+        # is computed on the NODE-scale side before the broadcast —
+        # same value per edge bit-for-bit, but the division + 9 dp
+        # round run |nodes| times per round instead of |edges| times
+        # (the per-edge work left is the decimal cast + sum the
+        # cross-engine associativity-proofing requires)
         rd = (
             ranks.alias("r")
             .join(deg.alias("d"), F.col("r.node") == F.col("d.src"))
             .select(
                 F.col("d.src").alias("src"),
-                F.col("r.rank").alias("rank"),
-                F.col("d.out_deg").alias("out_deg"),
+                F.round(F.col("r.rank") / F.col("d.out_deg"), 9).alias(
+                    "contrib"
+                ),
             )
         )
         contribs = (
             edges.join(F.broadcast(rd), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.round(F.col("rank") / F.col("out_deg"), 9).alias("contrib"),
-            )
-            .groupBy("node")
+            .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(F.col("contrib").cast(DEC9)).cast("double").alias("inflow")
             )
