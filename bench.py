@@ -268,23 +268,25 @@ def main() -> None:
         "w",
     ) as f:
         json.dump(payload, f, indent=1)
-    slowest = dict(
-        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:20]
-    )
-    compact = {
-        "metric": "total_query_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(times),
-        "queries": slowest,
-        "queries_note": (
-            "20 slowest of %d; full per-query map + method in "
-            "BENCH_current.queries.json" % len(times)
-        ),
-    }
-    line = json.dumps(compact)
-    assert len(line) < 1900, f"bench line too long for driver tail: {len(line)}"
+    ranked = sorted(times.items(), key=lambda kv: kv[1], reverse=True)
+    # shrink the slowest-list until the line fits the tail buffer —
+    # never crash at the END of a full bench run over a label list
+    for top in (20, 10, 5, 0):
+        compact = {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(times),
+            "queries": dict(ranked[:top]),
+            "queries_note": (
+                "%d slowest of %d; full per-query map + method in "
+                "BENCH_current.queries.json" % (top, len(times))
+            ),
+        }
+        line = json.dumps(compact)
+        if len(line) < 1900:
+            break
     print(line)
     spark.stop()
 
