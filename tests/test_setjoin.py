@@ -174,3 +174,27 @@ def test_encoded_join_plan_shape(spark, sf_dir):
     assert count_nodes(df, "BroadcastHashJoin") >= 2
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "InMemoryTableScan") >= 1
+
+
+def test_property_random_corpora_match_brute_force(spark):
+    """Randomized sweep (fixed seed) for the exactness claim: on a
+    ~150-doc corpus of random sets over a SHARED 12-element pool (so
+    overlaps at every Jaccard level actually occur, including empty
+    sets and duplicates) the prefix-filtered + encoded join must
+    equal the brute-force all-pairs join at several thresholds —
+    completeness AND precision, jaccard values included. All docs go
+    through ONE Spark evaluation per threshold to keep the sweep
+    affordable (hypothesis-driving Spark per-example would pay a job
+    per case)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    pool = [f"e{i}" for i in range(12)]
+    rows = []
+    doc_id = 0
+    for _ in range(25):
+        for _ in range(rng.randint(2, 10)):
+            rows.append((doc_id, sorted(rng.sample(pool, rng.randint(0, 8)))))
+            doc_id += 1
+    for t in (0.34, 0.5, 0.67, 1.0):
+        assert _spark_result(spark, rows, t) == _brute_force(rows, t), t
