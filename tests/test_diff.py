@@ -117,3 +117,49 @@ def test_best_match_composite_block_key(spark):
     # id 2 shares blk but not sfx; id 3 shares sfx but not blk: only
     # id 1 is a candidate even though all three are within lev 1.
     assert out == {10: (1, 1)}
+
+
+def test_property_random_snapshots_match_reference(spark):
+    """Randomized sweep (fixed seed): table_diff over random snapshot
+    pairs — random inserts/deletes, per-column random mutations
+    including NULL->value, value->NULL, and NULL->NULL — must equal a
+    plain-Python reference diff exactly (change class AND the sorted
+    changed-column set). All generated cases ride one Spark call."""
+    import random
+
+    rng = random.Random(0xD1FF)
+    vals = ["x", "y", "z", None]
+    old_rows, new_rows = [], []
+    expect = {}
+    k = 0
+    for _ in range(200):
+        k += 1
+        in_old = rng.random() < 0.9
+        in_new = rng.random() < 0.9 if in_old else True
+        o = (rng.choice(vals), rng.choice(vals))
+        n = (
+            (o[0] if rng.random() < 0.6 else rng.choice(vals)),
+            (o[1] if rng.random() < 0.6 else rng.choice(vals)),
+        )
+        if in_old:
+            old_rows.append((k, *o))
+        if in_new:
+            new_rows.append((k, *n))
+        if in_old and not in_new:
+            expect[k] = ("delete", [])
+        elif in_new and not in_old:
+            expect[k] = ("insert", [])
+        else:
+            changed = sorted(
+                c for c, ov, nv in (("a", o[0], n[0]), ("b", o[1], n[1]))
+                if ov != nv  # Python != is null-safe for None
+            )
+            if changed:
+                expect[k] = ("update", changed)
+    old = spark.createDataFrame(old_rows, SCHEMA)
+    new = spark.createDataFrame(new_rows, SCHEMA)
+    got = {
+        r.k: (r.change_type, list(r.changed_cols))
+        for r in table_diff(old, new, ["k"], ["a", "b"]).collect()
+    }
+    assert got == expect
