@@ -81,3 +81,54 @@ def test_at_most_one_match_on_real_dim(spark, sf_dir):
     assert dup == 0
     assert j.count() <= n_facts
     facts.unpersist()
+
+
+def test_property_range_join_matches_reference(spark):
+    """Randomized sweep (fixed seed) for the bucketed range join: tiny
+    timestamp space with bucket_seconds chosen so intervals routinely
+    CROSS bucket boundaries, plus zero-length intervals and points
+    landing exactly on start/end (both inclusive, SQL BETWEEN). Must
+    equal a plain-Python reference join exactly."""
+    import random
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    rng = random.Random(0xBEEF)
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    points = [
+        (i, rng.choice(("k1", "k2")), ts(rng.randint(0, 600)))
+        for i in range(120)
+    ]
+    intervals = []
+    for j in range(40):
+        s = rng.randint(0, 600)
+        e = s + rng.choice((0, 1, rng.randint(2, 300)))  # incl. zero-length
+        intervals.append((j, rng.choice(("k1", "k2")), ts(s), ts(e)))
+    # force exact-boundary hits: copy some interval endpoints as points
+    for j, key, s, e in intervals[:10]:
+        points.append((1000 + j, key, s))
+        points.append((2000 + j, key, e))
+
+    pdf = spark.createDataFrame(points, "pid long, key string, ts timestamp")
+    idf = spark.createDataFrame(
+        intervals, "iid long, key string, start timestamp, end timestamp"
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            pdf, idf, "ts", "start", "end", on=("key",), bucket_seconds=60
+        ).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, pkey, pts in points
+        for iid, ikey, s, e in intervals
+        if pkey == ikey and s <= pts <= e
+    }
+    assert got == want
