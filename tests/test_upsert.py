@@ -156,3 +156,40 @@ def test_merge_into_null_delete_predicate_keeps_row(spark):
         matched_delete=lambda t, s: s["tag"] == "kill",
     ).collect()
     assert len(out) == 1 and out[0]["v"] == 9.0
+
+
+def test_property_upsert_variants_match_reference(spark):
+    """Randomized sweep (fixed seed): upsert (union+window LWW) and
+    upsert_cocluster (full-outer MERGE shape) claim IDENTICAL
+    last-writer-wins semantics — highest version per id wins, ties
+    prefer the batch. Random tables with overlapping/disjoint ids and
+    version ties must match a plain-Python reference on both paths."""
+    import random
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        upsert_cocluster,
+    )
+
+    rng = random.Random(0x10B5)
+    ids = [f"id{i}" for i in range(40)]
+    existing = [
+        (i, f"e:{i}:{rng.randint(0, 9)}", rng.randint(1, 5))
+        for i in rng.sample(ids, 30)
+    ]
+    batch = [
+        (i, f"b:{i}:{rng.randint(0, 9)}", rng.randint(1, 5))
+        for i in rng.sample(ids, 25)
+    ]
+    want = {i: (t, v) for i, t, v in existing}
+    for i, t, v in batch:
+        if i not in want or v >= want[i][1]:  # ties: batch wins
+            want[i] = (t, v)
+
+    e = _tbl(spark, existing)
+    b = _tbl(spark, batch)
+    for fn in (upsert, upsert_cocluster):
+        got = {
+            r["id"]: (r["text"], r["ingest_version"])
+            for r in fn(e, b).collect()
+        }
+        assert got == want, fn.__name__
