@@ -396,3 +396,41 @@ def test_lsh_exact_audit_semantics(spark, sf_dir):
     assert r.recall == round(r.n_hits / r.n_truth, 6)
     assert r.recall_ok == (r.recall >= LSH_AUDIT_FLOOR)
     assert r.recall_ok  # the configured bands must clear the floor
+
+
+def test_property_simhash_banded_join_is_exact_hamming_join(spark):
+    """Randomized sweep (fixed seed): the banded Hamming join over
+    random 48-bit fingerprints — biased so many pairs sit NEAR the
+    max_hamming boundary — must equal the brute-force exact
+    Hamming <= k join (pigeonhole completeness AND the verify's
+    precision), pairs and distances both."""
+    import random
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    rng = random.Random(0x51A4)
+    bits, k = 48, 3
+    base = [rng.getrandbits(bits) for _ in range(12)]
+    fps = []
+    i = 0
+    for b in base:
+        # a cluster of mutations around each base: 0..5 bit flips
+        for _ in range(rng.randint(1, 6)):
+            v = b
+            for bit in rng.sample(range(bits), rng.randint(0, 5)):
+                v ^= 1 << bit
+            fps.append((i, v))
+            i += 1
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidate_pairs(df, max_hamming=k).collect()
+    }
+    want = {}
+    for (ia, va) in fps:
+        for (ib, vb) in fps:
+            if ia < ib and bin(va ^ vb).count("1") <= k:
+                want[(ia, ib)] = bin(va ^ vb).count("1")
+    assert got == want
