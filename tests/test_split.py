@@ -114,3 +114,39 @@ def test_misra_gries_bounds_and_memory(spark):
         assert item in est
         assert est[item] <= true
         assert est[item] >= true - n / (k + 1)
+
+
+def test_property_misra_gries_bound_random_streams(spark):
+    """Randomized sweep (fixed seed): on random zipf-ish streams over
+    varying partition counts, the merged MG summary must (a) never
+    overestimate, (b) stay within the additive n/(k+1) bound, and
+    (c) report EVERY item whose true frequency exceeds n/(k+1) — the
+    guarantee that must survive the per-partition merge."""
+    import random
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.heavyhitters import (
+        merged_summary,
+    )
+
+    rng = random.Random(0x4E0)
+    for trial, (n_items, n_rows, k, parts) in enumerate(
+        [(30, 3000, 5, 4), (80, 5000, 8, 8), (10, 2000, 3, 2)]
+    ):
+        weights = [1.0 / (i + 1) ** 1.2 for i in range(n_items)]
+        stream = rng.choices(
+            [f"t{trial}i{i}" for i in range(n_items)], weights=weights, k=n_rows
+        )
+        true = {}
+        for v in stream:
+            true[v] = true.get(v, 0) + 1
+        df = spark.createDataFrame([(v,) for v in stream], "v string").repartition(
+            parts
+        )
+        est = {r.item: r.est for r in merged_summary(df, "v", k).collect()}
+        bound = n_rows / (k + 1)
+        for item, e in est.items():
+            assert e <= true[item], (trial, item)
+            assert e >= true[item] - bound, (trial, item)
+        for item, t in true.items():
+            if t > bound:
+                assert item in est, (trial, item, t, bound)
