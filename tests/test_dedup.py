@@ -434,3 +434,60 @@ def test_property_simhash_banded_join_is_exact_hamming_join(spark):
             if ia < ib and bin(va ^ vb).count("1") <= k:
                 want[(ia, ib)] = bin(va ^ vb).count("1")
     assert got == want
+
+
+def test_property_representatives_match_union_find(spark):
+    """Randomized sweep (fixed seed): random per-band bucket
+    assignments induce arbitrary topologies (co-bucket cliques,
+    chains-of-cliques, isolated docs); the star-contraction fixpoint
+    must map every doc to the MIN id of its connected component,
+    exactly as a plain-Python union-find over the same co-bucket
+    graph."""
+    import random
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        neardup_representatives,
+    )
+
+    rng = random.Random(0xCC)
+    n_docs, bands, width = 40, 4, 4
+
+    rows = []
+    assign = {}
+    for d in range(1, n_docs + 1):
+        sig = []
+        for b in range(bands):
+            # small per-band pools force shared buckets; the 1000*b
+            # offset keeps collisions WITHIN a band only
+            label = 1000 * b + rng.randint(0, 13)
+            assign[(d, b)] = label
+            sig.extend([label] * width)
+        rows.append((d, sig))
+
+    # reference: union-find over co-bucket cliques
+    parent = list(range(n_docs + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    buckets = {}
+    for (d, b), label in assign.items():
+        buckets.setdefault((b, label), []).append(d)
+    for members in buckets.values():
+        for m in members[1:]:
+            ra, rb = find(members[0]), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in range(1, n_docs + 1)}
+
+    df = spark.createDataFrame(rows, "doc_id long, minhash array<bigint>")
+    got = {
+        r["doc_id"]: r["group_rep"]
+        for r in neardup_representatives(
+            df, num_hashes=bands * width, bands=bands
+        ).collect()
+    }
+    assert got == want
