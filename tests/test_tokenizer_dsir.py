@@ -110,3 +110,64 @@ def test_bpe_encode_compresses_the_corpus(spark, sf_dir):
     rows = bpe_encode(spark, sf_dir).collect()
     assert rows
     assert all(0 < r.n_tokens < r.n_base_symbols for r in rows)
+
+
+def test_property_bpe_merges_match_reference(spark):
+    """Randomized sweep (fixed seed): the distributed BPE trainer on a
+    random small-alphabet corpus must produce the EXACT merge table of
+    a plain-Python reference implementing the documented semantics —
+    per-position (overlap-inclusive) pair counts weighted by word
+    frequency, tie-break (count desc, lhs asc, rhs asc), and greedy
+    left-to-right non-overlapping application. Small alphabets force
+    dense tie-breaking, the part dialect bugs hide in."""
+    import random
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+        BPE_EOW,
+        bpe_merge_table,
+    )
+
+    rng = random.Random(0xB9E)
+    words = [
+        "".join(rng.choices("abc", k=rng.randint(1, 5))) for _ in range(60)
+    ]
+    text_rows = [(i, " ".join(rng.sample(words, rng.randint(1, 8))))
+                 for i in range(30)]
+
+    # reference trainer over the exact word histogram of the corpus
+    hist = {}
+    for _i, t in text_rows:
+        for w in t.split():
+            hist[w] = hist.get(w, 0) + 1
+    vocab = [(c, tuple(list(w) + [BPE_EOW])) for w, c in hist.items()]
+    want = []
+    for rank in range(1, 13):
+        pc = {}
+        for cnt, seq in vocab:
+            for i in range(len(seq) - 1):
+                pc[(seq[i], seq[i + 1])] = pc.get((seq[i], seq[i + 1]), 0) + cnt
+        if not pc:
+            break
+        (lhs, rhs), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, lhs, rhs, lhs + rhs, n))
+        nxt = []
+        for cnt, seq in vocab:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == lhs and seq[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            nxt.append((cnt, tuple(out)))
+        vocab = nxt
+
+    docs = spark.createDataFrame(text_rows, "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_merge_table(docs, n_merges=12).collect()
+    ]
+    assert got == want
