@@ -287,6 +287,19 @@ def main() -> None:
         line = json.dumps(compact)
         if len(line) < 1900:
             break
+    # enforce (not assume) the driver-parse invariant: even the top=0
+    # fallback could exceed the tail buffer if e.g. sf were a very long
+    # string — emit a minimal-but-valid line rather than an unparseable
+    # one (r3-r5 recorded parsed:null for exactly this class of slip)
+    if len(line) >= 1900:
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(times),
+            }
+        )
     print(line)
     spark.stop()
 

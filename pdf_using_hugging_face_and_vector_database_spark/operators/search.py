@@ -291,11 +291,17 @@ def mmr_select(
             )
             mmr = round9(lam * simq - one_m * pen)
             if mmr != mmr:
-                # NaN score (degenerate zero vector): every comparison
-                # against NaN is False, so a NaN seen first would stick
-                # as `best` in iteration order — nondeterministic. Spark
-                # orderBy sorts NaN last/greatest; skipping matches
-                # "never preferred over any finite score".
+                # NaN score: every comparison against NaN is False, so
+                # a NaN seen first would stick as `best` in iteration
+                # order — nondeterministic. Spark orderBy sorts NaN
+                # last/greatest; skipping matches "never preferred over
+                # any finite score". Two ingress routes land here: a
+                # NaN simq (degenerate zero query/candidate vector) AND
+                # a NaN pairwise penalty from `sim` — the latter makes
+                # the candidate unselectable in THIS and every later
+                # round (the same NaN recomputes each pass), which is
+                # the intended fate for a vector whose similarity to a
+                # selected item is undefined.
                 continue
             key = (-mmr, cid)
             if best is None or key < best[0]:

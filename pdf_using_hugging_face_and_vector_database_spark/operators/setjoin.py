@@ -75,26 +75,52 @@ def encoded_sets(
     the exact verify intersects long arrays (measured 6x faster than
     string-array intersects at sf0.1).
 
-    Ids are collision-FREE by construction (unlike a hash): the
-    dictionary is the distinct-element table sorted by (df, el), and
-    ``monotonically_increasing_id`` on a range-partitioned sort is
-    (partition_index << 33) + offset — strictly increasing along the
-    sort order, so id order == (df, el) order exactly.
+    Ids are collision-FREE and ORDER-FUNCTIONAL: eid is the dense
+    0-based rank of (df, el) under the global total order, computed as
+    a pure function of the data (round-7 rework of the
+    ``monotonically_increasing_id``-after-orderBy derivation, whose
+    correctness leaned on two undocumented Spark contracts — mid()
+    tracking range-partition order, and persist pinning one
+    materialization of positionally-assigned ids). Pure derivation
+    means a recomputed lineage reproduces the SAME ids, so the
+    persist_tracked below is a pure cache, not a correctness
+    requirement.
 
-    The result is persist_tracked and MUST stay so: ids are assigned
-    positionally, so every consumer (the prefix self-join's two sides,
-    the verify's two broadcast builds) has to read the SAME
-    materialization rather than re-derive ids through a recomputed
-    lineage.
+    Scale shape of the rank: a single global ``row_number`` window
+    would drag the whole dictionary through one task, so the rank is
+    two-level — (1) row_number within (df, 4-char element prefix)
+    buckets (skew-bounded: a bucket is one frequency class of one
+    prefix), (2) bucket base offsets via a running sum over the
+    bucket-COUNT table, which is metadata-scale (one row per distinct
+    (df, prefix)). String-prefix bucketing preserves the order because
+    byte-lexicographic comparison is monotone under prefixing; the
+    single-partition window only ever sees the tiny count table.
     """
+    from pyspark.sql import Window
+
     from ..caching import persist_tracked
 
     el = gsets.select(
         F.col(id_col).alias("doc_id"), F.explode(set_col).alias("el")
     )
     freq = el.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
-    dic = freq.orderBy("df", "el").select(
-        "el", F.monotonically_increasing_id().alias("eid")
+    bucketed = freq.withColumn("__p", F.substring("el", 1, 4))
+    w_in = Window.partitionBy("df", "__p").orderBy("el")
+    ranked = bucketed.withColumn("__rk", F.row_number().over(w_in))
+    sizes = bucketed.groupBy("df", "__p").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.orderBy("df", "__p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "df",
+        "__p",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    dic = ranked.join(offs, ["df", "__p"]).select(
+        "el", (F.col("__off") + F.col("__rk") - F.lit(1)).alias("eid")
     )
     return persist_tracked(
         el.join(dic, "el")

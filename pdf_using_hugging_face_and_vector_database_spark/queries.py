@@ -74,12 +74,17 @@ ANN_N_LABELS = 10         # fixture label cardinality (0..9, all SFs)
 # LSH similarity-join sizing: cosine>=0.45 keeps the exact pair set
 # small but non-trivial on the uniform-sphere fixture (14 pairs at
 # sf0.01, 144 at sf0.1 — measured in DuckDB). bucket_length/tables
-# swept at both SFs (seed fixed, so recall is deterministic per SF):
-# 1.0/4 measures recall 1.0 @ sf0.01 and 0.993 @ sf0.1 against the
-# 0.9 gate, at ~2.5x less join cost than the wide-bucket 2.0/8 start.
+# re-swept round 7 (seed fixed, so recall is deterministic per SF):
+# the r4 pick 1.0/4 was DEGENERATE on the unit sphere — projections
+# land in ~2 buckets per table, so the "LSH" join was distance-
+# filtering nearly all n² candidate pairs (that was the 4.1-4.8 s
+# profiled inside approxSimilarityJoin, r6 verdict). 0.1/8 makes the
+# buckets real: measured recall 1.0 @ sf0.001+sf0.01 and 0.993 @
+# sf0.1 against the 0.9 gate, join ~2x faster at sf0.1; 0.3/4 was
+# rejected (recall 0.857 @ sf0.001 — under the gate).
 ANN_JOIN_COS = 0.45
-ANN_JOIN_BUCKET_LEN = 1.0
-ANN_JOIN_TABLES = 4
+ANN_JOIN_BUCKET_LEN = 0.1
+ANN_JOIN_TABLES = 8
 ANN_RERANK_CAND = 50      # int8-prefilter candidate pool for re-rank
 BIN_CAND = 50             # binary-prefilter candidate pool
 BIN_QUERY_ID = 1          # corpus row serving as the binary-path query
@@ -2143,17 +2148,15 @@ def q3_ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact side here is the unblocked O(n²) verify — test-scale
     truth computation only. At corpus scale the LSH join IS the
     product path (sub-quadratic candidates, exact distance filter);
-    you never materialize the unblocked exact join."""
+    you never materialize the unblocked exact join. Since round 7 the
+    exact side reads the fingerprint-keyed truth store
+    (persisted_cosine_truth, r6 verdict item 3) — the oracle still
+    recomputes it from raw parquet, so staleness turns the row red."""
     from .caching import persist_tracked
     from .operators.ann import BrpLshIndex
-    from .operators.dedup import embedding_neardup_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    exact = persist_tracked(
-        embedding_neardup_pairs(
-            emb, block_col=None, threshold=ANN_JOIN_COS
-        ).select("id_a", "id_b")
-    )
+    exact = persist_tracked(persisted_cosine_truth(spark, sf_dir))
     idx = BrpLshIndex(
         bucket_length=ANN_JOIN_BUCKET_LEN, num_hash_tables=ANN_JOIN_TABLES
     ).fit(emb)
@@ -3753,6 +3756,58 @@ def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_AUDIT_FLOOR = 0.8  # LSH candidate recall floor vs the exact join
 
 
+def persisted_ppjoin_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-keyed store of the exact PPJoin pair set
+    (id_a, id_b, jaccard) over word-3-gram sets of the synthetic
+    near-dup corpus at PPJOIN_THRESHOLD — the truth table the audit
+    queries consume (r6 verdict item 3: stop rebuilding the exact
+    side per audit run). The salt folds in every derivation constant
+    (gram width, threshold, corpus-synthesis truncation), so changing
+    any of them — or the documents parquet — invalidates the store."""
+    from .io import table_path
+    from .operators.ann import dataset_dir_key, dataset_fingerprint
+    from .operators.setjoin import set_similarity_join, word_gram_sets
+    from .store import persisted_result
+
+    salt = f"ppjoin:{WORD_NGRAM}:{PPJOIN_THRESHOLD}:trunc{NEARDUP_TRUNC}"
+    fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
+
+    def build() -> DataFrame:
+        corpus = neardup_corpus(spark, sf_dir)
+        return set_similarity_join(
+            word_gram_sets(corpus, WORD_NGRAM), PPJOIN_THRESHOLD
+        )
+
+    return persisted_result(
+        spark, f"ppjoin_truth_{dataset_dir_key(sf_dir)}", fp, build
+    )
+
+
+def persisted_cosine_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-keyed store of the exact cosine>=ANN_JOIN_COS pair
+    set (id_a, id_b) over the embeddings table — the unblocked O(n²)
+    truth side of q3_ann_lsh_join, test-scale only by design; at
+    corpus scale the LSH join is the product path and this store is
+    how the audit's truth is amortized across runs."""
+    from .io import table_path
+    from .operators.ann import dataset_dir_key, dataset_fingerprint
+    from .operators.dedup import embedding_neardup_pairs
+    from .store import persisted_result
+
+    salt = f"cospairs:{ANN_JOIN_COS}"
+    fp = dataset_fingerprint(table_path(sf_dir, "embeddings"), salt=salt)
+
+    def build() -> DataFrame:
+        emb = read_table(spark, sf_dir, "embeddings")
+        return embedding_neardup_pairs(
+            emb, block_col=None, threshold=ANN_JOIN_COS
+        ).select("id_a", "id_b")
+
+    return persisted_result(
+        spark, f"cospairs_truth_{dataset_dir_key(sf_dir)}", fp, build
+    )
+
+
 def lsh_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous audit of the probabilistic dedup path against the
     exact one — possible only because the suite has BOTH: MinHash-LSH
@@ -3762,16 +3817,20 @@ def lsh_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     row: truth size, candidate size, hit count, recall, and the
     floor gate. Fully deterministic (md5 MinHash, exact join), so the
     DuckDB oracle recomputes the entire audit — the number the 100 TB
-    operator watches before trusting banded dedup on a new corpus."""
+    operator watches before trusting banded dedup on a new corpus.
+
+    Round 7 (r6 verdict item 3): the exact pair set comes from the
+    fingerprint-keyed truth store (persisted_ppjoin_truth) instead of
+    being rebuilt per run — the PPJoin kernel itself stays live-
+    certified through neardup_ppjoin, and the oracle still recomputes
+    this audit's truth from raw parquet, so a wrong/stale store is a
+    driver hash mismatch, not a silent pass."""
     from .caching import persist_tracked
     from .operators.dedup import persisted_signatures
-    from .operators.setjoin import set_similarity_join, word_gram_sets
 
     corpus = persist_tracked(neardup_corpus(spark, sf_dir))
     truth = persist_tracked(
-        set_similarity_join(
-            word_gram_sets(corpus, WORD_NGRAM), PPJOIN_THRESHOLD
-        ).select("id_a", "id_b")
+        persisted_ppjoin_truth(spark, sf_dir).select("id_a", "id_b")
     )
     sigs = persisted_signatures(
         spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"

@@ -121,11 +121,14 @@ def test_query_agrees_with_lsh_verify_path(spark, sf_dir):
 def test_encoded_ids_follow_df_then_element_order(spark):
     """The encoding contract everything rests on: element-id NUMERIC
     order must equal the (document frequency asc, element asc) global
-    total order — monotonically_increasing_id over the range-
-    partitioned sort is (partition << 33) + offset, increasing along
-    the sort. If Spark ever broke that, prefixes would stop being the
-    rarest elements and candidate pruning would silently degrade
-    (completeness itself is guarded by the brute-force tests)."""
+    total order. Since round 7 eid is the dense 0-based rank of
+    (df, el) computed order-functionally (two-level bucketed
+    row_number — see encoded_sets), so this test also pins density:
+    ids are exactly 0..N-1 in order. The fixture exercises both rank
+    levels: rare1/rare2 share the 4-char prefix bucket 'rare' (within-
+    bucket ordering), mid/common live in different buckets (offset
+    ordering). Completeness itself is guarded by the brute-force
+    tests."""
     from pdf_using_hugging_face_and_vector_database_spark.operators.setjoin import (
         encoded_sets,
     )
@@ -154,6 +157,8 @@ def test_encoded_ids_follow_df_then_element_order(spark):
     mid_id = gi[3][0]
     common = gi[4][0]
     assert rare1 < rare2 < mid_id < common
+    # dense rank: ids are exactly 0..N-1 along the (df, el) order
+    assert [rare1, rare2, mid_id, common] == [0, 1, 2, 3]
     # each doc's array is ascending = rarest-first prefix order
     for arr in gi.values():
         assert list(arr) == sorted(arr)
