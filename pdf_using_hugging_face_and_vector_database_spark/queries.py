@@ -4531,70 +4531,24 @@ def neardup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # jointly cover the whole registry; the round-4 header's "2 rounds"
 # claim was arithmetically impossible and is retired.
 #
-# Round-6 front: snapshot_diff (changed this round — changed_cols
-# serialized to a string; its round-5 driver row errored in the
-# driver's pandas canonicalizer on the list-typed column, values were
-# locally verified correct), then the 44-query round-3-certified block
-# (oldest certifications — exactly 3 rounds stale, the rotation
-# bound), then the 5 head entries of the round-4-certified block =
-# exactly 50. After the front: the remaining round-4-certified rows
-# (45 — the natural round-7 front), then the round-5-certified block
-# (newest certifications) last.
+# Round-7 front (executes VERDICT r6 item 1 exactly): the 3 queries
+# CHANGED this round (lsh_exact_audit + q3_ann_lsh_join now read
+# fingerprint-keyed truth stores and the LSH join got real buckets;
+# neardup_ppjoin's dictionary ids are order-functional), then the 45
+# remaining round-4-certified rows (semantic_dedup ... segment_dedup —
+# exactly 3 rounds stale, the rotation bound), then 2 head entries of
+# the round-5-certified block = exactly 50. After the front: the rest
+# of the round-5-certified block (its 45 remaining rows are the
+# natural round-8 front), then the round-6-certified block (newest
+# certifications) last.
 QUERIES = {
-    # --- changed in round 6 (array output serialized for the driver) ---
-    "snapshot_diff": snapshot_diff,
-    # --- driver-green round 3 (3 rounds stale; re-certify now) ---
-    "rolling_fingerprint": rolling_fingerprint,
-    "chunker_separator": chunker_separator,
-    "q3_ann_recall": q3_ann_recall,
-    "media_pipeline": media_pipeline,
-    "video_frame_sample": video_frame_sample,
-    "clicks_before_purchase": clicks_before_purchase,
-    "clicks_in_purchase_window": clicks_in_purchase_window,
-    "cube_pricing": cube_pricing,
-    "session_windows_native": session_windows_native,
-    "pii_scrub": pii_scrub,
-    "pack_sequences": pack_sequences_q,
-    "contamination_check": contamination_check,
-    "stream_session_windows": stream_session_windows,
-    "embed_quantize": embed_quantize,
-    "dedup_pipeline": dedup_pipeline,
-    "approx_percentiles_gate": approx_percentiles_gate,
-    "stream_clicks_purchases": stream_clicks_purchases,
-    "chunker_udtf": chunker_udtf,
-    "udaf_median_acctbal": udaf_median_acctbal,
-    "q1_cosine_topk": q1_cosine_topk,
-    "q2_knn_join": q2_knn_join,
-    "q4_filtered_topk": q4_filtered_topk,
-    "q5_fetch_by_ids": q5_fetch_by_ids,
-    "q5_delete_by_ids": q5_delete_by_ids,
-    "chunker_stride": chunker_stride,
-    "chunk_metadata": chunk_metadata,
-    "pipeline_vectors": pipeline_vectors,
-    "text_stats": text_stats,
-    "lang_id": lang_id,
-    "corpus_stats": corpus_stats,
-    "doc_fingerprints": doc_fingerprints,
-    "dedup_exact": dedup_exact,
-    "minhash_signatures": minhash_signatures,
-    "neardup_minhash": neardup_minhash,
-    "neardup_groups": neardup_groups,
-    "neardup_simhash": neardup_simhash,
-    "neardup_jaccard": neardup_jaccard,
-    "token_counts": token_counts,
-    "vocab_top_tokens": vocab_top_tokens,
-    "tfidf_top_terms": tfidf_top_terms,
-    "sample_docs_hash": sample_docs_hash,
-    "approx_distinct_parts": approx_distinct_parts,
-    "tpch_q1_pricing": tpch_q1_pricing,
-    "revenue_by_nation": revenue_by_nation,
-    # --- driver-green round 4, head (fills the 50-slot budget) ---
-    "lm_bigram_quality": lm_bigram_quality,
-    "funnel_conversion": funnel_conversion,
-    "retention_cohorts": retention_cohorts,
-    "scd2_customer_priority": scd2_customer_priority,
-    "anomaly_mad": anomaly_mad,
-    # --- driver-green round 4, remainder (round-7 front) ---
+    # --- changed in round 7 (audit truth stores + LSH bucket fix;
+    # PPJoin order-functional dictionary ids) ---
+    "lsh_exact_audit": lsh_exact_audit,
+    "q3_ann_lsh_join": q3_ann_lsh_join,
+    "neardup_ppjoin": neardup_ppjoin,
+    # --- driver-green round 4 (3 rounds stale; re-certify now — the
+    # prescribed round-7 front, VERDICT r6 item 1) ---
     "semantic_dedup": semantic_dedup,
     "large_order_customers": large_order_customers,
     "top_supplier_revenue": top_supplier_revenue,
@@ -4639,10 +4593,9 @@ QUERIES = {
     "orders_calendar": orders_calendar,
     "percentiles_acctbal": percentiles_acctbal,
     "events_json_props": events_json_props,
-    # --- driver-green round 5 (newest certifications) ---
     "segment_dedup": segment_dedup,
+    # --- round-5-certified block (oldest-first fillers, then rest) ---
     "rolling_distinct_users_sketch": rolling_distinct_users_sketch,
-    "q3_ann_lsh_join": q3_ann_lsh_join,
     "order_count_distribution": order_count_distribution,
     "acctbal_window_stats": acctbal_window_stats,
     "min_cost_supplier": min_cost_supplier,
@@ -4666,7 +4619,6 @@ QUERIES = {
     "events_gapfill": events_gapfill,
     "profile_lineitem": profile_lineitem,
     "quality_gates": quality_gates,
-    "neardup_ppjoin": neardup_ppjoin,
     "dataset_split": dataset_split,
     "split_leakage": split_leakage,
     "bpe_encode": bpe_encode,
@@ -4683,10 +4635,61 @@ QUERIES = {
     "weighted_sample": weighted_sample,
     "rag_pipeline": rag_pipeline,
     "heavy_hitters_events": heavy_hitters_events,
-    "lsh_exact_audit": lsh_exact_audit,
     "lineitem_skew_report": lineitem_skew_report,
     "value_histogram": value_histogram,
     "impute_event_values": impute_event_values,
     "q3_ann_append": q3_ann_append,
     "rolling_distinct_users": rolling_distinct_users,
+    # --- driver-green round 6 (newest certifications) ---
+    "snapshot_diff": snapshot_diff,
+    "rolling_fingerprint": rolling_fingerprint,
+    "chunker_separator": chunker_separator,
+    "q3_ann_recall": q3_ann_recall,
+    "media_pipeline": media_pipeline,
+    "video_frame_sample": video_frame_sample,
+    "clicks_before_purchase": clicks_before_purchase,
+    "clicks_in_purchase_window": clicks_in_purchase_window,
+    "cube_pricing": cube_pricing,
+    "session_windows_native": session_windows_native,
+    "pii_scrub": pii_scrub,
+    "pack_sequences": pack_sequences_q,
+    "contamination_check": contamination_check,
+    "stream_session_windows": stream_session_windows,
+    "embed_quantize": embed_quantize,
+    "dedup_pipeline": dedup_pipeline,
+    "approx_percentiles_gate": approx_percentiles_gate,
+    "stream_clicks_purchases": stream_clicks_purchases,
+    "chunker_udtf": chunker_udtf,
+    "udaf_median_acctbal": udaf_median_acctbal,
+    "q1_cosine_topk": q1_cosine_topk,
+    "q2_knn_join": q2_knn_join,
+    "q4_filtered_topk": q4_filtered_topk,
+    "q5_fetch_by_ids": q5_fetch_by_ids,
+    "q5_delete_by_ids": q5_delete_by_ids,
+    "chunker_stride": chunker_stride,
+    "chunk_metadata": chunk_metadata,
+    "pipeline_vectors": pipeline_vectors,
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "corpus_stats": corpus_stats,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "neardup_minhash": neardup_minhash,
+    "neardup_groups": neardup_groups,
+    "neardup_simhash": neardup_simhash,
+    "neardup_jaccard": neardup_jaccard,
+    "token_counts": token_counts,
+    "vocab_top_tokens": vocab_top_tokens,
+    "tfidf_top_terms": tfidf_top_terms,
+    "sample_docs_hash": sample_docs_hash,
+    "approx_distinct_parts": approx_distinct_parts,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "revenue_by_nation": revenue_by_nation,
+    "lm_bigram_quality": lm_bigram_quality,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
+    "scd2_customer_priority": scd2_customer_priority,
+    "anomaly_mad": anomaly_mad,
 }
+
