@@ -122,8 +122,23 @@ def encoded_sets(
     dic = ranked.join(offs, ["df", "__p"]).select(
         "el", (F.col("__off") + F.col("__rk") - F.lit(1)).alias("eid")
     )
+    # Explicit partition width for the cached encoded corpus. Dense
+    # ranks delta-compress far better than the element strings they
+    # replace, so AQE's BYTE-based partition coalescing sees a tiny
+    # relation and materializes the cache into ~1 partition — but every
+    # downstream consumer (prefix self-join probe, array-intersect
+    # verify) is per-ROW expensive, and a 1-partition cache serializes
+    # them (measured 5.4 s vs 2.8 s for the full join at sf0.1; the
+    # probe stage ran 4 tasks instead of 128). An explicit repartition
+    # on the grouping key is not AQE-coalescable, and the groupBy
+    # below reuses its hash partitioning, so this costs no extra
+    # shuffle; the session shuffle width is the operator's scale knob.
+    n_parts = int(
+        gsets.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return persist_tracked(
         el.join(dic, "el")
+        .repartition(n_parts, "doc_id")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("eid")).alias("gi"))
     )
