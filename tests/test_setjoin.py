@@ -171,14 +171,35 @@ def test_encoded_join_plan_shape(spark, sf_dir):
     BROADCAST into the verify (never a shuffle of the pair list), and
     the encoded-sets table is read through InMemoryTableScan — i.e.
     the persist_tracked contract in encoded_sets is live in the plan.
-    (Positional ids make that persist a CORRECTNESS requirement, not
-    a cache: consumers must see one materialization.)"""
+    (Since the round-7 order-functional ids the persist is a pure
+    cache — any recomputed lineage reproduces the same ids — but the
+    plan should still show one shared materialization.)"""
     from pdf_using_hugging_face_and_vector_database_spark.plans.explain import count_nodes
 
     df = Q.neardup_ppjoin(spark, sf_dir)
     assert count_nodes(df, "BroadcastHashJoin") >= 2
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "InMemoryTableScan") >= 1
+
+
+def test_encoded_cache_keeps_parallelism(spark):
+    """Regression guard for the AQE cache-coalescing trap: dense ids
+    delta-compress so well that AQE's byte-based coalescing collapsed
+    the materialized encoded corpus to ~1 partition, serializing every
+    per-row-expensive downstream consumer (probe + verify ran 4 tasks
+    instead of 128; full join 5.4 s vs 2.8 s at sf0.1). encoded_sets
+    now repartitions on doc_id at the session shuffle width — which
+    AQE must NOT coalesce away. This pins the materialized cache's
+    width to the configured shuffle partitions."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.setjoin import (
+        encoded_sets,
+    )
+
+    rows = [(i, [f"e{i}", f"e{i + 1}", "shared"]) for i in range(40)]
+    enc = encoded_sets(spark.createDataFrame(rows, SCHEMA))
+    enc.count()  # materialize the cache
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert enc.rdd.getNumPartitions() == width
 
 
 def test_property_random_corpora_match_brute_force(spark):
