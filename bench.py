@@ -191,13 +191,14 @@ DRIFT_FLOOR_SEC = 0.15
 DRIFT_RERUNS_MAX = 30
 
 
-def _last_recorded(sf: float) -> dict[str, float]:
+def _last_recorded(sf: float, path: str | None = None) -> dict[str, float]:
     """Per-query mins from the previous committed bench record, or {}
     when absent / unparseable / from a different scale factor."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_current.queries.json",
-    )
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_current.queries.json",
+        )
     try:
         with open(path) as f:
             prev = json.load(f)

@@ -118,6 +118,23 @@ def test_all_queries_run(spark, sf_dir):
     release_caches()
 
 
+def test_bench_drift_reference_parsing(tmp_path):
+    """The bench's relative-drift rerun rule reads its own last
+    committed record; a malformed, missing, or wrong-sf record must
+    silently disable the rule ({} reference), never crash the sweep."""
+    import json
+
+    from bench import _last_recorded
+
+    rec = tmp_path / "rec.json"
+    rec.write_text(json.dumps({"sf": 0.1, "queries": {"a": 1.5, "b": 0.2}}))
+    assert _last_recorded(0.1, str(rec)) == {"a": 1.5, "b": 0.2}
+    assert _last_recorded(0.01, str(rec)) == {}  # other scale factor
+    rec.write_text("{not json")
+    assert _last_recorded(0.1, str(rec)) == {}
+    assert _last_recorded(0.1, str(tmp_path / "missing.json")) == {}
+
+
 def test_readme_query_count_matches_registry():
     """The README's 'N named queries' figure must track len(QUERIES)
     — it drifted twice (r4 verdict); now it's pinned by the suite."""
