@@ -104,7 +104,16 @@ def encoded_sets(
         F.col(id_col).alias("doc_id"), F.explode(set_col).alias("el")
     )
     freq = el.groupBy("el").agg(F.count(F.lit(1)).alias("df"))
-    bucketed = freq.withColumn("__p", F.substring("el", 1, 4))
+    # The vocabulary table feeds TWO branches of the rank (within-
+    # bucket row_number AND bucket sizes); uncached, each branch
+    # repays the full corpus explode + count — measured 12.4 s vs
+    # 7.4 s for the whole join on the 10x corpus (process-isolated
+    # min-of-3). It is the smallest relation in the operator
+    # (dictionary-scale: one row per distinct element), so caching it
+    # is the standard build-the-inverted-index-once shape.
+    bucketed = persist_tracked(
+        freq.withColumn("__p", F.substring("el", 1, 4))
+    )
     w_in = Window.partitionBy("df", "__p").orderBy("el")
     ranked = bucketed.withColumn("__rk", F.row_number().over(w_in))
     sizes = bucketed.groupBy("df", "__p").agg(
