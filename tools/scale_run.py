@@ -199,7 +199,19 @@ def run_scale(spark, sf_dir: str, factor: int) -> dict:
         pairs: dict = {}
 
         def _run_lsh():
-            idx = BrpLshIndex(bucket_length=2.0, num_hash_tables=3).fit(emb)
+            # measure the PRODUCT parameterization q3_ann_lsh_join
+            # ships (r7: real buckets after the recall-constrained
+            # sweep), not a bespoke one — scale evidence must describe
+            # the code that runs
+            from pdf_using_hugging_face_and_vector_database_spark.queries import (
+                ANN_JOIN_BUCKET_LEN,
+                ANN_JOIN_TABLES,
+            )
+
+            idx = BrpLshIndex(
+                bucket_length=ANN_JOIN_BUCKET_LEN,
+                num_hash_tables=ANN_JOIN_TABLES,
+            ).fit(emb)
             pairs["n"] = idx.similarity_self_join(
                 max_cos_dist=1.0 - ANN_JOIN_COS
             ).count()
