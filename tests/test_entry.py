@@ -118,6 +118,60 @@ def test_all_queries_run(spark, sf_dir):
     release_caches()
 
 
+def test_pool_safe_queries_are_still_side_effect_free():
+    """Re-derives the POOL_SAFE classification from source at test
+    time: no pooled query may reference a filesystem/state marker in
+    its own source or in any operators.* helper it names. If a query
+    on the list later grows a persisted store, index write, stream,
+    or conf mutation, this fails and the query must move to the
+    serial phase — the frozen list can go stale only in the safe
+    direction (serial), never the unsafe one (pooled)."""
+    import importlib
+    import inspect
+    import pkgutil
+    import re
+
+    import pdf_using_hugging_face_and_vector_database_spark.operators as ops
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        QUERIES,
+    )
+
+    state = re.compile(
+        r"persisted_|INDEX_ROOT|writeStream|readStream|foreachBatch"
+        r"|\bcheckpoint|\.write\b|\.save\b|rmtree|makedirs|os\.remove"
+        r"|os\.replace|conf\.set|merge_into|open\(|tempfile",
+        re.I,
+    )
+    helper_src = {}
+    for mod in pkgutil.iter_modules(ops.__path__):
+        m = importlib.import_module(f"{ops.__name__}.{mod.name}")
+        for nm, obj in vars(m).items():
+            if (
+                inspect.isfunction(obj) or inspect.isclass(obj)
+            ) and getattr(obj, "__module__", "") == m.__name__:
+                try:
+                    helper_src[nm] = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    pass
+
+    offenders = []
+    for name in sorted(POOL_SAFE):
+        if name.startswith("stream_"):
+            offenders.append((name, "stream_* must stay serial"))
+            continue
+        src = inspect.getsource(QUERIES[name])
+        if state.search(src):
+            offenders.append((name, "state marker in query source"))
+            continue
+        for nm, hsrc in helper_src.items():
+            if re.search(r"\b" + re.escape(nm) + r"\b", src) and state.search(
+                hsrc
+            ):
+                offenders.append((name, f"stateful helper {nm}"))
+                break
+    assert not offenders, offenders
+
+
 def test_bench_drift_reference_parsing(tmp_path):
     """The bench's relative-drift rerun rule reads its own last
     committed record; a malformed, missing, or wrong-sf record must
