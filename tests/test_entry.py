@@ -97,20 +97,33 @@ def test_all_queries_run(spark, sf_dir):
         QUERIES,
     )
 
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     wrapped = entrymod.queries()
     assert POOL_SAFE <= set(wrapped), sorted(POOL_SAFE - set(wrapped))
+
+    def flat_schema(df, name):
+        # driver-canonicalizer contract: the driver's pandas compare
+        # sorts and hashes cell values, which cannot handle list/map/
+        # struct cells (the round-5 snapshot_diff red row). Every
+        # query surface must emit flat scalar columns.
+        for f in df.schema.fields:
+            assert not isinstance(
+                f.dataType, (ArrayType, MapType, StructType)
+            ), f"{name}.{f.name} is {f.dataType.simpleString()}"
+        return df
 
     # phase 1 — stateful/unknown queries, serial, cache-released
     for name, fn in wrapped.items():
         if name not in POOL_SAFE:
-            assert fn(spark, sf_dir).count() >= 0, name
+            assert flat_schema(fn(spark, sf_dir), name).count() >= 0, name
 
     # phase 2 — side-effect-free queries, concurrent; unwrapped so one
     # thread's global cache release can't thrash another's working set
     release_caches()
 
     def run(name):
-        return name, QUERIES[name](spark, sf_dir).count()
+        return name, flat_schema(QUERIES[name](spark, sf_dir), name).count()
 
     with ThreadPoolExecutor(max_workers=6) as ex:
         for name, n in ex.map(run, sorted(POOL_SAFE)):
