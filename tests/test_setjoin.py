@@ -224,3 +224,46 @@ def test_property_random_corpora_match_brute_force(spark):
             doc_id += 1
     for t in (0.34, 0.5, 0.67, 1.0):
         assert _spark_result(spark, rows, t) == _brute_force(rows, t), t
+
+
+def test_property_encoded_ids_match_python_reference(spark):
+    """Randomized reference sweep for the order-functional encoding
+    (the round-7 ADVICE rework): eid must equal the dense 0-based rank
+    of (document frequency asc, element asc) computed independently in
+    Python. The pool is adversarial for the two-level rank: elements
+    shorter than the 4-char prefix (including the empty string),
+    groups sharing a 4-char prefix but diverging later (the
+    within-bucket orderBy path), multi-byte UTF-8 (accented, CJK,
+    astral-plane emoji — Spark's UTF8String compare is byte-wise,
+    which equals code-point order, which is Python's str order; this
+    sweep pins that the two agree), and near-equal strings that
+    straddle bucket boundaries. Frequencies are randomized so df ties
+    and df-crossing prefixes both occur."""
+    import random
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.setjoin import (
+        encoded_sets,
+    )
+
+    pool = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdf", "abcdg",
+        "abce", "zzzz0001", "zzzz0002", "préfix", "préfiy",
+        "日本語テスト", "日本語テス", "😀astral", "😀astrb", "e1", "e2",
+    ]
+    rng = random.Random(0xB00C)
+    for _ in range(5):
+        rows = []
+        for doc_id in range(40):
+            k = rng.randint(1, len(pool))
+            rows.append((doc_id, sorted(rng.sample(pool, k))))
+        enc = encoded_sets(spark.createDataFrame(rows, SCHEMA))
+        got = {r.doc_id: list(r.gi) for r in enc.collect()}
+        # python twin: df per element, dense rank of (df, el)
+        df_count: dict[str, int] = {}
+        for _, els in rows:
+            for e in els:
+                df_count[e] = df_count.get(e, 0) + 1
+        order = sorted(df_count, key=lambda e: (df_count[e], e))
+        eid = {e: i for i, e in enumerate(order)}
+        want = {d: sorted(eid[e] for e in els) for d, els in rows}
+        assert got == want
