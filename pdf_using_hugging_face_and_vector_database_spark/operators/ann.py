@@ -226,6 +226,18 @@ def dataset_fingerprint(path: str, salt: str = "") -> str:
     return f"{h.hexdigest()[:16]}:{salt}"
 
 
+def _ann_code_token() -> str:
+    """Code token over this module + the vector functions — folded
+    into every code-table store salt so a quantization/encoding kernel
+    change rebuilds the store (r7 ADVICE item 2)."""
+    import sys
+
+    from ..functions import vector as _vector
+    from ..store import code_token
+
+    return code_token(sys.modules[__name__], _vector)
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -254,17 +266,18 @@ def build_ivf_index(
     idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "assigned")
     )
-    meta = {
-        "n_cells": n_cells,
-        "iters": iters,
-        "dim": dim,
-        "fingerprint": fingerprint,
-        "centroids": idx.centroids,
-    }
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, marker)
+    from ..store import write_marker_atomic
+
+    write_marker_atomic(
+        marker,
+        {
+            "n_cells": n_cells,
+            "iters": iters,
+            "dim": dim,
+            "fingerprint": fingerprint,
+            "centroids": idx.centroids,
+        },
+    )
     return idx
 
 
@@ -278,24 +291,23 @@ def set_index_fingerprint(path: str, fingerprint: str) -> None:
     rebuilds from scratch instead of resuming a half-applied state
     (the append-then-crash double-insert the round-4 advisor
     flagged)."""
+    from ..store import read_marker, write_marker_atomic
+
     marker = os.path.join(path, "centroids.json")
-    with open(marker) as f:
-        meta = json.load(f)
+    meta = read_marker(marker)
+    if not meta:
+        raise FileNotFoundError(f"no readable index marker at {marker}")
     meta["fingerprint"] = fingerprint
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, marker)
+    write_marker_atomic(marker, meta)
 
 
 def ivf_index_exists(path: str, fingerprint: str | None = None) -> bool:
     """True iff a readable index is present AND (when given) its stored
     source fingerprint matches — stale indexes count as absent."""
-    marker = os.path.join(path, "centroids.json")
-    try:
-        with open(marker) as f:
-            meta = json.load(f)
-    except (OSError, ValueError):
+    from ..store import read_marker
+
+    meta = read_marker(os.path.join(path, "centroids.json"))
+    if not meta:
         return False
     return fingerprint is None or meta.get("fingerprint") == fingerprint
 
@@ -314,8 +326,11 @@ def probe_ivf_index(
     of only those cells, exact re-rank inside (shared kernel
     :func:`topk_in_cells` — cannot drift from the in-memory index).
     No index rebuild — the read path is what repeated queries pay."""
-    with open(os.path.join(path, "centroids.json")) as f:
-        meta = json.load(f)
+    from ..store import read_marker
+
+    meta = read_marker(os.path.join(path, "centroids.json"))
+    if not meta:
+        raise FileNotFoundError(f"no readable index marker under {path}")
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
     return topk_in_cells(
         assigned, meta["centroids"], query_vec, k, nprobe, vec_col, id_col
@@ -348,9 +363,12 @@ def append_ivf_index(
     any crash forces that rebuild automatically. Returns the number
     of appended rows.
     """
+    from ..store import read_marker, write_marker_atomic
+
     marker = os.path.join(path, "centroids.json")
-    with open(marker) as f:
-        meta = json.load(f)
+    meta = read_marker(marker)
+    if not meta:
+        raise FileNotFoundError(f"no readable index marker at {marker}")
     if tag in meta.get("appends", {}):
         return 0
     assigned = new_vectors.withColumn(
@@ -361,10 +379,7 @@ def append_ivf_index(
         os.path.join(path, "assigned")
     )
     meta.setdefault("appends", {})[tag] = n
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, marker)
+    write_marker_atomic(marker, meta)
     return n
 
 
@@ -529,36 +544,21 @@ def persisted_int8_codes(
     split for quantized prefilter serving: built once per corpus
     version, then every query's stage-1 scan reads THIS parquet (4x
     less I/O than the float column) and never touches the vectors.
-    Same staleness/crash-safety contract as persisted_signatures."""
-    import json as _json
-    import os as _os
-
+    Staleness/crash-safety via store.persisted_result (round-8
+    consolidation); the salt folds in a code token of the vector
+    functions + this module so a quantization-kernel change rebuilds
+    the codes instead of serving the old derivation."""
     from ..io import table_path
+    from ..store import persisted_result
 
-    path = _os.path.join(
-        INDEX_ROOT, f"int8codes_{dataset_dir_key(sf_dir)}_{tag}"
-    )
-    salt = f"int8:{','.join(extra_cols)}:{tag}"
+    salt = f"int8:{','.join(extra_cols)}:{tag}:{_ann_code_token()}"
     fp = dataset_fingerprint(table_path(sf_dir, "embeddings"), salt=salt)
-    marker = _os.path.join(path, "meta.json")
-    ok = False
-    try:
-        with open(marker) as f:
-            ok = _json.load(f).get("fingerprint") == fp
-    except (OSError, ValueError):
-        ok = False
-    data_dir = _os.path.join(path, "codes")
-    if not ok:
-        codes = int8_codes_of(emb, extra_cols=extra_cols)
-        _os.makedirs(path, exist_ok=True)
-        if _os.path.exists(marker):
-            _os.remove(marker)
-        codes.write.mode("overwrite").parquet(data_dir)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"fingerprint": fp, "salt": salt}, f)
-        _os.replace(tmp, marker)
-    return spark.read.parquet(data_dir)
+    return persisted_result(
+        spark,
+        f"int8codes_{dataset_dir_key(sf_dir)}_{tag}",
+        fp,
+        lambda: int8_codes_of(emb, extra_cols=extra_cols),
+    )
 
 
 def quantized_candidates(
@@ -712,31 +712,23 @@ def persisted_binary_codes(
 ) -> DataFrame:
     """Fingerprint-keyed persisted binary-codes table (the
     persisted_int8_codes contract at 32x compression): stage-1 Hamming
-    scans read THIS parquet and never touch the float column."""
-    path = os.path.join(INDEX_ROOT, f"bincodes_{dataset_dir_key(sf_dir)}_{tag}")
+    scans read THIS parquet and never touch the float column. Same
+    store.persisted_result protocol + code-token salt as the int8
+    table."""
     from ..io import table_path
+    from ..store import persisted_result
 
-    salt = f"bin:{','.join(extra_cols)}:{dim}:{BIN_WORD_BITS}:{tag}"
+    salt = (
+        f"bin:{','.join(extra_cols)}:{dim}:{BIN_WORD_BITS}:{tag}:"
+        f"{_ann_code_token()}"
+    )
     fp = dataset_fingerprint(table_path(sf_dir, "embeddings"), salt=salt)
-    marker = os.path.join(path, "meta.json")
-    ok = False
-    try:
-        with open(marker) as f:
-            ok = json.load(f).get("fingerprint") == fp
-    except (OSError, ValueError):
-        ok = False
-    data_dir = os.path.join(path, "codes")
-    if not ok:
-        codes = binary_codes_of(emb, extra_cols=extra_cols, dim=dim)
-        os.makedirs(path, exist_ok=True)
-        if os.path.exists(marker):
-            os.remove(marker)
-        codes.write.mode("overwrite").parquet(data_dir)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"fingerprint": fp, "salt": salt}, f)
-        os.replace(tmp, marker)
-    return spark.read.parquet(data_dir)
+    return persisted_result(
+        spark,
+        f"bincodes_{dataset_dir_key(sf_dir)}_{tag}",
+        fp,
+        lambda: binary_codes_of(emb, extra_cols=extra_cols, dim=dim),
+    )
 
 
 def binary_candidates(

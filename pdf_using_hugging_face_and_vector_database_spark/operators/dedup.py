@@ -162,44 +162,36 @@ def persisted_signatures(
     is written LAST (crash-safe ordering, same as build_ivf_index).
 
     Signatures are a pure function of the corpus, so cached-vs-fresh
-    is bit-identical — oracle rows cannot tell the difference.
+    is bit-identical — oracle rows cannot tell the difference. The
+    salt folds in a code token of this module + the hashing functions
+    (store.code_token): a kernel change invalidates stored signatures
+    instead of silently serving the old derivation.
     """
-    import json as _json
-
-    import os as _os
-
+    from .. import store as _store
+    from ..functions import hashing as _hashing
     from ..io import table_path
-    from .ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
+    from .ann import dataset_dir_key, dataset_fingerprint
 
     # ``tag`` names the CORPUS DERIVATION (e.g. 'char7' = the synthetic
     # neardup union, 'char7base' = plain documents), not just a label —
     # it is part of both the store path AND the fingerprint salt, so
     # two derivations with identical hashing constants can never serve
     # each other's signatures.
-    path = _os.path.join(INDEX_ROOT, f"minhash_{dataset_dir_key(sf_dir)}_{tag}")
-    salt = f"mh:{num_hashes}:{ngram}:{shingle}:{tag}"
+    import sys as _sys
+
+    salt = (
+        f"mh:{num_hashes}:{ngram}:{shingle}:{tag}:"
+        f"{_store.code_token(_sys.modules[__name__], _hashing)}"
+    )
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
-    marker = _os.path.join(path, "meta.json")
-    ok = False
-    try:
-        with open(marker) as f:
-            ok = _json.load(f).get("fingerprint") == fp
-    except (OSError, ValueError):
-        ok = False
-    data_dir = _os.path.join(path, "sigs")
-    if not ok:
-        sigs = minhash_signatures_agg(
+    return _store.persisted_result(
+        spark,
+        f"minhash_{dataset_dir_key(sf_dir)}_{tag}",
+        fp,
+        lambda: minhash_signatures_agg(
             corpus, num_hashes=num_hashes, ngram=ngram, shingle=shingle
-        )
-        _os.makedirs(path, exist_ok=True)
-        if _os.path.exists(marker):
-            _os.remove(marker)
-        sigs.write.mode("overwrite").parquet(data_dir)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"fingerprint": fp, "salt": salt}, f)
-        _os.replace(tmp, marker)
-    return spark.read.parquet(data_dir)
+        ),
+    )
 
 
 def persisted_groups(
@@ -217,39 +209,28 @@ def persisted_groups(
     dedup_pipeline capstone read the persisted mapping. Groups are a
     pure function of the corpus + constants (fixpoint, deterministic),
     so cached-vs-fresh is bit-identical; staleness keys on the source
-    fingerprint + constants salt, marker written last (crash-safe)."""
-    import json as _json
-    import os as _os
+    fingerprint + constants salt + a code token of this module
+    (kernel changes rebuild, never serve stale groups), marker
+    written last (crash-safe) — all through store.persisted_result."""
+    import sys as _sys
 
+    from .. import store as _store
     from ..io import table_path
-    from .ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
+    from .ann import dataset_dir_key, dataset_fingerprint
 
-    path = _os.path.join(
-        INDEX_ROOT, f"neardup_groups_{dataset_dir_key(sf_dir)}_{tag}"
+    salt = (
+        f"cc:{num_hashes}:{bands}:{tag}:"
+        f"{_store.code_token(_sys.modules[__name__])}"
     )
-    salt = f"cc:{num_hashes}:{bands}:{tag}"
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
-    marker = _os.path.join(path, "meta.json")
-    ok = False
-    try:
-        with open(marker) as f:
-            ok = _json.load(f).get("fingerprint") == fp
-    except (OSError, ValueError):
-        ok = False
-    data_dir = _os.path.join(path, "groups")
-    if not ok:
-        labels = neardup_representatives(
+    return _store.persisted_result(
+        spark,
+        f"neardup_groups_{dataset_dir_key(sf_dir)}_{tag}",
+        fp,
+        lambda: neardup_representatives(
             sigs, num_hashes=num_hashes, bands=bands, nodes=nodes
-        )
-        _os.makedirs(path, exist_ok=True)
-        if _os.path.exists(marker):
-            _os.remove(marker)
-        labels.write.mode("overwrite").parquet(data_dir)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"fingerprint": fp, "salt": salt}, f)
-        _os.replace(tmp, marker)
-    return spark.read.parquet(data_dir)
+        ),
+    )
 
 
 def minhash_candidate_pairs(

@@ -142,29 +142,13 @@ def overlap_fraction(ranges: list[tuple]) -> float:
 
 
 def ensure_store(base_dir: str, fingerprint: str, build) -> str:
-    """Fingerprint-keyed store-build idiom shared by the maintenance
-    fixtures (same crash-safe marker ordering as persisted_signatures):
-    returns the data dir, calling ``build(data_dir)`` only when the
-    marker is missing or stale."""
-    import json
+    """Fingerprint-keyed store-build idiom for the maintenance
+    fixtures — a thin alias for the shared marker protocol in
+    ``store.ensure_store_dir`` (round-8 consolidation: one crash-safe
+    contract, one test surface, no bespoke marker I/O here)."""
+    from ..store import ensure_store_dir
 
-    marker = os.path.join(base_dir, "meta.json")
-    data_dir = os.path.join(base_dir, "data")
-    try:
-        with open(marker) as f:
-            if json.load(f).get("fingerprint") == fingerprint:
-                return data_dir
-    except (OSError, ValueError):
-        pass
-    os.makedirs(base_dir, exist_ok=True)
-    if os.path.exists(marker):
-        os.remove(marker)
-    build(data_dir)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"fingerprint": fingerprint}, f)
-    os.replace(tmp, marker)
-    return data_dir
+    return ensure_store_dir(base_dir, fingerprint, build)
 
 
 def zorder_value(cols, mins, maxs, bits: int | None = None):

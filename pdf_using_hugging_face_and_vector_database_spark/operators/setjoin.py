@@ -142,9 +142,15 @@ def encoded_sets(
     # on the grouping key is not AQE-coalescable, and the groupBy
     # below reuses its hash partitioning, so this costs no extra
     # shuffle; the session shuffle width is the operator's scale knob.
-    n_parts = int(
-        gsets.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    try:
+        n_parts = int(
+            gsets.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        # the conf can be non-numeric (e.g. "auto" under some AQE
+        # setups); fall back to the cluster's default width rather
+        # than breaking every PPJoin query (r7 ADVICE item 4)
+        n_parts = gsets.sparkSession.sparkContext.defaultParallelism
     return persist_tracked(
         el.join(dic, "el")
         .repartition(n_parts, "doc_id")
@@ -246,9 +252,20 @@ def set_similarity_join(
     longs instead of shingle strings (6x at sf0.1) and broadcasting
     8-byte ids instead of text.
     """
-    enc = encoded_sets(
-        gsets.filter(F.size(set_col) > 0), id_col, set_col
+    return set_similarity_join_encoded(
+        encoded_sets(gsets.filter(F.size(set_col) > 0), id_col, set_col),
+        threshold,
     )
+
+
+def set_similarity_join_encoded(enc: DataFrame, threshold: float) -> DataFrame:
+    """The candidate + verify half of :func:`set_similarity_join`,
+    over an ALREADY dictionary-encoded corpus ``(doc_id, gi)`` —
+    split out (round 8) so the encoded corpus can come from a
+    fingerprint-keyed store (store.persisted_result): encoding is a
+    pure function of the corpus, built once per corpus version, while
+    every join run pays only the prefix probe + verify. Semantics are
+    identical to calling set_similarity_join on the raw sets."""
     cand = _prefix_pairs_encoded(enc, threshold)
     ga = enc.select(F.col("doc_id").alias("id_a"), F.col("gi").alias("__ga"))
     gb = enc.select(F.col("doc_id").alias("id_b"), F.col("gi").alias("__gb"))

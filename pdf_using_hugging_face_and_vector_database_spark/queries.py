@@ -3756,30 +3756,80 @@ def lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_AUDIT_FLOOR = 0.8  # LSH candidate recall floor vs the exact join
 
 
+def _ppjoin_store_fingerprint(sf_dir: str, what: str) -> str:
+    """Shared fingerprint for the PPJoin-derived stores: source
+    parquet content hash + every derivation constant + a code token
+    of the kernel modules (r7 ADVICE item 2 — a kernel bug fix must
+    invalidate stored derivations, not surface later as a confusing
+    oracle mismatch on a consumer)."""
+    from .functions import text as _text
+    from .io import table_path
+    from .operators import setjoin as _setjoin
+    from .operators.ann import dataset_fingerprint
+    from .store import code_token
+
+    salt = (
+        f"{what}:{WORD_NGRAM}:{PPJOIN_THRESHOLD}:trunc{NEARDUP_TRUNC}:"
+        f"{code_token(_setjoin, _text)}"
+    )
+    return dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
+
+
+def persisted_ppjoin_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-keyed store of the dictionary-ENCODED word-3-gram
+    corpus ``(doc_id, gi)`` — the PPJoin vocabulary + encode front end
+    (setjoin.encoded_sets) materialized once per corpus version
+    (r7 verdict item 3: the driver's single cold run paid the full
+    tokenize -> explode -> frequency -> two-level rank lineage on
+    every audit; ids are a pure function of the data, which is
+    exactly the store contract). Join runs then pay only the prefix
+    probe + verify. A stale or wrong encoding cannot pass silently:
+    every consumer's DuckDB oracle recomputes its answer from the raw
+    parquet, and the code token in the salt rebuilds the store when
+    the encoding kernel changes."""
+    from .operators.ann import dataset_dir_key
+    from .operators.setjoin import encoded_sets, word_gram_sets
+    from .store import persisted_result
+
+    def build() -> DataFrame:
+        corpus = neardup_corpus(spark, sf_dir)
+        return encoded_sets(
+            word_gram_sets(corpus, WORD_NGRAM).filter(F.size("g") > 0)
+        )
+
+    return persisted_result(
+        spark,
+        f"ppjoin_encoded_{dataset_dir_key(sf_dir)}",
+        _ppjoin_store_fingerprint(sf_dir, "ppenc"),
+        build,
+    )
+
+
 def persisted_ppjoin_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-keyed store of the exact PPJoin pair set
     (id_a, id_b, jaccard) over word-3-gram sets of the synthetic
     near-dup corpus at PPJOIN_THRESHOLD — the truth table the audit
     queries consume (r6 verdict item 3: stop rebuilding the exact
     side per audit run). The salt folds in every derivation constant
-    (gram width, threshold, corpus-synthesis truncation), so changing
-    any of them — or the documents parquet — invalidates the store."""
-    from .io import table_path
-    from .operators.ann import dataset_dir_key, dataset_fingerprint
-    from .operators.setjoin import set_similarity_join, word_gram_sets
+    (gram width, threshold, corpus-synthesis truncation) and the
+    kernel code token, so changing any of them — or the documents
+    parquet — invalidates the store. The build reads the persisted
+    encoded corpus (same fingerprint scope), so a truth rebuild
+    re-encodes only when the encoding store is itself stale."""
+    from .operators.ann import dataset_dir_key
+    from .operators.setjoin import set_similarity_join_encoded
     from .store import persisted_result
 
-    salt = f"ppjoin:{WORD_NGRAM}:{PPJOIN_THRESHOLD}:trunc{NEARDUP_TRUNC}"
-    fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
-
     def build() -> DataFrame:
-        corpus = neardup_corpus(spark, sf_dir)
-        return set_similarity_join(
-            word_gram_sets(corpus, WORD_NGRAM), PPJOIN_THRESHOLD
+        return set_similarity_join_encoded(
+            persisted_ppjoin_encoded(spark, sf_dir), PPJOIN_THRESHOLD
         )
 
     return persisted_result(
-        spark, f"ppjoin_truth_{dataset_dir_key(sf_dir)}", fp, build
+        spark,
+        f"ppjoin_truth_{dataset_dir_key(sf_dir)}",
+        _ppjoin_store_fingerprint(sf_dir, "ppjoin"),
+        build,
     )
 
 
@@ -3788,13 +3838,17 @@ def persisted_cosine_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (id_a, id_b) over the embeddings table — the unblocked O(n²)
     truth side of q3_ann_lsh_join, test-scale only by design; at
     corpus scale the LSH join is the product path and this store is
-    how the audit's truth is amortized across runs."""
+    how the audit's truth is amortized across runs. The salt folds in
+    a code token of the dedup + vector-function kernels (r7 ADVICE
+    item 2), so a kernel change rebuilds the truth."""
+    from .functions import vector as _vector
     from .io import table_path
+    from .operators import dedup as _dedup
     from .operators.ann import dataset_dir_key, dataset_fingerprint
     from .operators.dedup import embedding_neardup_pairs
-    from .store import persisted_result
+    from .store import code_token, persisted_result
 
-    salt = f"cospairs:{ANN_JOIN_COS}"
+    salt = f"cospairs:{ANN_JOIN_COS}:{code_token(_dedup, _vector)}"
     fp = dataset_fingerprint(table_path(sf_dir, "embeddings"), salt=salt)
 
     def build() -> DataFrame:
@@ -4287,37 +4341,25 @@ def store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing that matters about a rewrite. File-count mechanics are
     pytest-asserted (tests/test_maintenance.py); content is
     driver-asserted here."""
-    import json as _json
     import os as _os
 
     from .functions.hashing import md5_int
     from .io import table_path
     from .operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
     from .operators.maintenance import compact_store, store_data_size
+    from .store import ensure_store_dir
 
     key = dataset_dir_key(sf_dir)
     base = _os.path.join(INDEX_ROOT, f"frag_{key}")
-    frag = _os.path.join(base, "data")
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt="frag32")
-    marker = _os.path.join(base, "meta.json")
-    ok = False
-    try:
-        with open(marker) as f:
-            ok = _json.load(f).get("fingerprint") == fp
-    except (OSError, ValueError):
-        ok = False
-    if not ok:
+
+    def _build_frag(d: str) -> None:
         docs = read_table(spark, sf_dir, "documents").select(
             "doc_id", "source", "text"
         )
-        _os.makedirs(base, exist_ok=True)
-        if _os.path.exists(marker):
-            _os.remove(marker)
-        docs.repartition(32).write.mode("overwrite").parquet(frag)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"fingerprint": fp}, f)
-        _os.replace(tmp, marker)
+        docs.repartition(32).write.mode("overwrite").parquet(d)
+
+    frag = ensure_store_dir(base, fp, _build_frag)
     total, _nf = store_data_size(frag)
     out_dir = _os.path.join(INDEX_ROOT, f"compacted_{key}", "data")
     compacted = compact_store(
@@ -4512,12 +4554,23 @@ def neardup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) is a driver hash mismatch. Filter bite at sf0.1: 49.99M
     doc pairs -> 735k prefix candidates -> 259k after the positional
     bound -> 6,008 verified (the fixture's 5,000 synthetic near-dups
-    + organic repeats)."""
-    from .operators.setjoin import set_similarity_join, word_gram_sets
+    + organic repeats).
 
-    corpus = neardup_corpus(spark, sf_dir)
-    gsets = word_gram_sets(corpus, WORD_NGRAM)
-    return set_similarity_join(gsets, PPJOIN_THRESHOLD)
+    Round 8 (r7 verdict item 3): the dictionary-encoded corpus comes
+    from the fingerprint-keyed store (persisted_ppjoin_encoded) — the
+    encode front end is a pure function of the corpus, built once per
+    corpus version; each run pays only the prefix probe + exact
+    verify. The oracle still computes the ALL-PAIRS truth from raw
+    parquet, so a stale/wrong encoding is a driver hash mismatch, and
+    the kernel code token in the store salt forces a rebuild whenever
+    the encoding code changes."""
+    from .caching import persist_tracked
+    from .operators.setjoin import set_similarity_join_encoded
+
+    # the store read feeds four consumers (prefix lhs/rhs + the two
+    # broadcast id tables); persist_tracked keeps it one parquet scan
+    enc = persist_tracked(persisted_ppjoin_encoded(spark, sf_dir))
+    return set_similarity_join_encoded(enc, PPJOIN_THRESHOLD)
 
 
 # ---------------- registry ----------------
