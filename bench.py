@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "scd2_customer_priority",
     "anomaly_mad",
+    "flagship_e1",
+    "store_consistency_gate",
+    "equidepth_by_range",
     "order_count_distribution",
     "large_order_customers",
     "top_supplier_revenue",

@@ -173,18 +173,22 @@ def _lang_case() -> str:
     return "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
 
 
-# chunker arithmetic shared by two queries
-_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
-
-
-def _chunks_cte(extra_cols: str = "") -> str:
+# chunker arithmetic shared by several queries; size/overlap default to
+# the suite constants (120/20) — flagship_e1 replays the reference's
+# 2000/100 defaults through the same CTE
+def _chunks_cte(
+    extra_cols: str = "",
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> str:
+    stride = size - overlap
     return f"""
   SELECT doc_id{extra_cols}, chunk_index::INT AS chunk_index,
-         substr(text, chunk_index * {_STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text
+         substr(text, chunk_index * {stride} + 1, {size}) AS chunk_text
   FROM (
     SELECT doc_id{extra_cols}, text,
-           unnest(range(0, CASE WHEN length(text) <= {CHUNK_SIZE} THEN 1
-                ELSE 1 + ((length(text) - {CHUNK_SIZE} + {_STRIDE - 1}) // {_STRIDE}) END)) AS chunk_index
+           unnest(range(0, CASE WHEN length(text) <= {size} THEN 1
+                ELSE 1 + ((length(text) - {size} + {stride - 1}) // {stride}) END)) AS chunk_index
     FROM documents)
 """
 
@@ -3006,6 +3010,75 @@ SELECT 'ship_on_or_after_order',
         WHERE l_shipdate < o_orderdate)::BIGINT,
        (SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate < o_orderdate) = 0 FROM n
+"""
+
+    # flagship E1 (round 8): the entry() chain — documents -> chunk at
+    # the reference's 2000/100 defaults -> deterministic embed ->
+    # stable ids -> source-filtered cosine top-10 — replayed end to
+    # end, so the one query the driver runs BY NAME is also
+    # hash-certified (r7 verdict item 2a). Same normalize/cosine
+    # arithmetic as the certified pipeline_vectors/rag_pipeline rows.
+    _fsrcs = ", ".join(f"'src{i}'" for i in range(10))
+    sql["flagship_e1"] = f"""
+WITH fchunks AS ({_chunks_cte(extra_cols=', source', size=2000, overlap=100)}),
+femb AS (
+  SELECT 'doc-' || doc_id || '-' || chunk_index AS id,
+         doc_id, chunk_index, source,
+         {_det_embed('chunk_text', EMBED_DIM)} AS rv
+  FROM fchunks
+  WHERE source IN ({_fsrcs})),
+fnv AS (
+  SELECT id, doc_id, chunk_index, source,
+         list_transform(rv, x -> x / n) AS v
+  FROM (SELECT *, sqrt(list_sum(list_transform(rv, x -> x * x))) AS n
+        FROM femb)),
+fq AS (SELECT {_vec_literal(det_embed_py(QUERY_TEXT, EMBED_DIM))} AS qv),
+scored AS (
+  SELECT id, doc_id, chunk_index, source, {_cos('v', 'fq.qv', EMBED_DIM)} AS s
+  FROM fnv CROSS JOIN fq)
+SELECT id, doc_id, chunk_index, source, round(s, 6) AS score
+FROM scored ORDER BY s DESC, id LIMIT 10
+"""
+
+    # store-contract gate (round 8): the oracle recomputes the stored
+    # payload digest from raw parquet and asserts every contract
+    # boolean TRUE + exactly 3 builds — a store serving stale or
+    # partial bytes, a cache miss, or a crash on the malformed marker
+    # all become hash mismatches
+    sql["store_consistency_gate"] = f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       SUM(doc_id)::BIGINT AS sum_ids,
+       SUM({_h24('text')})::BIGINT AS sum_text_hash,
+       TRUE AS built_once, TRUE AS cached_serve_identical,
+       TRUE AS salt_change_rebuilt, TRUE AS malformed_marker_rebuilt,
+       3::BIGINT AS builds_total
+FROM documents GROUP BY source
+"""
+
+    # equi-depth-by-range gate (round 8): exact percentiles + ntile
+    # bin bounds recomputed here; the Spark side's approx-cut and
+    # range-bin-balance gates are asserted TRUE
+    _eqps = ", ".join(repr(i / HIST_BINS) for i in range(1, HIST_BINS))
+    sql["equidepth_by_range"] = f"""
+WITH b AS (
+  SELECT value, ntile({HIST_BINS}) OVER (ORDER BY value, event_id) AS bin
+  FROM events),
+bounds AS (
+  SELECT bin, min(value) AS lo, max(value) AS hi FROM b GROUP BY bin),
+e AS (SELECT quantile_cont(value, [{_eqps}]) AS qs, count(*)::BIGINT AS n
+      FROM events),
+ranks AS (SELECT unnest(range(1, {HIST_BINS})) AS cut_rank)
+SELECT r.cut_rank::INT AS cut_rank,
+       round(e.qs[r.cut_rank::INT], 6) AS exact_cut,
+       round(bl.hi, 6) AS hi_below,
+       round(bu.lo, 6) AS lo_above,
+       TRUE AS approx_near_exact,
+       TRUE AS approx_separates_bins,
+       TRUE AS bins_balanced,
+       e.n AS n_rows
+FROM ranks r CROSS JOIN e
+JOIN bounds bl ON bl.bin = r.cut_rank
+JOIN bounds bu ON bu.bin = r.cut_rank + 1
 """
 
     return sql

@@ -4564,13 +4564,180 @@ def neardup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet, so a stale/wrong encoding is a driver hash mismatch, and
     the kernel code token in the store salt forces a rebuild whenever
     the encoding code changes."""
-    from .caching import persist_tracked
     from .operators.setjoin import set_similarity_join_encoded
 
-    # the store read feeds four consumers (prefix lhs/rhs + the two
-    # broadcast id tables); persist_tracked keeps it one parquet scan
-    enc = persist_tracked(persisted_ppjoin_encoded(spark, sf_dir))
+    # deliberately NOT persist_tracked: the store read feeds four
+    # consumers (prefix lhs/rhs + the two broadcast id tables), but
+    # the parquet scan is ~0.4 s at sf0.1 while forcing the cache to
+    # materialize BEFORE the broadcasts serializes the stage graph —
+    # measured 4.0 s cached vs 2.5 s re-scanned (min-of-3, quiet box)
+    enc = persisted_ppjoin_encoded(spark, sf_dir)
     return set_similarity_join_encoded(enc, PPJOIN_THRESHOLD)
+
+
+EQUIDEPTH_TOL = 0.10  # range-binned counts must sit within 10% of n/k
+
+
+def equidepth_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB equi-depth histogram path, correctness-gated against
+    value_histogram's contract (r7 verdict item 2c): cut points come
+    from approx_percentile (GK sketch — one aggregate scan, NO global
+    sort), the corpus is then binned BY RANGE against the 9 broadcast
+    cut literals, and three gates pin the swap to the exact ntile
+    derivation: (1) each approx cut within 2% of the exact
+    interpolated percentile, (2) each approx cut lands inside the two
+    ntile bins it must separate (GK rank error n/1000 << bin width
+    n/10, so this cannot flake), (3) every range-binned count within
+    10% of the perfect n/k. One row per cut with the exact percentile
+    and the ntile bin bounds (both DuckDB-recomputable) plus the gate
+    booleans the oracle asserts TRUE.
+
+    The exact ntile side is the TEST-SCALE contract gate (same class
+    as value_histogram itself — the docstring there owns the global
+    window); the approx+range side is the product path at scale. The
+    driver-side collects are all bounded: one 1-row aggregate, k bin
+    bounds, k bin counts — the IVF-centroid class of collect."""
+    ev = read_table(spark, sf_dir, "events").select("value", "event_id")
+    k = HIST_BINS
+    ps = [i / k for i in range(1, k)]
+    plist = ", ".join(repr(p) for p in ps)
+    agg = ev.agg(
+        F.expr(f"percentile(value, array({plist}))").alias("ecuts"),
+        F.expr(f"approx_percentile(value, array({plist}), 1000)").alias(
+            "acuts"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    row = agg.collect()[0]
+    ecuts = [float(x) for x in row["ecuts"]]
+    acuts = [float(x) for x in row["acuts"]]
+    n_rows = int(row["n_rows"])
+    spread = float(row["vmax"]) - float(row["vmin"])
+
+    w = Window.orderBy("value", "event_id")
+    bounds = (
+        ev.select("value", F.ntile(k).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    b = {int(r["bin"]): (float(r["lo"]), float(r["hi"])) for r in bounds.collect()}
+
+    # the product path: range-bin by the broadcast approx cuts (rows
+    # equal to a cut fall in the lower bin — deterministic)
+    acut_arr = F.array(*[F.lit(c) for c in acuts])
+    counts = {
+        int(r["bin"]): int(r["n"])
+        for r in ev.select(
+            (
+                F.size(F.filter(acut_arr, lambda c: c < F.col("value")))
+                + F.lit(1)
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ideal = n_rows / k
+    balanced = (
+        len(counts) == k
+        and max(counts.values()) <= (1.0 + EQUIDEPTH_TOL) * ideal
+        and min(counts.values()) >= (1.0 - EQUIDEPTH_TOL) * ideal
+    )
+
+    out = []
+    for i in range(1, k):
+        near = abs(acuts[i - 1] - ecuts[i - 1]) <= 0.02 * spread
+        separates = b[i][0] <= acuts[i - 1] <= b[i + 1][1]
+        out.append(
+            (
+                i,
+                round(ecuts[i - 1], 6),
+                round(b[i][1], 6),
+                round(b[i + 1][0], 6),
+                bool(near),
+                bool(separates),
+                bool(balanced),
+                n_rows,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "cut_rank int, exact_cut double, hi_below double, lo_above double,"
+        " approx_near_exact boolean, approx_separates_bins boolean,"
+        " bins_balanced boolean, n_rows long",
+    )
+
+
+def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified gate for the persisted-store contract
+    (store.persisted_result — r7 verdict item 2b: the pytest contract
+    in tests/test_store.py, made driver-visible as an oracle row).
+    Starting from a wiped store dir, the sequence must observe:
+    build-once (1 build), serve-from-cache with identical content
+    (still 1), rebuild on a fingerprint-salt change with identical
+    content (2 — the result is a pure function of the data, so a
+    rebuild is bit-identical), and rebuild — not crash — on a
+    malformed marker that is valid JSON but not an object, the exact
+    r7 ADVICE case (3). The payload is a per-source digest of the
+    documents table; the DuckDB oracle recomputes the digest from raw
+    parquet and asserts every gate boolean TRUE and builds_total=3,
+    so a store serving stale/partial bytes is a hash mismatch."""
+    import os as _os
+    import shutil as _shutil
+
+    from .functions.hashing import md5_int
+    from .io import table_path
+    from .operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
+    from .store import persisted_result
+
+    name = f"consistency_gate_{dataset_dir_key(sf_dir)}"
+    base = _os.path.join(INDEX_ROOT, name)
+    _shutil.rmtree(base, ignore_errors=True)  # deterministic build count
+
+    calls = {"n": 0}
+
+    def build() -> DataFrame:
+        calls["n"] += 1
+        docs = read_table(spark, sf_dir, "documents")
+        return docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum(md5_int(F.col("text"))).alias("sum_text_hash"),
+        )
+
+    def snap(df: DataFrame) -> list:
+        return sorted(map(tuple, df.collect()))
+
+    fp_a = dataset_fingerprint(table_path(sf_dir, "documents"), salt="gate:A")
+    fp_b = dataset_fingerprint(table_path(sf_dir, "documents"), salt="gate:B")
+
+    s1 = snap(persisted_result(spark, name, fp_a, build))
+    built_once = calls["n"] == 1
+    s2 = snap(persisted_result(spark, name, fp_a, build))
+    cached_serve_identical = calls["n"] == 1 and s2 == s1
+    s3 = snap(persisted_result(spark, name, fp_b, build))
+    salt_change_rebuilt = calls["n"] == 2 and s3 == s1
+    # valid JSON, not an object — must fall through to rebuild
+    with open(_os.path.join(base, "meta.json"), "w") as f:
+        f.write("[1]")
+    final = persisted_result(spark, name, fp_b, build)
+    malformed_marker_rebuilt = calls["n"] == 3 and snap(final) == s1
+
+    return final.select(
+        "source",
+        "n_docs",
+        "sum_ids",
+        "sum_text_hash",
+        F.lit(bool(built_once)).alias("built_once"),
+        F.lit(bool(cached_serve_identical)).alias("cached_serve_identical"),
+        F.lit(bool(salt_change_rebuilt)).alias("salt_change_rebuilt"),
+        F.lit(bool(malformed_marker_rebuilt)).alias(
+            "malformed_marker_rebuilt"
+        ),
+        F.lit(calls["n"]).cast("long").alias("builds_total"),
+    )
 
 
 # ---------------- registry ----------------
@@ -4579,29 +4746,131 @@ def neardup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only the first ~50 entries). Rotation policy, set round 4, arithmetic
 # corrected round 5: queries NEW or CHANGED this round always run
 # first, then the queries whose last driver certification is oldest.
-# At 143 queries / 50 slots the guaranteed staleness bound is
-# ceil(143/50) = 3 rounds — three consecutive CORRECTNESS files
-# jointly cover the whole registry; the round-4 header's "2 rounds"
-# claim was arithmetically impossible and is retired.
+# At 146 queries / 50 slots the guaranteed staleness bound is
+# ceil(146/50) = 3 rounds - three consecutive CORRECTNESS files
+# jointly cover the whole registry.
 #
-# Round-7 front (executes VERDICT r6 item 1 exactly): the 3 queries
-# CHANGED this round (lsh_exact_audit + q3_ann_lsh_join now read
-# fingerprint-keyed truth stores and the LSH join got real buckets;
-# neardup_ppjoin's dictionary ids are order-functional), then the 45
-# remaining round-4-certified rows (semantic_dedup ... segment_dedup —
-# exactly 3 rounds stale, the rotation bound), then 2 head entries of
-# the round-5-certified block = exactly 50. After the front: the rest
-# of the round-5-certified block (its 45 remaining rows are the
-# natural round-8 front), then the round-6-certified block (newest
-# certifications) last.
+# Round-8 front (executes VERDICT r7 items 1-3 exactly): the 3 queries
+# CHANGED this round (the PPJoin trio: encoded-corpus store + kernel
+# code tokens in every truth-store salt), the 3 NEW oracle rows
+# (flagship_e1, store_consistency_gate, equidepth_by_range - the
+# first new-query headroom since round 5), dedup_pipeline (its
+# persisted_groups store migrated onto store.persisted_result), then
+# the 43 remaining round-5-certified rows (exactly 3 rounds stale, the
+# rotation bound) = exactly 50. The round-8 store-protocol
+# consolidation also touched plumbing under queries certified in
+# r6/r7 whose slots don't fit this front (signature/code stores);
+# those are covered by the full local sf0.01 oracle sweep recorded in
+# NOTES_r8.md and rotate into the r9/r10 fronts on schedule. After
+# the front: the round-6-certified block (the natural round-9 front),
+# then the round-7-certified block.
 QUERIES = {
-    # --- changed in round 7 (audit truth stores + LSH bucket fix;
-    # PPJoin order-functional dictionary ids) ---
+    # --- changed in round 8 (store-backed PPJoin encoding; code-token
+    # salts on both audit truth stores; persisted_groups migration) ---
+    "neardup_ppjoin": neardup_ppjoin,
     "lsh_exact_audit": lsh_exact_audit,
     "q3_ann_lsh_join": q3_ann_lsh_join,
-    "neardup_ppjoin": neardup_ppjoin,
-    # --- driver-green round 4 (3 rounds stale; re-certify now — the
-    # prescribed round-7 front, VERDICT r6 item 1) ---
+    "dedup_pipeline": dedup_pipeline,
+    # --- new in round 8 (r7 verdict item 2) ---
+    "flagship_e1": flagship,
+    "store_consistency_gate": store_consistency_gate,
+    "equidepth_by_range": equidepth_by_range,
+    # --- driver-green round 5 (3 rounds stale; re-certify now - the
+    # prescribed round-8 front, VERDICT r7 item 1) ---
+    "acctbal_window_stats": acctbal_window_stats,
+    "min_cost_supplier": min_cost_supplier,
+    "priority_order_counts": priority_order_counts,
+    "nation_pair_volume": nation_pair_volume,
+    "market_share": market_share,
+    "product_profit": product_profit,
+    "important_parts": important_parts,
+    "shipmode_priority": shipmode_priority,
+    "promo_revenue_pct": promo_revenue_pct,
+    "supplier_part_counts": supplier_part_counts,
+    "small_qty_revenue": small_qty_revenue,
+    "disjunctive_revenue": disjunctive_revenue,
+    "excess_volume_suppliers": excess_volume_suppliers,
+    "waiting_suppliers": waiting_suppliers,
+    "idle_rich_customers": idle_rich_customers,
+    "bpe_merges": bpe_merges,
+    "dsir_select": dsir_select,
+    "datasketch_gates": datasketch_gates,
+    "stream_upsert_store": stream_upsert_store,
+    "events_gapfill": events_gapfill,
+    "profile_lineitem": profile_lineitem,
+    "quality_gates": quality_gates,
+    "dataset_split": dataset_split,
+    "split_leakage": split_leakage,
+    "bpe_encode": bpe_encode,
+    "retrieval_eval": retrieval_eval,
+    "store_compaction": store_compaction,
+    "mv_incremental_refresh": mv_incremental_refresh,
+    "store_clustering": store_clustering,
+    "supplier_pagerank": supplier_pagerank,
+    "pit_priority_revenue": pit_priority_revenue,
+    "mmr_diversified_topk": mmr_diversified_topk,
+    "stream_mv_refresh": stream_mv_refresh,
+    "store_zorder": store_zorder,
+    "entity_resolution": entity_resolution,
+    "weighted_sample": weighted_sample,
+    "rag_pipeline": rag_pipeline,
+    "heavy_hitters_events": heavy_hitters_events,
+    "lineitem_skew_report": lineitem_skew_report,
+    "value_histogram": value_histogram,
+    "impute_event_values": impute_event_values,
+    "q3_ann_append": q3_ann_append,
+    "rolling_distinct_users": rolling_distinct_users,
+    # --- driver-green round 6 (the natural round-9 front) ---
+    "snapshot_diff": snapshot_diff,
+    "rolling_fingerprint": rolling_fingerprint,
+    "chunker_separator": chunker_separator,
+    "q3_ann_recall": q3_ann_recall,
+    "media_pipeline": media_pipeline,
+    "video_frame_sample": video_frame_sample,
+    "clicks_before_purchase": clicks_before_purchase,
+    "clicks_in_purchase_window": clicks_in_purchase_window,
+    "cube_pricing": cube_pricing,
+    "session_windows_native": session_windows_native,
+    "pii_scrub": pii_scrub,
+    "pack_sequences": pack_sequences_q,
+    "contamination_check": contamination_check,
+    "stream_session_windows": stream_session_windows,
+    "embed_quantize": embed_quantize,
+    "approx_percentiles_gate": approx_percentiles_gate,
+    "stream_clicks_purchases": stream_clicks_purchases,
+    "chunker_udtf": chunker_udtf,
+    "udaf_median_acctbal": udaf_median_acctbal,
+    "q1_cosine_topk": q1_cosine_topk,
+    "q2_knn_join": q2_knn_join,
+    "q4_filtered_topk": q4_filtered_topk,
+    "q5_fetch_by_ids": q5_fetch_by_ids,
+    "q5_delete_by_ids": q5_delete_by_ids,
+    "chunker_stride": chunker_stride,
+    "chunk_metadata": chunk_metadata,
+    "pipeline_vectors": pipeline_vectors,
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "corpus_stats": corpus_stats,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "neardup_minhash": neardup_minhash,
+    "neardup_groups": neardup_groups,
+    "neardup_simhash": neardup_simhash,
+    "neardup_jaccard": neardup_jaccard,
+    "token_counts": token_counts,
+    "vocab_top_tokens": vocab_top_tokens,
+    "tfidf_top_terms": tfidf_top_terms,
+    "sample_docs_hash": sample_docs_hash,
+    "approx_distinct_parts": approx_distinct_parts,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "revenue_by_nation": revenue_by_nation,
+    "lm_bigram_quality": lm_bigram_quality,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
+    "scd2_customer_priority": scd2_customer_priority,
+    "anomaly_mad": anomaly_mad,
+    # --- driver-green round 7 (newest certifications) ---
     "semantic_dedup": semantic_dedup,
     "large_order_customers": large_order_customers,
     "top_supplier_revenue": top_supplier_revenue,
@@ -4647,102 +4916,8 @@ QUERIES = {
     "percentiles_acctbal": percentiles_acctbal,
     "events_json_props": events_json_props,
     "segment_dedup": segment_dedup,
-    # --- round-5-certified block (oldest-first fillers, then rest) ---
     "rolling_distinct_users_sketch": rolling_distinct_users_sketch,
     "order_count_distribution": order_count_distribution,
-    "acctbal_window_stats": acctbal_window_stats,
-    "min_cost_supplier": min_cost_supplier,
-    "priority_order_counts": priority_order_counts,
-    "nation_pair_volume": nation_pair_volume,
-    "market_share": market_share,
-    "product_profit": product_profit,
-    "important_parts": important_parts,
-    "shipmode_priority": shipmode_priority,
-    "promo_revenue_pct": promo_revenue_pct,
-    "supplier_part_counts": supplier_part_counts,
-    "small_qty_revenue": small_qty_revenue,
-    "disjunctive_revenue": disjunctive_revenue,
-    "excess_volume_suppliers": excess_volume_suppliers,
-    "waiting_suppliers": waiting_suppliers,
-    "idle_rich_customers": idle_rich_customers,
-    "bpe_merges": bpe_merges,
-    "dsir_select": dsir_select,
-    "datasketch_gates": datasketch_gates,
-    "stream_upsert_store": stream_upsert_store,
-    "events_gapfill": events_gapfill,
-    "profile_lineitem": profile_lineitem,
-    "quality_gates": quality_gates,
-    "dataset_split": dataset_split,
-    "split_leakage": split_leakage,
-    "bpe_encode": bpe_encode,
-    "retrieval_eval": retrieval_eval,
-    "store_compaction": store_compaction,
-    "mv_incremental_refresh": mv_incremental_refresh,
-    "store_clustering": store_clustering,
-    "supplier_pagerank": supplier_pagerank,
-    "pit_priority_revenue": pit_priority_revenue,
-    "mmr_diversified_topk": mmr_diversified_topk,
-    "stream_mv_refresh": stream_mv_refresh,
-    "store_zorder": store_zorder,
-    "entity_resolution": entity_resolution,
-    "weighted_sample": weighted_sample,
-    "rag_pipeline": rag_pipeline,
-    "heavy_hitters_events": heavy_hitters_events,
-    "lineitem_skew_report": lineitem_skew_report,
-    "value_histogram": value_histogram,
-    "impute_event_values": impute_event_values,
-    "q3_ann_append": q3_ann_append,
-    "rolling_distinct_users": rolling_distinct_users,
-    # --- driver-green round 6 (newest certifications) ---
-    "snapshot_diff": snapshot_diff,
-    "rolling_fingerprint": rolling_fingerprint,
-    "chunker_separator": chunker_separator,
-    "q3_ann_recall": q3_ann_recall,
-    "media_pipeline": media_pipeline,
-    "video_frame_sample": video_frame_sample,
-    "clicks_before_purchase": clicks_before_purchase,
-    "clicks_in_purchase_window": clicks_in_purchase_window,
-    "cube_pricing": cube_pricing,
-    "session_windows_native": session_windows_native,
-    "pii_scrub": pii_scrub,
-    "pack_sequences": pack_sequences_q,
-    "contamination_check": contamination_check,
-    "stream_session_windows": stream_session_windows,
-    "embed_quantize": embed_quantize,
-    "dedup_pipeline": dedup_pipeline,
-    "approx_percentiles_gate": approx_percentiles_gate,
-    "stream_clicks_purchases": stream_clicks_purchases,
-    "chunker_udtf": chunker_udtf,
-    "udaf_median_acctbal": udaf_median_acctbal,
-    "q1_cosine_topk": q1_cosine_topk,
-    "q2_knn_join": q2_knn_join,
-    "q4_filtered_topk": q4_filtered_topk,
-    "q5_fetch_by_ids": q5_fetch_by_ids,
-    "q5_delete_by_ids": q5_delete_by_ids,
-    "chunker_stride": chunker_stride,
-    "chunk_metadata": chunk_metadata,
-    "pipeline_vectors": pipeline_vectors,
-    "text_stats": text_stats,
-    "lang_id": lang_id,
-    "corpus_stats": corpus_stats,
-    "doc_fingerprints": doc_fingerprints,
-    "dedup_exact": dedup_exact,
-    "minhash_signatures": minhash_signatures,
-    "neardup_minhash": neardup_minhash,
-    "neardup_groups": neardup_groups,
-    "neardup_simhash": neardup_simhash,
-    "neardup_jaccard": neardup_jaccard,
-    "token_counts": token_counts,
-    "vocab_top_tokens": vocab_top_tokens,
-    "tfidf_top_terms": tfidf_top_terms,
-    "sample_docs_hash": sample_docs_hash,
-    "approx_distinct_parts": approx_distinct_parts,
-    "tpch_q1_pricing": tpch_q1_pricing,
-    "revenue_by_nation": revenue_by_nation,
-    "lm_bigram_quality": lm_bigram_quality,
-    "funnel_conversion": funnel_conversion,
-    "retention_cohorts": retention_cohorts,
-    "scd2_customer_priority": scd2_customer_priority,
-    "anomaly_mad": anomaly_mad,
 }
+
 
