@@ -76,3 +76,56 @@ def test_corrupt_marker_rebuilds(spark, store_name):
     assert out.count() == 1
     with open(marker) as f:
         assert json.load(f)["fingerprint"] == "fp1"
+
+
+def test_non_object_json_marker_rebuilds(spark, store_name):
+    """r7 ADVICE item 1: a marker that is VALID JSON but not an object
+    ('[1]', '"x"') must fall through to rebuild, not crash the caller
+    with AttributeError."""
+    calls = []
+    build = _counting_build(spark, calls, [(1, "a")])
+    persisted_result(spark, store_name, "fp1", build)
+    marker = os.path.join(INDEX_ROOT, store_name, "meta.json")
+    for bad in ("[1]", '"x"', "null", "3"):
+        with open(marker, "w") as f:
+            f.write(bad)
+        out = persisted_result(spark, store_name, "fp1", build)
+        assert out.count() == 1
+    assert len(calls) == 5  # 1 initial + one rebuild per bad marker
+    with open(marker) as f:
+        assert json.load(f)["fingerprint"] == "fp1"
+
+
+def test_code_token_tracks_kernel_source():
+    """r7 ADVICE item 2: the code token is a pure function of the
+    target's SOURCE — same inputs, same token; different function,
+    different token — so folding it into a store salt invalidates the
+    store exactly when the kernel changes."""
+    from pdf_using_hugging_face_and_vector_database_spark import store as st
+    from pdf_using_hugging_face_and_vector_database_spark.operators import (
+        setjoin,
+    )
+
+    t1 = st.code_token(setjoin)
+    assert t1 == st.code_token(setjoin)  # deterministic
+    assert t1 != st.code_token(st)  # different source, different token
+    assert (
+        st.code_token(setjoin, st) != t1
+    )  # composition covers every named module
+    assert len(t1) == 12
+
+
+def test_read_marker_contract(tmp_path):
+    from pdf_using_hugging_face_and_vector_database_spark.store import (
+        read_marker,
+        write_marker_atomic,
+    )
+
+    marker = str(tmp_path / "meta.json")
+    assert read_marker(marker) == {}  # missing
+    write_marker_atomic(marker, {"fingerprint": "x", "k": 1})
+    assert read_marker(marker) == {"fingerprint": "x", "k": 1}
+    for bad in ("{oops", "[1]", '"s"', ""):
+        with open(marker, "w") as f:
+            f.write(bad)
+        assert read_marker(marker) == {}
