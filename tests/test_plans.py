@@ -458,3 +458,15 @@ def test_rolling_sketch_is_preagg_then_single_window(spark, sf_dir):
     assert len(schemas) == 1
     cols = re.findall(r"(\w+):", schemas[0])
     assert "ts" in cols and "value" not in cols and len(cols) <= 3
+
+
+def test_flagship_e1_plan_shape(spark, sf_dir):
+    """The E1 chain (flagship_e1, r8): the source predicate must reach
+    the documents scan BELOW the chunk posexplode, the whole
+    chunk->embed->score pipeline must stay shuffle-free (per-row maps
+    only), and the final top-10 must lower to TakeOrderedAndProject —
+    zero Exchanges end to end, the plan that survives a 100 TB corpus."""
+    df = Q.flagship(spark, sf_dir)
+    assert has_pushed_filters(df, "source")
+    assert has_take_ordered(df)
+    assert count_shuffles(df) == 0, formatted_plan(df)
