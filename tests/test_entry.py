@@ -47,7 +47,8 @@ POOL_SAFE = {
     "cube_pricing", "customer_segments", "dataset_split",
     "datasketch_gates", "dedup_exact", "disjunctive_revenue",
     "distinct_parts_per_supplier", "doc_fingerprints", "dsir_select",
-    "embed_quantize", "entity_resolution", "events_gapfill",
+    "embed_quantize", "entity_resolution", "equidepth_by_range",
+    "events_gapfill", "flagship_e1",
     "events_hourly", "events_json_props", "excess_volume_suppliers",
     "funnel_conversion", "gopher_quality", "grouping_sets_pricing",
     "heavy_hitters_events", "hybrid_search_rrf", "idle_rich_customers",
