@@ -21,15 +21,18 @@ two-phase sentinel-fingerprint commit, `operators/ann.py`) through
 the low-level :func:`read_marker` / :func:`write_marker_atomic`
 primitives, keeping its richer protocol but not its own marker I/O.
 
-Crash-safe ordering: data is written first, the marker file LAST via
-atomic rename — a killed build leaves a store that simply fails the
-fingerprint check and rebuilds. A stale store (source parquet
-changed, a derivation constant folded into the caller's fingerprint
-salt changed, or — via :func:`code_token` — the derivation kernel's
-own source changed) is detected the same way. A malformed or
-non-object marker (r7 ADVICE: a marker containing valid JSON that is
-not a dict, e.g. ``[1]``) also falls through to rebuild instead of
-crashing the caller.
+Crash-safe ordering: data is written first — into a VERSIONED dir
+per fingerprint — and the marker flips to the new version atomically
+LAST, so a killed build leaves the previous version untouched and
+servable while the stale fingerprint forces a rebuild, and a reader
+racing a rebuild sees either complete version, never a
+half-overwritten dir (see :func:`ensure_store_dir`). A stale store
+(source parquet changed, a derivation constant folded into the
+caller's fingerprint salt changed, or — via :func:`code_token` — the
+derivation kernel's own source changed) is detected the same way. A
+malformed or non-object marker (r7 ADVICE: a marker containing valid
+JSON that is not a dict, e.g. ``[1]``) also falls through to rebuild
+instead of crashing the caller.
 
 Because every stored result is a pure function of its inputs,
 cached-vs-fresh is bit-identical — DuckDB oracle rows that recompute
@@ -90,20 +93,51 @@ def write_marker_atomic(marker: str, meta: dict) -> None:
 
 
 def ensure_store_dir(base_dir: str, fingerprint: str, build) -> str:
-    """Path-shaped store core: returns ``base_dir/data``, calling
+    """Path-shaped store core with VERSIONED data dirs (round 8):
+    each build writes into ``base_dir/data_<fp-hash>`` and the marker
+    flips to the new version atomically LAST, so
+
+    - a crash mid-build leaves the previous marker + previous complete
+      version fully servable (nothing was overwritten in place), and
+      the stale fingerprint forces a rebuild on the next call;
+    - a reader racing a rebuild sees either the old complete version
+      or the new complete version, never a half-overwritten dir — the
+      in-place ``overwrite`` the pre-r8 stores used had exactly that
+      window.
+
+    The immediately superseded version is RETAINED (a reader that
+    resolved the old marker may still be scanning it); anything older
+    is garbage-collected on the next flip. Concurrent builders of the
+    SAME fingerprint are the caller's job-scheduling problem (the
+    same single-writer assumption as any non-transactional bulk
+    load); a production deployment would add time-based version
+    retention instead of keep-2.
+
+    Returns the data dir for ``fingerprint``, calling
     ``build(data_dir)`` only when the marker is missing, malformed,
-    or carries a different fingerprint. The marker is removed BEFORE
-    the build and committed atomically after it, so a crash mid-build
-    rebuilds on the next call."""
+    or carries a different fingerprint."""
+    import hashlib as _hashlib
+    import shutil as _shutil
+
     marker = os.path.join(base_dir, "meta.json")
-    data_dir = os.path.join(base_dir, "data")
-    if read_marker(marker).get("fingerprint") == fingerprint:
-        return data_dir
+    meta = read_marker(marker)
+    if meta.get("fingerprint") == fingerprint:
+        # "data" is the pre-versioning layout — old stores keep serving
+        return os.path.join(base_dir, meta.get("data", "data"))
+    prev = meta.get("data", "data")
+    vdir = "data_" + _hashlib.sha256(fingerprint.encode()).hexdigest()[:10]
+    data_dir = os.path.join(base_dir, vdir)
     os.makedirs(base_dir, exist_ok=True)
-    if os.path.exists(marker):
-        os.remove(marker)
     build(data_dir)
-    write_marker_atomic(marker, {"fingerprint": fingerprint})
+    write_marker_atomic(marker, {"fingerprint": fingerprint, "data": vdir})
+    for d in os.listdir(base_dir):
+        full = os.path.join(base_dir, d)
+        if (
+            d.startswith("data")
+            and d not in (vdir, prev)
+            and os.path.isdir(full)
+        ):
+            _shutil.rmtree(full, ignore_errors=True)
     return data_dir
 
 

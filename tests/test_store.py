@@ -129,3 +129,52 @@ def test_read_marker_contract(tmp_path):
         with open(marker, "w") as f:
             f.write(bad)
         assert read_marker(marker) == {}
+
+
+def test_versioned_rebuild_retains_predecessor(spark, store_name):
+    """r8 versioned layout: a fingerprint change builds a NEW data dir
+    and flips the marker atomically; the immediately superseded
+    version is retained (a racing reader may still be scanning it);
+    a third version garbage-collects the first."""
+    calls = []
+    build = _counting_build(spark, calls, [(1, "a")])
+    base = os.path.join(INDEX_ROOT, store_name)
+
+    def data_dirs():
+        return sorted(
+            d for d in os.listdir(base)
+            if d.startswith("data") and os.path.isdir(os.path.join(base, d))
+        )
+
+    persisted_result(spark, store_name, "fp1", build)
+    v1 = data_dirs()
+    assert len(v1) == 1
+    persisted_result(spark, store_name, "fp2", build)
+    v2 = data_dirs()
+    assert len(v2) == 2 and set(v1) < set(v2)  # predecessor retained
+    with open(os.path.join(base, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["fingerprint"] == "fp2"
+    assert meta["data"] in v2 and meta["data"] not in v1
+    # reader of the OLD version is undisturbed by the flip
+    old_df = spark.read.parquet(os.path.join(base, v1[0]))
+    assert old_df.count() == 1
+    persisted_result(spark, store_name, "fp3", build)
+    v3 = data_dirs()
+    assert len(v3) == 2 and v1[0] not in v3  # oldest GC'd
+    assert len(calls) == 3
+
+
+def test_legacy_unversioned_store_keeps_serving(spark, store_name):
+    """A pre-r8 store (payload in 'data', marker without the 'data'
+    key) must keep serving without a rebuild."""
+    base = os.path.join(INDEX_ROOT, store_name)
+    legacy = os.path.join(base, "data")
+    spark.createDataFrame([(7, "z")], "k long, v string").write.parquet(legacy)
+    os.makedirs(base, exist_ok=True)
+    with open(os.path.join(base, "meta.json"), "w") as f:
+        json.dump({"fingerprint": "fpL"}, f)
+    calls = []
+    build = _counting_build(spark, calls, [(1, "a")])
+    out = persisted_result(spark, store_name, "fpL", build)
+    assert calls == [] and [(r.k, r.v) for r in out.collect()] == [(7, "z")]
