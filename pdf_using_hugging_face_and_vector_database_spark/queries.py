@@ -3386,16 +3386,41 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def persisted_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-keyed store of the learned BPE merge table — the
+    exact production shape: a tokenizer is TRAINED once per corpus
+    version and every encode job reuses the rules (round 8; the same
+    build/probe split as the groups/signature/code stores). The salt
+    folds in the merge budget + a code token of the trainer module,
+    and the consumers' DuckDB oracles replay the full learning chain
+    from raw parquet, so a stale or wrong stored table is a driver
+    hash mismatch."""
+    from .io import table_path
+    from .operators import text_analysis as _ta
+    from .operators.ann import dataset_dir_key, dataset_fingerprint
+    from .store import code_token, persisted_result
+
+    salt = f"bpe:{BPE_N_MERGES}:{code_token(_ta)}"
+    fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
+
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        return _ta.bpe_merge_table(docs, n_merges=BPE_N_MERGES)
+
+    return persisted_result(
+        spark, f"bpe_merges_{dataset_dir_key(sf_dir)}", fp, build
+    )
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training at corpus scale: the first K BPE merge
     rules (operators/text_analysis.bpe_merge_table — corpus scanned
     once into the word histogram; every merge round is
-    histogram-scale). Oracle replays the identical replace chain in
-    DuckDB."""
-    from .operators.text_analysis import bpe_merge_table
-
-    docs = read_table(spark, sf_dir, "documents")
-    return bpe_merge_table(docs, n_merges=BPE_N_MERGES)
+    histogram-scale). Served from the persisted tokenizer store
+    (persisted_bpe_merges, r8); the oracle replays the identical
+    learning chain in DuckDB from raw parquet, gating the STORED
+    rules bit-for-bit."""
+    return persisted_bpe_merges(spark, sf_dir)
 
 
 MMR_K = 10
@@ -4442,8 +4467,11 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (vocabulary-scale) and join back to the corpus by word. Per
     doc: word/token/base-symbol counts + compression ratio. The
     DuckDB oracle replays BOTH halves from scratch: the full learning
-    chain and the word-level encode join."""
-    from .operators.text_analysis import bpe_apply, bpe_merge_table
+    chain and the word-level encode join. Round 8: the rules come
+    from the persisted tokenizer store (persisted_bpe_merges) — the
+    production encode job never re-trains; the from-scratch oracle
+    replay gates the stored rules through this query too."""
+    from .operators.text_analysis import bpe_apply
 
     docs = read_table(spark, sf_dir, "documents")
     # K learned rules: a driver-side literal list by construction
@@ -4451,7 +4479,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small; the corpus never is)
     rules = [
         (r["lhs"], r["rhs"])
-        for r in bpe_merge_table(docs, n_merges=BPE_N_MERGES)
+        for r in persisted_bpe_merges(spark, sf_dir)
         .orderBy("merge_rank")
         .collect()
     ]

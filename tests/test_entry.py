@@ -40,7 +40,7 @@ def test_oracle_keys_subset_of_queries():
 POOL_SAFE = {
     "above_avg_customers", "acctbal_window_stats", "anomaly_mad",
     "approx_distinct_parts", "approx_percentiles_gate",
-    "asof_join_events", "bpe_encode", "bpe_merges", "chunk_metadata",
+    "asof_join_events", "chunk_metadata",
     "chunker_separator", "chunker_stride", "chunker_udtf",
     "clicks_before_purchase", "clicks_in_purchase_window",
     "contamination_check", "corpus_stats", "crossdoc_spans",
