@@ -270,3 +270,30 @@ def test_property_encoded_ids_match_python_reference(spark):
         eid = {e: i for i, e in enumerate(order)}
         want = {d: sorted(eid[e] for e in els) for d, els in rows}
         assert got == want
+
+
+def test_encoded_sets_nonnumeric_shuffle_conf(spark, monkeypatch):
+    """r7 ADVICE item 4: a non-numeric spark.sql.shuffle.partitions
+    (e.g. "auto" on vendored distros) must fall back to
+    defaultParallelism instead of breaking every PPJoin query. Stock
+    Spark 4 rejects such values at conf.set, so the hostile value is
+    injected at the RuntimeConfig.get seam the operator reads."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.setjoin import (
+        encoded_sets,
+    )
+
+    real_get = RuntimeConfig.get
+
+    def fake_get(self, key, *args, **kwargs):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        # pass the default through untouched — pyspark uses a _NoValue
+        # sentinel, so forcing default=None would change semantics
+        return real_get(self, key, *args, **kwargs)
+
+    monkeypatch.setattr(RuntimeConfig, "get", fake_get)
+    rows = [(i, [f"e{i}", "shared"]) for i in range(6)]
+    enc = encoded_sets(spark.createDataFrame(rows, SCHEMA))
+    assert enc.count() == 6
