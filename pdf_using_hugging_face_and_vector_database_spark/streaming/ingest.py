@@ -16,7 +16,6 @@ by construction.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
@@ -45,16 +44,13 @@ def pdf_landing_dir(spark, sf_dir: str) -> str:
     from ..operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
     from ..sources.pdf_text import make_pdf
 
+    from ..store import read_marker, write_marker_atomic
+
     path = os.path.join(INDEX_ROOT, f"pdf_landing_{dataset_dir_key(sf_dir)}")
     salt = f"pdf:{PDF_INGEST_DOCS}:{PDF_PAGE_CHARS}"
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
     marker = os.path.join(path, "meta.json")
-    ok = False
-    try:
-        with open(marker) as f:
-            ok = json.load(f).get("fingerprint") == fp
-    except (OSError, ValueError):
-        ok = False
+    ok = read_marker(marker).get("fingerprint") == fp
     landing = os.path.join(path, "landing")
     if not ok:
         docs = (
@@ -79,10 +75,7 @@ def pdf_landing_dir(spark, sf_dir: str) -> str:
                 os.path.join(landing, f"doc_{r['doc_id']:06d}.pdf"), "wb"
             ) as fh:
                 fh.write(blob)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"fingerprint": fp, "salt": salt}, fh)
-        os.replace(tmp, marker)
+        write_marker_atomic(marker, {"fingerprint": fp, "salt": salt})
     return landing
 
 

@@ -143,14 +143,11 @@ def streamed_mv_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(INDEX_ROOT, f"mv_stream_{dataset_dir_key(sf_dir)}")
     salt = "mv_stream:v1"
     fp = dataset_fingerprint(table_path(sf_dir, "orders"), salt=salt)
+    from ..store import read_marker, write_marker_atomic
+
     marker = os.path.join(root, "meta.json")
     store = os.path.join(root, "store")
-    ok = False
-    try:
-        with open(marker) as f:
-            ok = json.load(f).get("fingerprint") == fp
-    except (OSError, ValueError):
-        ok = False
+    ok = read_marker(marker).get("fingerprint") == fp
     if not (ok and os.path.isdir(store)):
         if os.path.isdir(root):
             shutil.rmtree(root)
@@ -178,10 +175,7 @@ def streamed_mv_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(root, "ckpt"),
             query_name="mv_store_stream",
         )
-        tmp_marker = marker + ".tmp"
-        with open(tmp_marker, "w") as fh:
-            json.dump({"fingerprint": fp, "salt": salt}, fh)
-        os.replace(tmp_marker, marker)
+        write_marker_atomic(marker, {"fingerprint": fp, "salt": salt})
     mv = spark.read.parquet(os.path.join(store, "data"))
     return mv.select(
         "month",

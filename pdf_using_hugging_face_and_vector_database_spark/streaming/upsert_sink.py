@@ -122,14 +122,11 @@ def streamed_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     salt = "upsert_stream:v1"
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
+    from ..store import read_marker, write_marker_atomic
+
     marker = os.path.join(root, "meta.json")
     store = os.path.join(root, "store")
-    ok = False
-    try:
-        with open(marker) as f:
-            ok = json.load(f).get("fingerprint") == fp
-    except (OSError, ValueError):
-        ok = False
+    ok = read_marker(marker).get("fingerprint") == fp
     if not (ok and os.path.isdir(store)):
         if os.path.isdir(root):
             shutil.rmtree(root)
@@ -151,8 +148,5 @@ def streamed_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema=UPSERT_STREAM_SCHEMA,
             max_files_per_trigger=1,
         )
-        tmp_marker = marker + ".tmp"
-        with open(tmp_marker, "w") as fh:
-            json.dump({"fingerprint": fp, "salt": salt}, fh)
-        os.replace(tmp_marker, marker)
+        write_marker_atomic(marker, {"fingerprint": fp, "salt": salt})
     return spark.read.parquet(store)
