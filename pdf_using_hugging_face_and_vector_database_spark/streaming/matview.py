@@ -67,7 +67,13 @@ def apply_mv_batch(
     dangling .old that recovery rolls back before the watermark is
     read — see storeswap's window analysis; rename(tmp, store) is the
     commit point. A replayed batch with id <= the stored watermark is
-    a no-op."""
+    a no-op.
+
+    Deliberately NOT store.read_marker: a fingerprint marker that
+    fails to parse safely degrades to a rebuild, but a watermark that
+    fails to parse must fail LOUDLY — defaulting to -1 over existing
+    data would re-fold already-committed batches into the additive MV
+    (double counting), which is strictly worse than crashing."""
     recover_store(store_dir)
     meta_path = os.path.join(store_dir, "_meta.json")
     last = -1
