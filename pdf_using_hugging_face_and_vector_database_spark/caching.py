@@ -28,6 +28,31 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def scoped_caches():
+    """Context manager releasing only the caches registered INSIDE the
+    scope — the store-build hygiene (round 8): a persisted-store build
+    may cache intermediates (e.g. the PPJoin vocabulary, whose
+    two-branch reuse is the r7 scale lesson), but once the result is
+    on parquet those caches are dead weight for the rest of the
+    session; callers outside the scope keep theirs."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        start = len(_PERSISTED)
+        try:
+            yield
+        finally:
+            for df in _PERSISTED[start:]:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            del _PERSISTED[start:]
+
+    return _scope()
+
+
 def release_caches() -> int:
     """Unpersist every tracked intermediate; returns how many."""
     n = len(_PERSISTED)

@@ -144,6 +144,22 @@ def minhash_signatures_agg(
     )
 
 
+def _dedup_code_token() -> str:
+    """Code token over EVERY module in the signature/groups derivation
+    chain — this module plus the hashing and tokenization functions
+    (r8 review fix: a token covering only dedup.py let an edit to
+    functions/hashing.py or functions/text.py serve stale stores,
+    surfacing as a confusing oracle mismatch on the consumer — the
+    exact failure class the token exists to prevent)."""
+    import sys
+
+    from ..functions import hashing as _hashing
+    from ..functions import text as _text
+    from ..store import code_token
+
+    return code_token(sys.modules[__name__], _hashing, _text)
+
+
 def persisted_signatures(
     spark,
     sf_dir: str,
@@ -168,7 +184,6 @@ def persisted_signatures(
     instead of silently serving the old derivation.
     """
     from .. import store as _store
-    from ..functions import hashing as _hashing
     from ..io import table_path
     from .ann import dataset_dir_key, dataset_fingerprint
 
@@ -177,11 +192,9 @@ def persisted_signatures(
     # it is part of both the store path AND the fingerprint salt, so
     # two derivations with identical hashing constants can never serve
     # each other's signatures.
-    import sys as _sys
-
     salt = (
         f"mh:{num_hashes}:{ngram}:{shingle}:{tag}:"
-        f"{_store.code_token(_sys.modules[__name__], _hashing)}"
+        f"{_dedup_code_token()}"
     )
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
     return _store.persisted_result(
@@ -209,19 +222,15 @@ def persisted_groups(
     dedup_pipeline capstone read the persisted mapping. Groups are a
     pure function of the corpus + constants (fixpoint, deterministic),
     so cached-vs-fresh is bit-identical; staleness keys on the source
-    fingerprint + constants salt + a code token of this module
-    (kernel changes rebuild, never serve stale groups), marker
-    written last (crash-safe) — all through store.persisted_result."""
-    import sys as _sys
-
+    fingerprint + constants salt + a code token of every kernel module
+    in the derivation (kernel changes rebuild, never serve stale
+    groups), marker written last (crash-safe) — all through
+    store.persisted_result."""
     from .. import store as _store
     from ..io import table_path
     from .ann import dataset_dir_key, dataset_fingerprint
 
-    salt = (
-        f"cc:{num_hashes}:{bands}:{tag}:"
-        f"{_store.code_token(_sys.modules[__name__])}"
-    )
+    salt = f"cc:{num_hashes}:{bands}:{tag}:{_dedup_code_token()}"
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
     return _store.persisted_result(
         spark,

@@ -3395,12 +3395,16 @@ def persisted_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the consumers' DuckDB oracles replay the full learning chain
     from raw parquet, so a stale or wrong stored table is a driver
     hash mismatch."""
+    from .functions import text as _text
     from .io import table_path
     from .operators import text_analysis as _ta
     from .operators.ann import dataset_dir_key, dataset_fingerprint
     from .store import code_token, persisted_result
 
-    salt = f"bpe:{BPE_N_MERGES}:{code_token(_ta)}"
+    # token spans the trainer module AND the tokenization functions it
+    # draws words from (r8 review fix — same gap class as the dedup
+    # stores: functions/text.py edits must rebuild the merge table)
+    salt = f"bpe:{BPE_N_MERGES}:{code_token(_ta, _text)}"
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
 
     def build() -> DataFrame:

@@ -94,8 +94,8 @@ def write_marker_atomic(marker: str, meta: dict) -> None:
 
 def ensure_store_dir(base_dir: str, fingerprint: str, build) -> str:
     """Path-shaped store core with VERSIONED data dirs (round 8):
-    each build writes into ``base_dir/data_<fp-hash>`` and the marker
-    flips to the new version atomically LAST, so
+    each build writes into ``base_dir/data_<fp-hash>_<nonce>`` and the
+    marker flips to the new version atomically LAST, so
 
     - a crash mid-build leaves the previous marker + previous complete
       version fully servable (nothing was overwritten in place), and
@@ -105,38 +105,61 @@ def ensure_store_dir(base_dir: str, fingerprint: str, build) -> str:
       in-place ``overwrite`` the pre-r8 stores used had exactly that
       window.
 
-    The immediately superseded version is RETAINED (a reader that
-    resolved the old marker may still be scanning it); anything older
-    is garbage-collected on the next flip. Concurrent builders of the
-    SAME fingerprint are the caller's job-scheduling problem (the
-    same single-writer assumption as any non-transactional bulk
-    load); a production deployment would add time-based version
-    retention instead of keep-2.
+    Every build writes a FRESH dir (fingerprint hash + a per-build
+    nonce), so an in-place overwrite never happens — not even when a
+    fingerprint recurs (a kernel revert, or a rebuild after a
+    malformed marker). The immediately superseded version is RETAINED
+    (a reader that resolved the old marker may still be scanning it:
+    the marker-named predecessor, or the newest existing version by
+    mtime when the marker was unreadable); everything older — and any
+    pre-r8 legacy payload dir left behind by the hand-rolled variants
+    ('sigs', 'codes', 'groups') — is garbage-collected on the flip.
+    Concurrent builders of the SAME fingerprint are the caller's
+    job-scheduling problem (the same single-writer assumption as any
+    non-transactional bulk load); a production deployment would add
+    time-based version retention instead of keep-2.
 
     Returns the data dir for ``fingerprint``, calling
     ``build(data_dir)`` only when the marker is missing, malformed,
     or carries a different fingerprint."""
     import hashlib as _hashlib
     import shutil as _shutil
+    import uuid as _uuid
 
     marker = os.path.join(base_dir, "meta.json")
     meta = read_marker(marker)
     if meta.get("fingerprint") == fingerprint:
         # "data" is the pre-versioning layout — old stores keep serving
         return os.path.join(base_dir, meta.get("data", "data"))
-    prev = meta.get("data", "data")
-    vdir = "data_" + _hashlib.sha256(fingerprint.encode()).hexdigest()[:10]
+    vdir = (
+        "data_"
+        + _hashlib.sha256(fingerprint.encode()).hexdigest()[:10]
+        + "_"
+        + _uuid.uuid4().hex[:6]
+    )
     data_dir = os.path.join(base_dir, vdir)
     os.makedirs(base_dir, exist_ok=True)
+    if meta:
+        prev = meta.get("data", "data")  # marker-named predecessor
+    else:
+        # marker unreadable: the newest existing version may still be
+        # serving a racing reader — retain it
+        versions = [
+            d
+            for d in os.listdir(base_dir)
+            if d.startswith("data")
+            and os.path.isdir(os.path.join(base_dir, d))
+        ]
+        prev = max(
+            versions,
+            key=lambda d: os.path.getmtime(os.path.join(base_dir, d)),
+            default=None,
+        )
     build(data_dir)
     write_marker_atomic(marker, {"fingerprint": fingerprint, "data": vdir})
     for d in os.listdir(base_dir):
         full = os.path.join(base_dir, d)
-        if (
-            d.startswith("data")
-            and d not in (vdir, prev)
-            and os.path.isdir(full)
-        ):
+        if os.path.isdir(full) and d not in (vdir, prev):
             _shutil.rmtree(full, ignore_errors=True)
     return data_dir
 
@@ -162,10 +185,16 @@ def persisted_result(
     # repoint operators.ann.INDEX_ROOT and every store follows
     from .operators import ann as _ann
 
+    from .caching import scoped_caches
+
     path = os.path.join(_ann.INDEX_ROOT, store_name)
-    data_dir = ensure_store_dir(
-        path,
-        fingerprint,
-        lambda d: build().write.mode("overwrite").parquet(d),
-    )
+    # any intermediate the build persist_tracked()s (e.g. the PPJoin
+    # vocabulary's two-branch cache) is released as soon as the result
+    # is on parquet — a warm call enters and exits the scope untouched
+    with scoped_caches():
+        data_dir = ensure_store_dir(
+            path,
+            fingerprint,
+            lambda d: build().write.mode("overwrite").parquet(d),
+        )
     return spark.read.parquet(data_dir)

@@ -100,6 +100,8 @@ def main() -> None:
     import math
 
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    if factor < 2:
+        sys.exit("factor must be >= 2 (exponent divides by log(factor))")
     out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_r8_50x.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="scale_run_h")
