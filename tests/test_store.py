@@ -178,3 +178,52 @@ def test_legacy_unversioned_store_keeps_serving(spark, store_name):
     build = _counting_build(spark, calls, [(1, "a")])
     out = persisted_result(spark, store_name, "fpL", build)
     assert calls == [] and [(r.k, r.v) for r in out.collect()] == [(7, "z")]
+
+
+def test_build_caches_released_after_store_build(spark, store_name):
+    """r8 review fix: a cold build's persist_tracked intermediates are
+    released as soon as the result is on parquet (scoped_caches) —
+    and caches registered BEFORE the build survive untouched."""
+    from pdf_using_hugging_face_and_vector_database_spark.caching import (
+        _PERSISTED,
+        persist_tracked,
+        release_caches,
+    )
+
+    release_caches()
+    outer = persist_tracked(spark.createDataFrame([(1,)], "k long"))
+    assert len(_PERSISTED) == 1
+
+    def build():
+        inner = persist_tracked(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        )
+        return inner
+
+    out = persisted_result(spark, store_name, "fp1", build)
+    assert out.count() == 2
+    # the build's cache is gone; the outer one remains registered
+    assert _PERSISTED == [outer]
+    release_caches()
+
+
+def test_malformed_marker_gc_retains_newest_version(spark, store_name):
+    """r8 review fix: when the marker is unreadable the predecessor is
+    unknown — the GC must retain the NEWEST existing version (a racing
+    reader may be scanning it), not fall back to deleting it."""
+    calls = []
+    build = _counting_build(spark, calls, [(1, "a")])
+    base = os.path.join(INDEX_ROOT, store_name)
+    persisted_result(spark, store_name, "fp1", build)
+    with open(os.path.join(base, "meta.json")) as f:
+        live = json.load(f)["data"]
+    with open(os.path.join(base, "meta.json"), "w") as f:
+        f.write("[1]")  # unreadable marker; live version still on disk
+    persisted_result(spark, store_name, "fp1", build)
+    assert len(calls) == 2
+    dirs = {
+        d for d in os.listdir(base)
+        if d.startswith("data") and os.path.isdir(os.path.join(base, d))
+    }
+    assert live in dirs  # the last-served version survived the flip
+    assert len(dirs) == 2
