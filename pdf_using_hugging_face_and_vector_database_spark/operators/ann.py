@@ -21,7 +21,6 @@ Three tools:
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Sequence
 

@@ -62,10 +62,29 @@ def code_token(*objs) -> str:
     confusing oracle mismatch on the consumer). Module-level hashing
     is deliberately coarse: it cannot miss a two-hop helper inside
     the same module, at the cost of an occasional spurious rebuild —
-    stores are cheap to rebuild and wrong truth is not."""
+    stores are cheap to rebuild and wrong truth is not.
+
+    When source text is unavailable (``inspect.getsource`` raises
+    OSError under zipimport/frozen/.pyc-only deployments — r8 ADVICE),
+    fall back to hashing the module file's bytes, then to the object's
+    qualified name: a store-backed query must degrade to (at worst) a
+    spurious rebuild, never crash at salt time."""
     h = hashlib.sha256()
     for obj in objs:
-        h.update(inspect.getsource(obj).encode())
+        try:
+            h.update(inspect.getsource(obj).encode())
+        except (OSError, TypeError):
+            f = getattr(obj, "__file__", None) or getattr(
+                inspect.getmodule(obj), "__file__", None
+            )
+            try:
+                with open(f, "rb") as fh:
+                    h.update(fh.read())
+            except (OSError, TypeError):
+                h.update(
+                    f"{getattr(obj, '__module__', '')}:"
+                    f"{getattr(obj, '__qualname__', getattr(obj, '__name__', repr(obj)))}".encode()
+                )
     return h.hexdigest()[:12]
 
 
@@ -157,9 +176,20 @@ def ensure_store_dir(base_dir: str, fingerprint: str, build) -> str:
         )
     build(data_dir)
     write_marker_atomic(marker, {"fingerprint": fingerprint, "data": vdir})
+    # GC touches ONLY names this module owns — the 'data*' version
+    # prefix (and the pre-versioning 'data' layout it matches) plus the
+    # pre-r8 hand-rolled payload names — never arbitrary sibling dirs
+    # (r8 ADVICE: matview/upsert-style roots co-locate 'ckpt'/aux dirs
+    # beside meta.json; a future migration onto this core must not
+    # silently destroy them).
+    _legacy = ("sigs", "codes", "groups")
     for d in os.listdir(base_dir):
         full = os.path.join(base_dir, d)
-        if os.path.isdir(full) and d not in (vdir, prev):
+        if (
+            os.path.isdir(full)
+            and d not in (vdir, prev)
+            and (d.startswith("data") or d in _legacy)
+        ):
             _shutil.rmtree(full, ignore_errors=True)
     return data_dir
 
