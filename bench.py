@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "rolling_fingerprint",
     "clicks_before_purchase",
     "clicks_in_purchase_window",
+    "outer_range_join",
     "cube_pricing",
     "session_windows_native",
     "funnel_conversion",

@@ -42,15 +42,33 @@ def range_join(
     columns = points ∪ intervals (minus the helper bucket). Column
     names must be disjoint apart from ``on``.
 
-    Inner-only: with the verify predicate applied AFTER the join, an
-    outer join's null-extended rows would be filtered back out,
-    silently degrading to inner semantics — refuse rather than lie.
-    (An outer variant needs the predicate inside the join condition.)
+    ``how``: ``'inner'`` or ``'left'`` (all points kept; a point
+    inside no interval comes back once, null-extended on the interval
+    columns). The two variants place the exact BETWEEN predicate
+    differently — and must:
+
+    - inner: verify AFTER the equi-join (a plain codegen'd filter on
+      the join output — the cheapest placement);
+    - left: verify INSIDE the join condition, as equality conjuncts on
+      (keys, bucket) plus the range residual — a post-join filter
+      would silently drop the null-extended rows, degrading to inner.
+      Catalyst still extracts the equality conjuncts, so the shuffle
+      shape (hash-partition on keys+bucket) is identical to inner;
+      the residual just evaluates during the probe. Because a point
+      lives in exactly ONE bucket, an unmatched point null-extends
+      exactly once — no dedup pass.
+
+    right/full stay NotImplementedError: intervals are EXPLODED into
+    one row per overlapped bucket, so an unmatched interval would
+    null-extend once per replica; a correct rewrite needs a post-join
+    replica dedup keyed on the interval's identity, which this
+    operator does not require callers to provide.
     """
-    if how != "inner":
+    if how not in ("inner", "left"):
         raise NotImplementedError(
-            "range_join supports how='inner' only; the post-join verify "
-            "filter would drop an outer join's null-extended rows"
+            "range_join supports how='inner' or 'left' only; right/full "
+            "would null-extend one row per exploded interval bucket "
+            "replica, not per interval"
         )
     w_us = F.lit(int(bucket_seconds) * 1_000_000)
     p = points.withColumn(
@@ -65,6 +83,24 @@ def range_join(
             )
         ),
     )
+    if how == "left":
+        # both sides may share lineage (self-join on one source table),
+        # where df[col] disambiguation silently resolves to one side —
+        # rename the interval side's key/bucket columns so every join
+        # and drop reference is by a UNIQUE name instead
+        rbucket = BUCKET_COL + "_r"
+        rkeys = {k: f"__rj_r_{k}" for k in on}
+        r = i.withColumnRenamed(BUCKET_COL, rbucket)
+        for k, rk in rkeys.items():
+            r = r.withColumnRenamed(k, rk)
+        cond = F.col(BUCKET_COL) == F.col(rbucket)
+        for k, rk in rkeys.items():
+            cond = cond & (F.col(k) == F.col(rk))
+        cond = cond & (F.col(point_ts) >= F.col(start_col)) & (
+            F.col(point_ts) <= F.col(end_col)
+        )
+        joined = p.join(r, cond, "left")
+        return joined.drop(BUCKET_COL, rbucket, *rkeys.values())
     joined = p.join(i, [*on, BUCKET_COL], how)
     verified = joined.filter(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))

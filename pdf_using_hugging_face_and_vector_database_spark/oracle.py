@@ -2087,6 +2087,19 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     # banded range join, same oracle
     sql["stream_clicks_purchases"] = sql["clicks_in_purchase_window"]
 
+    # LEFT variant: DuckDB's native LEFT IEJoin null-extends clicks
+    # outside every window, exactly once per click
+    sql["outer_range_join"] = """
+SELECT c.event_id AS click_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.event_id AS purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
     # stream-static join parity: identical output contract to the
     # batch incremental dedup, same oracle
     sql["stream_dedup_incremental"] = sql["dedup_incremental"]

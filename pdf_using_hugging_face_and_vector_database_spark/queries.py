@@ -1624,6 +1624,44 @@ def clicks_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def outer_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT banded interval join (operators/rangejoin.py ``how='left'``
+    — r8 verdict item 4, retiring the operator's last declared-but-
+    declined surface): every click paired with each same-user purchase
+    window (hour before purchase) that contains it, and every click
+    inside NO window kept once, null-extended on the purchase columns
+    — the attribution-coverage shape ("which clicks converted, which
+    didn't") that inner interval joins cannot answer. The BETWEEN
+    predicate sits INSIDE the join condition (a post-join filter would
+    drop the null-extended rows); the shuffle is still the banded
+    equi-join on (user_id, bucket). DuckDB replays the LEFT IEJoin
+    natively as the oracle."""
+    from .operators.rangejoin import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    out = range_join(
+        clicks, purchases, point_ts="c_ts", start_col="w_start", end_col="w_end",
+        on=("user_id",), bucket_seconds=3600, how="left",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
 def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all 2^k grouping sets in one pass — the
     rollup_pricing sibling): per (returnflag x linestatus), each
@@ -4861,81 +4899,35 @@ def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only the first ~50 entries). Rotation policy, set round 4, arithmetic
 # corrected round 5: queries NEW or CHANGED this round always run
 # first, then the queries whose last driver certification is oldest.
-# At 146 queries / 50 slots the guaranteed staleness bound is
-# ceil(146/50) = 3 rounds - three consecutive CORRECTNESS files
+# At 147 queries / 50 slots the guaranteed staleness bound is
+# ceil(147/50) = 3 rounds - three consecutive CORRECTNESS files
 # jointly cover the whole registry.
 #
-# Round-8 front (executes VERDICT r7 items 1-3 exactly): the 3 queries
-# CHANGED this round (the PPJoin trio: encoded-corpus store + kernel
-# code tokens in every truth-store salt), the 3 NEW oracle rows
-# (flagship_e1, store_consistency_gate, equidepth_by_range - the
-# first new-query headroom since round 5), dedup_pipeline (its
-# persisted_groups store migrated onto store.persisted_result), then
-# the 43 remaining round-5-certified rows (exactly 3 rounds stale, the
-# rotation bound) = exactly 50. The round-8 store-protocol
-# consolidation also touched plumbing under queries certified in
-# r6/r7 whose slots don't fit this front (signature/code stores);
-# those are covered by the full local sf0.01 oracle sweep recorded in
-# NOTES_r8.md and rotate into the r9/r10 fronts on schedule. After
-# the front: the round-6-certified block (the natural round-9 front),
-# then the round-7-certified block.
+# Round-9 front (executes VERDICT r8 items 1, 2 and 4 exactly): the
+# NEW outer_range_join (rangejoin.py's left-outer branch, the spare
+# slot), the two CHANGED rows (approx_percentiles_gate's small-n
+# rank-error gate; clicks_in_purchase_window, whose range_join kernel
+# module gained the outer branch), then the 46 remaining
+# round-6-certified rows (exactly 3 rounds stale, the rotation bound)
+# = exactly 50. equidepth_by_range also changed this round (a
+# small-n KeyError guard, sf0.01+ output bit-identical) but has no
+# front slot: it carries local tri-scale oracle receipts in
+# NOTES_r9.md (the r8 precedent) and takes the FIRST slot of the
+# round-10 front, ahead of the round-7-certified block. The round-9
+# ann.py dead-import removal rotated the ann code-token salts; the
+# affected r7/r8-certified store consumers are receipt-covered the
+# same way and their stores pre-warmed at all three SFs. After the
+# r7 block: the round-8-certified block (the round-11 front).
 QUERIES = {
-    # --- changed in round 8 (store-backed PPJoin encoding; code-token
-    # salts on both audit truth stores; persisted_groups migration) ---
-    "neardup_ppjoin": neardup_ppjoin,
-    "lsh_exact_audit": lsh_exact_audit,
-    "q3_ann_lsh_join": q3_ann_lsh_join,
-    "dedup_pipeline": dedup_pipeline,
-    # --- new in round 8 (r7 verdict item 2) ---
-    "flagship_e1": flagship,
-    "store_consistency_gate": store_consistency_gate,
-    "equidepth_by_range": equidepth_by_range,
-    # --- driver-green round 5 (3 rounds stale; re-certify now - the
-    # prescribed round-8 front, VERDICT r7 item 1) ---
-    "acctbal_window_stats": acctbal_window_stats,
-    "min_cost_supplier": min_cost_supplier,
-    "priority_order_counts": priority_order_counts,
-    "nation_pair_volume": nation_pair_volume,
-    "market_share": market_share,
-    "product_profit": product_profit,
-    "important_parts": important_parts,
-    "shipmode_priority": shipmode_priority,
-    "promo_revenue_pct": promo_revenue_pct,
-    "supplier_part_counts": supplier_part_counts,
-    "small_qty_revenue": small_qty_revenue,
-    "disjunctive_revenue": disjunctive_revenue,
-    "excess_volume_suppliers": excess_volume_suppliers,
-    "waiting_suppliers": waiting_suppliers,
-    "idle_rich_customers": idle_rich_customers,
-    "bpe_merges": bpe_merges,
-    "dsir_select": dsir_select,
-    "datasketch_gates": datasketch_gates,
-    "stream_upsert_store": stream_upsert_store,
-    "events_gapfill": events_gapfill,
-    "profile_lineitem": profile_lineitem,
-    "quality_gates": quality_gates,
-    "dataset_split": dataset_split,
-    "split_leakage": split_leakage,
-    "bpe_encode": bpe_encode,
-    "retrieval_eval": retrieval_eval,
-    "store_compaction": store_compaction,
-    "mv_incremental_refresh": mv_incremental_refresh,
-    "store_clustering": store_clustering,
-    "supplier_pagerank": supplier_pagerank,
-    "pit_priority_revenue": pit_priority_revenue,
-    "mmr_diversified_topk": mmr_diversified_topk,
-    "stream_mv_refresh": stream_mv_refresh,
-    "store_zorder": store_zorder,
-    "entity_resolution": entity_resolution,
-    "weighted_sample": weighted_sample,
-    "rag_pipeline": rag_pipeline,
-    "heavy_hitters_events": heavy_hitters_events,
-    "lineitem_skew_report": lineitem_skew_report,
-    "value_histogram": value_histogram,
-    "impute_event_values": impute_event_values,
-    "q3_ann_append": q3_ann_append,
-    "rolling_distinct_users": rolling_distinct_users,
-    # --- driver-green round 6 (the natural round-9 front) ---
+    # --- new/changed in round 9 (r8 verdict items 2 & 4): the LEFT
+    # banded range join (rangejoin.py gained the outer branch, so its
+    # batch consumer re-certifies alongside) and the rank-error
+    # small-n gate for the percentile sketch ---
+    "outer_range_join": outer_range_join,
+    "approx_percentiles_gate": approx_percentiles_gate,
+    "clicks_in_purchase_window": clicks_in_purchase_window,
+    # --- driver-green round 6 (3 rounds stale - the prescribed
+    # round-9 front; with the 3 rows above = exactly 50) ---
     "snapshot_diff": snapshot_diff,
     "rolling_fingerprint": rolling_fingerprint,
     "chunker_separator": chunker_separator,
@@ -4943,7 +4935,6 @@ QUERIES = {
     "media_pipeline": media_pipeline,
     "video_frame_sample": video_frame_sample,
     "clicks_before_purchase": clicks_before_purchase,
-    "clicks_in_purchase_window": clicks_in_purchase_window,
     "cube_pricing": cube_pricing,
     "session_windows_native": session_windows_native,
     "pii_scrub": pii_scrub,
@@ -4951,7 +4942,6 @@ QUERIES = {
     "contamination_check": contamination_check,
     "stream_session_windows": stream_session_windows,
     "embed_quantize": embed_quantize,
-    "approx_percentiles_gate": approx_percentiles_gate,
     "stream_clicks_purchases": stream_clicks_purchases,
     "chunker_udtf": chunker_udtf,
     "udaf_median_acctbal": udaf_median_acctbal,
@@ -4985,7 +4975,12 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "scd2_customer_priority": scd2_customer_priority,
     "anomaly_mad": anomaly_mad,
-    # --- driver-green round 7 (newest certifications) ---
+    # --- changed round 9 but out of front slots (small-n guard only;
+    # sf0.01+ output bit-identical): certified by the local tri-scale
+    # oracle receipts in NOTES_r9.md (the r8 precedent for plumbing
+    # under certified queries); FIRST slot of the round-10 front ---
+    "equidepth_by_range": equidepth_by_range,
+    # --- driver-green round 7 (the rest of the round-10 front) ---
     "semantic_dedup": semantic_dedup,
     "large_order_customers": large_order_customers,
     "top_supplier_revenue": top_supplier_revenue,
@@ -5033,6 +5028,57 @@ QUERIES = {
     "segment_dedup": segment_dedup,
     "rolling_distinct_users_sketch": rolling_distinct_users_sketch,
     "order_count_distribution": order_count_distribution,
+    # --- driver-green round 8 (newest certifications; the round-11
+    # front) ---
+    "neardup_ppjoin": neardup_ppjoin,
+    "lsh_exact_audit": lsh_exact_audit,
+    "q3_ann_lsh_join": q3_ann_lsh_join,
+    "dedup_pipeline": dedup_pipeline,
+    "flagship_e1": flagship,
+    "store_consistency_gate": store_consistency_gate,
+    "acctbal_window_stats": acctbal_window_stats,
+    "min_cost_supplier": min_cost_supplier,
+    "priority_order_counts": priority_order_counts,
+    "nation_pair_volume": nation_pair_volume,
+    "market_share": market_share,
+    "product_profit": product_profit,
+    "important_parts": important_parts,
+    "shipmode_priority": shipmode_priority,
+    "promo_revenue_pct": promo_revenue_pct,
+    "supplier_part_counts": supplier_part_counts,
+    "small_qty_revenue": small_qty_revenue,
+    "disjunctive_revenue": disjunctive_revenue,
+    "excess_volume_suppliers": excess_volume_suppliers,
+    "waiting_suppliers": waiting_suppliers,
+    "idle_rich_customers": idle_rich_customers,
+    "bpe_merges": bpe_merges,
+    "dsir_select": dsir_select,
+    "datasketch_gates": datasketch_gates,
+    "stream_upsert_store": stream_upsert_store,
+    "events_gapfill": events_gapfill,
+    "profile_lineitem": profile_lineitem,
+    "quality_gates": quality_gates,
+    "dataset_split": dataset_split,
+    "split_leakage": split_leakage,
+    "bpe_encode": bpe_encode,
+    "retrieval_eval": retrieval_eval,
+    "store_compaction": store_compaction,
+    "mv_incremental_refresh": mv_incremental_refresh,
+    "store_clustering": store_clustering,
+    "supplier_pagerank": supplier_pagerank,
+    "pit_priority_revenue": pit_priority_revenue,
+    "mmr_diversified_topk": mmr_diversified_topk,
+    "stream_mv_refresh": stream_mv_refresh,
+    "store_zorder": store_zorder,
+    "entity_resolution": entity_resolution,
+    "weighted_sample": weighted_sample,
+    "rag_pipeline": rag_pipeline,
+    "heavy_hitters_events": heavy_hitters_events,
+    "lineitem_skew_report": lineitem_skew_report,
+    "value_histogram": value_histogram,
+    "impute_event_values": impute_event_values,
+    "q3_ann_append": q3_ann_append,
+    "rolling_distinct_users": rolling_distinct_users,
 }
 
 

@@ -93,6 +93,97 @@ def test_range_join_banded_matches_naive(spark):
     assert (5, 102) not in got  # key mismatch filtered
 
 
+def test_range_join_left_outer_matches_naive(spark):
+    """how='left': matched pairs == inner; every unmatched point comes
+    back exactly once, null-extended on the interval columns — and the
+    point's own key column survives (not the dropped interval-side
+    copy)."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    points = spark.createDataFrame(
+        [
+            (0, 1, "2024-01-01 00:15:00"),  # inside both 100 and 101-ish
+            (1, 1, "2024-01-01 10:00:00"),  # inside nothing
+            (2, 3, "2024-01-01 00:15:00"),  # key with no intervals
+        ],
+        "pid long, user_id long, c_ts string",
+    ).withColumn("c_ts", F.col("c_ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+            (101, 1, "2024-01-01 00:10:00", "2024-01-01 03:59:00"),
+            (102, 2, "2024-01-01 00:00:00", "2024-01-01 23:00:00"),
+        ],
+        "iid long, user_id long, w_start string, w_end string",
+    ).withColumn("w_start", F.col("w_start").cast("timestamp")).withColumn(
+        "w_end", F.col("w_end").cast("timestamp")
+    )
+    out = range_join(
+        points, intervals, "c_ts", "w_start", "w_end", on=("user_id",),
+        how="left",
+    ).collect()
+    got = {(r["pid"], r["iid"]) for r in out}
+    assert got == {(0, 100), (0, 101), (1, None), (2, None)}
+    # unmatched rows keep the POINT side's key (the r9 self-join
+    # lineage fix: drop by unique renamed name, never df[col])
+    by_pid = {r["pid"]: r for r in out if r["iid"] is None}
+    assert by_pid[1]["user_id"] == 1 and by_pid[2]["user_id"] == 3
+    assert by_pid[1]["w_start"] is None and by_pid[1]["w_end"] is None
+
+
+def test_range_join_left_outer_self_lineage(spark):
+    """Both sides carved from the SAME source DataFrame (the ambiguous
+    self-join shape): unmatched rows must still carry the point-side
+    key, and pairs must match the naive expression join."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (0, 1, "click", "2024-01-01 00:15:00"),
+            (1, 1, "click", "2024-01-01 10:00:00"),
+            (2, 1, "purchase", "2024-01-01 00:30:00"),
+            (3, 2, "purchase", "2024-01-01 05:00:00"),
+        ],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iid"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    out = range_join(
+        clicks, purchases, "c_ts", "w_start", "w_end", on=("user_id",),
+        how="left",
+    ).collect()
+    assert {(r["pid"], r["iid"]) for r in out} == {(0, 2), (1, None)}
+    assert all(r["user_id"] is not None for r in out)
+
+
+def test_range_join_rejects_right_full(spark):
+    import pytest as _pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    df = spark.range(1).select(
+        F.current_timestamp().alias("c_ts"),
+        F.current_timestamp().alias("w_start"),
+        F.current_timestamp().alias("w_end"),
+    )
+    for bad in ("right", "full", "left_anti"):
+        with _pytest.raises(NotImplementedError):
+            range_join(df, df, "c_ts", "w_start", "w_end", how=bad)
+
+
 def test_skew_report_detects_planted_skew(spark):
     """A planted 30%-hot key must surface at rank 1 with the right
     share and a skew_factor near n_keys * share."""
