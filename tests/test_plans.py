@@ -470,3 +470,18 @@ def test_flagship_e1_plan_shape(spark, sf_dir):
     assert has_pushed_filters(df, "source")
     assert has_take_ordered(df)
     assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_outer_range_join_is_equijoin_not_nested_loop(spark, sf_dir):
+    """r9 left-outer banded range join: Catalyst must extract the
+    (user, bucket) equality conjuncts as JOIN KEYS — a LeftOuter
+    hash/sort-merge join with the BETWEEN residual evaluated inside —
+    never a BroadcastNestedLoopJoin over the raw interval predicate
+    (the O(points x intervals) shape banding exists to kill)."""
+    plan = formatted_plan(Q.outer_range_join(spark, sf_dir))
+    low = plan.lower()
+    assert "nestedloop" not in low, plan
+    assert "cartesian" not in low, plan
+    assert "leftouter" in low.replace(" ", ""), plan
+    # the bucket helper participates as an equi-key on both sides
+    assert "__rj_bucket" in plan and "__rj_bucket_r" in plan
