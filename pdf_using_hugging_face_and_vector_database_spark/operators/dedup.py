@@ -207,6 +207,35 @@ def persisted_signatures(
     )
 
 
+def persisted_simhash(
+    spark,
+    sf_dir: str,
+    corpus: DataFrame,
+    bits: int,
+    tag: str,
+) -> DataFrame:
+    """Fingerprint-keyed persisted SimHash fingerprint table — the
+    persisted_signatures contract for the third dedup modality (r9):
+    fingerprints are a pure function of (corpus, bits, kernel), built
+    once per corpus version. Without the store the banded-Hamming
+    self-join recomputed the whole explode+agg lineage ONCE PER JOIN
+    SIDE every query (measured 2×1.5 s of the 2.7 s neardup_simhash at
+    sf0.1). Same tag-names-the-derivation rule as the MinHash store:
+    'sim48' = the synthetic neardup union."""
+    from .. import store as _store
+    from ..io import table_path
+    from .ann import dataset_dir_key, dataset_fingerprint
+
+    salt = f"sh:{bits}:{tag}:{_dedup_code_token()}"
+    fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
+    return _store.persisted_result(
+        spark,
+        f"simhash_{dataset_dir_key(sf_dir)}_{tag}",
+        fp,
+        lambda: simhash_agg(corpus, bits=bits),
+    )
+
+
 def persisted_groups(
     spark,
     sf_dir: str,

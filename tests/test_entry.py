@@ -37,6 +37,10 @@ def test_oracle_keys_subset_of_queries():
 # The closure's first run evicted upsert_bucketed (the exact two-hop
 # case the r7 advisor predicted: a clean-looking upsert helper calling
 # write_bucketed's saveAsTable) and neardup_ppjoin (now store-backed).
+# r9: minhash_signatures and neardup_simhash evicted the same way
+# (now serve the char7base signature / sim48 fingerprint stores);
+# outer_range_join added (pure join, the closure verifies it reaches
+# no state).
 POOL_SAFE = {
     "above_avg_customers", "acctbal_window_stats", "anomaly_mad",
     "approx_distinct_parts", "approx_percentiles_gate",
@@ -55,10 +59,11 @@ POOL_SAFE = {
     "important_parts", "impute_event_values", "lang_id",
     "large_order_customers", "lineitem_skew_report",
     "lm_bigram_quality", "local_supplier_volume", "market_share",
-    "min_cost_supplier", "minhash_signatures", "mixture_sample",
+    "min_cost_supplier", "mixture_sample",
     "mmr_diversified_topk", "mv_incremental_refresh",
     "nation_pair_volume", "neardup_embedding",
-    "neardup_simhash", "order_count_distribution", "orders_calendar",
+    "order_count_distribution", "orders_calendar",
+    "outer_range_join",
     "pack_sequences", "pages_roundtrip", "percentiles_acctbal",
     "pii_scrub", "pipeline_vectors", "pit_priority_revenue",
     "pivot_order_status", "priority_order_counts", "product_profit",
