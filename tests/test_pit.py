@@ -132,3 +132,61 @@ def test_property_range_join_matches_reference(spark):
         if pkey == ikey and s <= pts <= e
     }
     assert got == want
+
+
+def test_property_range_join_left_matches_reference(spark):
+    """Same randomized sweep for how='left' (r9): matched pairs equal
+    the plain-Python reference join exactly, AND every point with no
+    qualifying interval appears exactly once with a null interval id —
+    total row count = |matches| + |unmatched points|."""
+    import random
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    rng = random.Random(0xFACE)
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    points = [
+        (i, rng.choice(("k1", "k2", "k3")), ts(rng.randint(0, 600)))
+        for i in range(120)
+    ]
+    intervals = []
+    for j in range(30):
+        s = rng.randint(0, 600)
+        e = s + rng.choice((0, 1, rng.randint(2, 300)))
+        intervals.append((j, rng.choice(("k1", "k2")), ts(s), ts(e)))
+    for j, key, s, e in intervals[:8]:
+        points.append((1000 + j, key, s))
+        points.append((2000 + j, key, e))
+
+    pdf = spark.createDataFrame(points, "pid long, key string, ts timestamp")
+    idf = spark.createDataFrame(
+        intervals, "iid long, key string, start timestamp, end timestamp"
+    )
+    rows = range_join(
+        pdf, idf, "ts", "start", "end", on=("key",), bucket_seconds=60,
+        how="left",
+    ).collect()
+    got_pairs = {(r.pid, r.iid) for r in rows if r.iid is not None}
+    want_pairs = {
+        (pid, iid)
+        for pid, pkey, pts in points
+        for iid, ikey, s, e in intervals
+        if pkey == ikey and s <= pts <= e
+    }
+    assert got_pairs == want_pairs
+    matched_pids = {p for p, _ in want_pairs}
+    null_rows = [r for r in rows if r.iid is None]
+    assert {r.pid for r in null_rows} == {
+        pid for pid, _, _ in points if pid not in matched_pids
+    }
+    assert len(null_rows) == len(points) - len(matched_pids)  # exactly once
+    assert len(rows) == len(want_pairs) + len(null_rows)
+    # null-extended rows keep their point-side key (k3 points can
+    # never match — the self-lineage regression surface)
+    assert all(r.key is not None for r in rows)
