@@ -227,3 +227,55 @@ def test_malformed_marker_gc_retains_newest_version(spark, store_name):
     }
     assert live in dirs  # the last-served version survived the flip
     assert len(dirs) == 2
+
+
+def test_gc_spares_unowned_sibling_dirs(spark, store_name):
+    """r8 ADVICE item 1 (fixed r9): the flip-time GC may delete ONLY
+    names the store module owns — 'data*' versions and the pre-r8
+    legacy payload names — never a co-located sibling like a
+    checkpoint dir. Three flips (enough to trigger keep-2 GC twice)
+    must leave 'ckpt' and its contents untouched while legacy payload
+    names are swept."""
+    calls = []
+    build = _counting_build(spark, calls, [(1, "a")])
+    base = os.path.join(INDEX_ROOT, store_name)
+    os.makedirs(os.path.join(base, "ckpt"), exist_ok=True)
+    with open(os.path.join(base, "ckpt", "offsets"), "w") as f:
+        f.write("7")
+    os.makedirs(os.path.join(base, "sigs"), exist_ok=True)  # legacy name
+    for fp in ("fp1", "fp2", "fp3"):
+        persisted_result(spark, store_name, fp, build)
+    assert os.path.exists(os.path.join(base, "ckpt", "offsets"))
+    with open(os.path.join(base, "ckpt", "offsets")) as f:
+        assert f.read() == "7"
+    assert not os.path.exists(os.path.join(base, "sigs"))  # owned, swept
+
+
+def test_code_token_survives_missing_source(monkeypatch):
+    """r8 ADVICE item 2 (fixed r9): when inspect.getsource raises
+    (zipimport/frozen/.pyc-only deployments), code_token must DEGRADE
+    — still deterministic, still distinct per module (via file bytes
+    or qualified name) — never crash the store-backed query at salt
+    time."""
+    import inspect as _inspect
+
+    from pdf_using_hugging_face_and_vector_database_spark import store as st
+    from pdf_using_hugging_face_and_vector_database_spark.operators import (
+        rangejoin,
+        setjoin,
+    )
+
+    real = _inspect.getsource
+    monkeypatch.setattr(
+        st.inspect, "getsource",
+        lambda obj: (_ for _ in ()).throw(OSError("source unavailable")),
+    )
+    t_setjoin = st.code_token(setjoin)
+    assert t_setjoin == st.code_token(setjoin)  # deterministic
+    assert t_setjoin != st.code_token(rangejoin)  # still distinguishes
+    assert len(t_setjoin) == 12
+    # for whole MODULES the file-bytes fallback hashes the same bytes
+    # getsource returns, so a deployment-mode flip does not even force
+    # a spurious rebuild — the degraded token is hash-identical
+    monkeypatch.setattr(st.inspect, "getsource", real)
+    assert st.code_token(setjoin) == t_setjoin
