@@ -485,3 +485,20 @@ def test_outer_range_join_is_equijoin_not_nested_loop(spark, sf_dir):
     assert "leftouter" in low.replace(" ", ""), plan
     # the bucket helper participates as an equi-key on both sides
     assert "__rj_bucket" in plan and "__rj_bucket_r" in plan
+
+
+def test_signature_queries_serve_stores_not_reshingle(spark, sf_dir):
+    """r9 store-serving pins: minhash_signatures and neardup_simhash
+    must read ONLY their persisted stores — a regression that re-wires
+    either back to live shingling shows up as md5/token work and a
+    documents scan in the plan (the 2.8 s/side cost the stores
+    exist to amortize)."""
+    p = formatted_plan(Q.QUERIES["minhash_signatures"](spark, sf_dir))
+    assert "md5" not in p.lower() and "explode" not in p.lower(), p
+    locs = [ln for ln in p.splitlines() if "Location" in ln]
+    assert locs and all("minhash_" in ln for ln in locs), locs
+
+    p = formatted_plan(Q.QUERIES["neardup_simhash"](spark, sf_dir))
+    assert "md5" not in p.lower(), p  # banding explodes chunks, not tokens
+    locs = [ln for ln in p.splitlines() if "Location" in ln]
+    assert locs and all("simhash_" in ln for ln in locs), locs
