@@ -168,6 +168,7 @@ def persisted_signatures(
     ngram: int,
     shingle: str,
     tag: str,
+    corpus_salt: str = "",
 ) -> DataFrame:
     """Fingerprint-keyed persisted MinHash signature table — the same
     build/probe split as the IVF index (operators/ann.py): the
@@ -191,9 +192,14 @@ def persisted_signatures(
     # neardup union, 'char7base' = plain documents), not just a label —
     # it is part of both the store path AND the fingerprint salt, so
     # two derivations with identical hashing constants can never serve
-    # each other's signatures.
+    # each other's signatures. ``corpus_salt`` carries the derivation's
+    # CONSTANTS + builder code token from the caller (r9 review fix:
+    # the tag alone is an unenforced naming convention — a change to
+    # the corpus builder's truncation constant or structure must
+    # rotate the fingerprint, not keep serving signatures of a corpus
+    # that no longer exists in that form).
     salt = (
-        f"mh:{num_hashes}:{ngram}:{shingle}:{tag}:"
+        f"mh:{num_hashes}:{ngram}:{shingle}:{tag}:{corpus_salt}:"
         f"{_dedup_code_token()}"
     )
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
@@ -213,6 +219,7 @@ def persisted_simhash(
     corpus: DataFrame,
     bits: int,
     tag: str,
+    corpus_salt: str = "",
 ) -> DataFrame:
     """Fingerprint-keyed persisted SimHash fingerprint table — the
     persisted_signatures contract for the third dedup modality (r9):
@@ -226,7 +233,7 @@ def persisted_simhash(
     from ..io import table_path
     from .ann import dataset_dir_key, dataset_fingerprint
 
-    salt = f"sh:{bits}:{tag}:{_dedup_code_token()}"
+    salt = f"sh:{bits}:{tag}:{corpus_salt}:{_dedup_code_token()}"
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
     return _store.persisted_result(
         spark,
@@ -244,6 +251,7 @@ def persisted_groups(
     num_hashes: int,
     bands: int,
     tag: str,
+    corpus_salt: str = "",
 ) -> DataFrame:
     """Fingerprint-keyed persisted near-dup GROUPS table — the dedup
     analogue of the IVF build/probe split: ``neardup_groups`` is the
@@ -259,7 +267,7 @@ def persisted_groups(
     from ..io import table_path
     from .ann import dataset_dir_key, dataset_fingerprint
 
-    salt = f"cc:{num_hashes}:{bands}:{tag}:{_dedup_code_token()}"
+    salt = f"cc:{num_hashes}:{bands}:{tag}:{corpus_salt}:{_dedup_code_token()}"
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
     return _store.persisted_result(
         spark,

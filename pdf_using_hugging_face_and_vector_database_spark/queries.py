@@ -632,6 +632,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = persisted_signatures(
         spark, sf_dir, docs.select("doc_id", "text"),
         MINHASH_HASHES, NGRAM, "char", "char7base",
+        corpus_salt="raw",
     )
     return sigs.select(
         "doc_id",
@@ -656,6 +657,19 @@ def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(mutated)
 
 
+def _neardup_corpus_salt() -> str:
+    """Derivation salt for every store built over the SYNTHETIC
+    near-dup corpus (r9 review fix): the truncation constant plus a
+    code token of the corpus builder itself, so changing either
+    rotates the store fingerprints instead of serving signatures /
+    fingerprints / groups of a corpus that no longer exists in that
+    form — the tag ('char7'/'word3'/'sim48') alone was an unenforced
+    naming convention. Raw-documents stores pass 'raw' instead."""
+    from .store import code_token
+
+    return f"trunc{NEARDUP_TRUNC}:{code_token(neardup_corpus)}"
+
+
 def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs over the synthetic corpus,
     with the MinHash Jaccard estimate (exact integer arithmetic).
@@ -666,7 +680,8 @@ def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = neardup_corpus(spark, sf_dir)
     sigs = persisted_signatures(
-        spark, sf_dir, corpus, MINHASH_HASHES, NGRAM, "char", "char7"
+        spark, sf_dir, corpus, MINHASH_HASHES, NGRAM, "char", "char7",
+        corpus_salt=_neardup_corpus_salt(),
     )
     pairs = minhash_candidate_pairs(
         sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS
@@ -694,7 +709,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus_sigs = persisted_signatures(
-        spark, sf_dir, corpus, MINHASH_HASHES, NGRAM, "char", "char7base"
+        spark, sf_dir, corpus, MINHASH_HASHES, NGRAM, "char", "char7base",
+        corpus_salt="raw",
     )
     batch = derive_incremental_batch(corpus, trunc=NEARDUP_TRUNC)
     batch_sigs = minhash_signatures_agg(
@@ -736,7 +752,8 @@ def neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = neardup_corpus(spark, sf_dir)
     sigs = persisted_signatures(
-        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3",
+        corpus_salt=_neardup_corpus_salt(),
     )
     return neardup_representatives(
         sigs,
@@ -764,7 +781,8 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = persist_tracked(neardup_corpus(spark, sf_dir))
     sigs = persisted_signatures(
-        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3",
+        corpus_salt=_neardup_corpus_salt(),
     )
     reps = persisted_groups(
         spark,
@@ -774,6 +792,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         MINHASH_HASHES,
         MINHASH_BANDS,
         "word3",
+        corpus_salt=_neardup_corpus_salt(),
     )
     toks = corpus.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
     j = reps.join(toks, "doc_id")
@@ -811,7 +830,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = persist_tracked(neardup_corpus(spark, sf_dir))
     sigs = persisted_signatures(
-        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3",
+        corpus_salt=_neardup_corpus_salt(),
     )
     reps = persisted_groups(
         spark,
@@ -821,6 +841,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         MINHASH_HASHES,
         MINHASH_BANDS,
         "word3",
+        corpus_salt=_neardup_corpus_salt(),
     )
     toks = corpus.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
     survivors = (
@@ -878,7 +899,10 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import persisted_simhash, simhash_candidate_pairs
 
     corpus = neardup_corpus(spark, sf_dir)
-    fps = persisted_simhash(spark, sf_dir, corpus, SIMHASH_BITS, "sim48")
+    fps = persisted_simhash(
+        spark, sf_dir, corpus, SIMHASH_BITS, "sim48",
+        corpus_salt=_neardup_corpus_salt(),
+    )
     return simhash_candidate_pairs(
         fps, bits=SIMHASH_BITS, chunks=SIMHASH_CHUNKS, max_hamming=SIMHASH_MAXH
     )
@@ -896,7 +920,8 @@ def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = persist_tracked(neardup_corpus(spark, sf_dir))
     sigs = persisted_signatures(
-        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3",
+        corpus_salt=_neardup_corpus_salt(),
     )
     cand = persist_tracked(
         minhash_candidate_pairs(sigs, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS)
@@ -1486,15 +1511,25 @@ def approx_percentiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apx(p: float) -> F.Column:
         return F.expr(f"approx_percentile(c_acctbal, {p}, 1000)")
 
-    stats = cust.groupBy("c_mktsegment").agg(
-        pct(0.25).alias("e25"),
-        pct(0.5).alias("e50"),
-        pct(0.75).alias("e75"),
-        apx(0.25).alias("a25"),
-        apx(0.5).alias("a50"),
-        apx(0.75).alias("a75"),
-        (F.max("c_acctbal") - F.min("c_acctbal")).alias("spread"),
-        F.count(F.lit(1)).alias("n"),
+    from .caching import persist_tracked
+
+    # persisted: the 5-row sketch table feeds BOTH the broadcast side
+    # of the rank pass and the final join — without the persist the
+    # exact+approx percentile aggregation (the query's expensive
+    # stage) evaluates twice, and the two evaluations could in
+    # principle see different partition orders, making value_ok and
+    # rank_ok judge different sketch values
+    stats = persist_tracked(
+        cust.groupBy("c_mktsegment").agg(
+            pct(0.25).alias("e25"),
+            pct(0.5).alias("e50"),
+            pct(0.75).alias("e75"),
+            apx(0.25).alias("a25"),
+            apx(0.5).alias("a50"),
+            apx(0.75).alias("a75"),
+            (F.max("c_acctbal") - F.min("c_acctbal")).alias("spread"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
     def rk(a: str) -> list:
@@ -4027,7 +4062,8 @@ def lsh_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         persisted_ppjoin_truth(spark, sf_dir).select("id_a", "id_b")
     )
     sigs = persisted_signatures(
-        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3",
+        corpus_salt=_neardup_corpus_salt(),
     )
     cand = persist_tracked(
         minhash_candidate_pairs(
@@ -4669,7 +4705,8 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = neardup_corpus(spark, sf_dir)
     sigs = persisted_signatures(
-        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3"
+        spark, sf_dir, corpus, MINHASH_HASHES, WORD_NGRAM, "word", "word3",
+        corpus_salt=_neardup_corpus_salt(),
     )
     groups = persisted_groups(
         spark,
@@ -4679,6 +4716,7 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MINHASH_HASHES,
         bands=MINHASH_BANDS,
         tag="word3",
+        corpus_salt=_neardup_corpus_salt(),
     )
     assigned = hash_split(
         corpus.select("doc_id"), "doc_id", SPLIT_FRACTIONS, buckets=SPLIT_BUCKETS
@@ -4734,6 +4772,35 @@ def neardup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 EQUIDEPTH_TOL = 0.10  # range-binned counts must sit within 10% of n/k
 
 
+def equidepth_cut_probs(k: int) -> list:
+    """The k−1 interior cut probabilities of a k-bin equi-depth
+    histogram — shared by equidepth_by_range and the scale tool
+    (tools/scale_run_i.py) so the measured product path cannot drift
+    from the shipped one."""
+    return [i / k for i in range(1, k)]
+
+
+def equidepth_range_bin_counts(ev: DataFrame, acuts: list) -> dict:
+    """The PRODUCT side's range binning, shared with the scale tool:
+    one broadcast pass assigning each row to a bin by its position
+    among the k−1 cut literals (rows equal to a cut fall in the lower
+    bin — deterministic), then a k-row count collect (the
+    IVF-centroid class of bounded collect)."""
+    acut_arr = F.array(*[F.lit(c) for c in acuts])
+    return {
+        int(r["bin"]): int(r["n"])
+        for r in ev.select(
+            (
+                F.size(F.filter(acut_arr, lambda c: c < F.col("value")))
+                + F.lit(1)
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
 def equidepth_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB equi-depth histogram path, correctness-gated against
     value_histogram's contract (r7 verdict item 2c): cut points come
@@ -4755,8 +4822,7 @@ def equidepth_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds, k bin counts — the IVF-centroid class of collect."""
     ev = read_table(spark, sf_dir, "events").select("value", "event_id")
     k = HIST_BINS
-    ps = [i / k for i in range(1, k)]
-    plist = ", ".join(repr(p) for p in ps)
+    plist = ", ".join(repr(p) for p in equidepth_cut_probs(k))
     agg = ev.agg(
         F.expr(f"percentile(value, array({plist}))").alias("ecuts"),
         F.expr(f"approx_percentile(value, array({plist}), 1000)").alias(
@@ -4795,21 +4861,7 @@ def equidepth_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = {int(r["bin"]): (float(r["lo"]), float(r["hi"])) for r in bounds.collect()}
 
-    # the product path: range-bin by the broadcast approx cuts (rows
-    # equal to a cut fall in the lower bin — deterministic)
-    acut_arr = F.array(*[F.lit(c) for c in acuts])
-    counts = {
-        int(r["bin"]): int(r["n"])
-        for r in ev.select(
-            (
-                F.size(F.filter(acut_arr, lambda c: c < F.col("value")))
-                + F.lit(1)
-            ).alias("bin")
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    counts = equidepth_range_bin_counts(ev, acuts)
     ideal = n_rows / k
     balanced = (
         len(counts) == k
@@ -4927,7 +4979,7 @@ def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NEW outer_range_join (rangejoin.py's left-outer branch, the spare
 # slot), the two CHANGED rows (approx_percentiles_gate's small-n
 # rank-error gate; clicks_in_purchase_window, whose range_join kernel
-# module gained the outer branch), then the 46 remaining
+# module gained the outer branch), then the 47 remaining
 # round-6-certified rows (exactly 3 rounds stale, the rotation bound)
 # = exactly 50. equidepth_by_range also changed this round (a
 # small-n KeyError guard, sf0.01+ output bit-identical) but has no

@@ -491,3 +491,46 @@ def test_property_representatives_match_union_find(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_corpus_salt_rotates_signature_store(spark, tmp_path, monkeypatch):
+    """r9 review fix: the corpus DERIVATION salt is part of the store
+    fingerprint — a changed corpus_salt (a truncation constant or
+    builder code-token change at the call site) must rebuild under the
+    same tag, never serve the previous derivation's rows; an unchanged
+    salt must keep serving."""
+    import os
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators import ann
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        persisted_signatures,
+    )
+
+    monkeypatch.setattr(ann, "INDEX_ROOT", str(tmp_path / "idx"))
+    sf_dir = tmp_path / "sfY"
+    sf_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(sf_dir / "documents.parquet"))
+    corpus = spark.read.parquet(str(sf_dir / "documents.parquet"))
+
+    marker = os.path.join(
+        str(tmp_path / "idx"),
+        f"minhash_{ann.dataset_dir_key(str(sf_dir))}_t",
+        "meta.json",
+    )
+    persisted_signatures(
+        spark, str(sf_dir), corpus, 16, 3, "word", "t", corpus_salt="trunc40"
+    ).count()
+    mtime1 = os.path.getmtime(marker)
+    # same salt -> served, marker untouched
+    persisted_signatures(
+        spark, str(sf_dir), corpus, 16, 3, "word", "t", corpus_salt="trunc40"
+    ).count()
+    assert os.path.getmtime(marker) == mtime1
+    # changed derivation salt, same tag -> rebuild
+    persisted_signatures(
+        spark, str(sf_dir), corpus, 16, 3, "word", "t", corpus_salt="trunc60"
+    ).count()
+    assert os.path.getmtime(marker) > mtime1

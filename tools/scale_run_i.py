@@ -72,31 +72,26 @@ def expanded_events(spark, sf_dir: str, factor: int):
 
 
 def _equidepth_product_path(spark, dirpath: str) -> None:
-    """The approx+range PRODUCT side of equidepth_by_range, verbatim
-    (same constants, same expressions) minus the exact-ntile contract
-    gate — the part that runs at 100 TB."""
+    """The approx+range PRODUCT side of equidepth_by_range minus the
+    exact-ntile contract gate — the part that runs at 100 TB. The cut
+    probabilities and the range-binning pass come from the query
+    module's own helpers (equidepth_cut_probs /
+    equidepth_range_bin_counts), so this measures the SHIPPED kernel
+    and cannot drift from it."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        equidepth_cut_probs,
+        equidepth_range_bin_counts,
+    )
+
     ev = read_table(spark, dirpath, "events").select("value", "event_id")
-    k = HIST_BINS
-    ps = [i / k for i in range(1, k)]
-    plist = ", ".join(repr(p) for p in ps)
+    plist = ", ".join(repr(p) for p in equidepth_cut_probs(HIST_BINS))
     row = ev.agg(
         F.expr(f"approx_percentile(value, array({plist}), 1000)").alias(
             "acuts"
         )
     ).collect()[0]
     acuts = [float(x) for x in row["acuts"]]
-    acut_arr = F.array(*[F.lit(c) for c in acuts])
-    (
-        ev.select(
-            (
-                F.size(F.filter(acut_arr, lambda c: c < F.col("value")))
-                + F.lit(1)
-            ).alias("bin")
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    equidepth_range_bin_counts(ev, acuts)
 
 
 def run(spark, sf_dir: str, factor: int) -> dict:
