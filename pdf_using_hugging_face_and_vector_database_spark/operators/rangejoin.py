@@ -131,6 +131,12 @@ def pit_join(
     want at 100 TB — contrast the union+last_value as-of join
     (queries.asof_join_events), which is the EVENT-STREAM as-of where
     the right side has no interval structure to exploit.
+
+    ``how='left'`` is supported as-is: the interval predicate lives
+    INSIDE the join condition (unlike range_join's inner path), so
+    facts before the first version or with an unknown key null-extend
+    exactly once — semantics pinned by
+    tests/test_pit.py::test_pit_join_left_outer_semantics.
     """
     cond = (
         (facts[key] == dim[key])

@@ -190,3 +190,29 @@ def test_property_range_join_left_matches_reference(spark):
     # null-extended rows keep their point-side key (k3 points can
     # never match — the self-lineage regression surface)
     assert all(r.key is not None for r in rows)
+
+
+def test_pit_join_left_outer_semantics(spark):
+    """how='left' (r10 spare-slot groundwork): pit_join's interval
+    predicate already lives INSIDE the join condition, so the left
+    variant is correct as-is — facts before the first version or with
+    an unknown key come back exactly once, null-extended on the
+    dimension columns; matched facts behave identically to inner."""
+    facts = spark.createDataFrame(
+        [
+            (1, dt.date(2020, 3, 1)),   # inside v1
+            (1, dt.date(2019, 1, 1)),   # before first version -> null row
+            (3, dt.date(2021, 1, 1)),   # unknown key -> null row
+        ],
+        "k int, t date",
+    )
+    out = pit_join(facts, _dim(spark), key="k", time_col="t", how="left").collect()
+    got = {(r.k, str(r.t)): (r.attr, r.version) for r in out}
+    assert got == {
+        (1, "2020-03-01"): ("LOW", 1),
+        (1, "2019-01-01"): (None, None),
+        (3, "2021-01-01"): (None, None),
+    }
+    assert len(out) == 3  # unmatched facts appear exactly once
+    # the fact-side key survives on null-extended rows
+    assert all(r.k is not None for r in out)
