@@ -2100,6 +2100,11 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
 """
 
+    # stream==batch OUTER interval-join parity (r10): the bounded
+    # streaming replay of the left outer stream-stream join must equal
+    # the batch left banded range join — same oracle, the LEFT IEJoin
+    sql["stream_outer_interval_join"] = sql["outer_range_join"]
+
     # stream-static join parity: identical output contract to the
     # batch incremental dedup, same oracle
     sql["stream_dedup_incremental"] = sql["dedup_incremental"]
@@ -2329,6 +2334,38 @@ SELECT priority_at_ship, count(*)::BIGINT AS n_lines,
        SUM(l_orderkey)::BIGINT AS sum_keys,
        SUM(version)::BIGINT AS sum_versions
 FROM j GROUP BY priority_at_ship
+"""
+
+    # LEFT PIT join (r10): same SCD2 replay, then every customer LEFT
+    # joined to the version whose interval contains the audit instant —
+    # no-order customers and first-version-after-date customers stay,
+    # null-extended
+    from .queries import PIT_AS_OF
+
+    sql["outer_pit_join"] = f"""
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+changed AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM ordered WHERE prev IS NULL OR o_orderpriority <> prev),
+dim AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to,
+         (row_number() OVER w)::INT AS version
+  FROM changed
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+SELECT c.c_custkey AS custkey,
+       d.o_orderpriority AS priority_asof,
+       d.version,
+       strftime(d.valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from
+FROM customer c LEFT JOIN dim d
+  ON c.c_custkey = d.o_custkey
+ AND TIMESTAMP '{PIT_AS_OF}' >= d.valid_from
+ AND (d.valid_to IS NULL OR TIMESTAMP '{PIT_AS_OF}' < d.valid_to)
 """
 
     # robust MAD outliers: medians rounded at 6 BEFORE scoring in both

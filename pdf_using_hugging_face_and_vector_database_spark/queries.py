@@ -1930,6 +1930,25 @@ def stream_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream event-time interval join,
+    driver-checked (r9 verdict item 4 — extends the streaming-parity
+    family to OUTER semantics): the watermarked (clicks ⟕ purchases
+    within 1 hour) join replays the sentinel-extended finite fixture in
+    append mode — Spark emits each unmatched click exactly once, when
+    the watermark proves no future purchase can still match — and must
+    equal the batch LEFT banded range join bit-for-bit: its oracle IS
+    outer_range_join's (DuckDB native LEFT IEJoin). The sentinel
+    mechanics (why a finite outer replay needs them, and why the tail
+    would otherwise never flush) live in
+    streaming/joins.outer_join_landing_dir."""
+    from .streaming.joins import run_outer_interval_join_to_memory
+
+    return run_outer_interval_join_to_memory(
+        spark, sf_dir, query_name="q_stream_outer_interval_join"
+    )
+
+
 def stream_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 streaming variant, driver-checked: a landing directory of
     REAL PDFs (pdf_text.make_pdf: text layer + FlateDecode, derived
@@ -3645,6 +3664,50 @@ def pit_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIT_AS_OF = "1995-06-30 00:00:00"
+
+
+def outer_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT point-in-time join (operators/rangejoin.pit_join
+    ``how='left'`` — r9 verdict item 3, exercising pit_join's last
+    unregistered surface): every customer's order-priority SCD2
+    version valid AS OF one fixed audit instant; customers with no
+    orders at all (the fixture has many) or whose FIRST priority
+    version begins after the instant come back exactly once,
+    null-extended on the dimension columns — the "state of the world
+    on date D, including entities with no state yet" audit shape that
+    the inner PIT join silently drops. pit_join's interval predicate
+    already lives INSIDE the join condition (tests/test_pit.py pinned
+    the left semantics in r9), so left shuffles identically to inner:
+    an equi-join on the key with the interval residual in the probe,
+    no window, no dedup — one row per customer by the SCD2
+    disjoint-interval invariant. DuckDB replays change detection,
+    interval construction, and the LEFT PIT match as the oracle."""
+    from .operators.rangejoin import pit_join
+    from .operators.upsert import scd2_from_changelog
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    dim = scd2_from_changelog(
+        orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+        key="o_custkey",
+        attr="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        valid_col="o_orderdate",
+    )
+    facts = cust.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.lit(PIT_AS_OF).cast("timestamp").alias("as_of"),
+    )
+    j = pit_join(facts, dim, key="o_custkey", time_col="as_of", how="left")
+    return j.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority_asof"),
+        "version",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+    )
+
+
 PR_ITERS = 5
 PR_DAMPING = 0.85
 
@@ -4975,82 +5038,25 @@ def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ceil(147/50) = 3 rounds - three consecutive CORRECTNESS files
 # jointly cover the whole registry.
 #
-# Round-9 front (executes VERDICT r8 items 1, 2 and 4 exactly): the
-# NEW outer_range_join (rangejoin.py's left-outer branch, the spare
-# slot), the two CHANGED rows (approx_percentiles_gate's small-n
-# rank-error gate; clicks_in_purchase_window, whose range_join kernel
-# module gained the outer branch), then the 47 remaining
-# round-6-certified rows (exactly 3 rounds stale, the rotation bound)
-# = exactly 50. equidepth_by_range also changed this round (a
-# small-n KeyError guard, sf0.01+ output bit-identical) but has no
-# front slot: it carries local tri-scale oracle receipts in
-# NOTES_r9.md (the r8 precedent) and takes the FIRST slot of the
-# round-10 front, ahead of the round-7-certified block. The round-9
-# ann.py dead-import removal rotated the ann code-token salts; the
-# affected r7/r8-certified store consumers are receipt-covered the
-# same way and their stores pre-warmed at all three SFs. After the
-# r7 block: the round-8-certified block (the round-11 front).
+# Round-10 front (executes VERDICT r9 items 1, 3 and 4 exactly): the
+# two NEW spare-slot rows — outer_pit_join (pit_join's left branch,
+# implemented+test-pinned in r9, owed its oracle row) and
+# stream_outer_interval_join (the outer stream-stream parity row,
+# sharing outer_range_join's oracle) — then equidepth_by_range
+# (changed r9: small-n guard; receipt-covered, owed a driver row),
+# then the 47 round-7-certified rows (exactly 3 rounds stale, the
+# rotation bound) = exactly 50. After that: the round-8-certified
+# block (the round-11 front), then the round-9-certified block (the
+# round-12 front). At 149 queries / 50 slots the bound stays
+# ceil(149/50) = 3 rounds.
 QUERIES = {
-    # --- new/changed in round 9 (r8 verdict items 2 & 4): the LEFT
-    # banded range join (rangejoin.py gained the outer branch, so its
-    # batch consumer re-certifies alongside) and the rank-error
-    # small-n gate for the percentile sketch ---
-    "outer_range_join": outer_range_join,
-    "approx_percentiles_gate": approx_percentiles_gate,
-    "clicks_in_purchase_window": clicks_in_purchase_window,
-    # --- driver-green round 6 (3 rounds stale - the prescribed
-    # round-9 front; with the 3 rows above = exactly 50) ---
-    "snapshot_diff": snapshot_diff,
-    "rolling_fingerprint": rolling_fingerprint,
-    "chunker_separator": chunker_separator,
-    "q3_ann_recall": q3_ann_recall,
-    "media_pipeline": media_pipeline,
-    "video_frame_sample": video_frame_sample,
-    "clicks_before_purchase": clicks_before_purchase,
-    "cube_pricing": cube_pricing,
-    "session_windows_native": session_windows_native,
-    "pii_scrub": pii_scrub,
-    "pack_sequences": pack_sequences_q,
-    "contamination_check": contamination_check,
-    "stream_session_windows": stream_session_windows,
-    "embed_quantize": embed_quantize,
-    "stream_clicks_purchases": stream_clicks_purchases,
-    "chunker_udtf": chunker_udtf,
-    "udaf_median_acctbal": udaf_median_acctbal,
-    "q1_cosine_topk": q1_cosine_topk,
-    "q2_knn_join": q2_knn_join,
-    "q4_filtered_topk": q4_filtered_topk,
-    "q5_fetch_by_ids": q5_fetch_by_ids,
-    "q5_delete_by_ids": q5_delete_by_ids,
-    "chunker_stride": chunker_stride,
-    "chunk_metadata": chunk_metadata,
-    "pipeline_vectors": pipeline_vectors,
-    "text_stats": text_stats,
-    "lang_id": lang_id,
-    "corpus_stats": corpus_stats,
-    "doc_fingerprints": doc_fingerprints,
-    "dedup_exact": dedup_exact,
-    "minhash_signatures": minhash_signatures,
-    "neardup_minhash": neardup_minhash,
-    "neardup_groups": neardup_groups,
-    "neardup_simhash": neardup_simhash,
-    "neardup_jaccard": neardup_jaccard,
-    "token_counts": token_counts,
-    "vocab_top_tokens": vocab_top_tokens,
-    "tfidf_top_terms": tfidf_top_terms,
-    "sample_docs_hash": sample_docs_hash,
-    "approx_distinct_parts": approx_distinct_parts,
-    "tpch_q1_pricing": tpch_q1_pricing,
-    "revenue_by_nation": revenue_by_nation,
-    "lm_bigram_quality": lm_bigram_quality,
-    "funnel_conversion": funnel_conversion,
-    "retention_cohorts": retention_cohorts,
-    "scd2_customer_priority": scd2_customer_priority,
-    "anomaly_mad": anomaly_mad,
-    # --- changed round 9 but out of front slots (small-n guard only;
-    # sf0.01+ output bit-identical): certified by the local tri-scale
-    # oracle receipts in NOTES_r9.md (the r8 precedent for plumbing
-    # under certified queries); FIRST slot of the round-10 front ---
+    # --- new in round 10 (r9 verdict items 3 & 4): the LEFT
+    # point-in-time join and the LEFT OUTER stream-stream interval
+    # join (streaming parity family, outer semantics) ---
+    "outer_pit_join": outer_pit_join,
+    "stream_outer_interval_join": stream_outer_interval_join,
+    # --- changed round 9 (small-n guard; receipt-covered in
+    #     NOTES_r9.md) - the owed driver row, 3rd front slot ---
     "equidepth_by_range": equidepth_by_range,
     # --- driver-green round 7 (the rest of the round-10 front) ---
     "semantic_dedup": semantic_dedup,
@@ -5151,6 +5157,58 @@ QUERIES = {
     "impute_event_values": impute_event_values,
     "q3_ann_append": q3_ann_append,
     "rolling_distinct_users": rolling_distinct_users,
+    # --- driver-green round 9 (newest certifications; the round-12
+    # front) ---
+    "outer_range_join": outer_range_join,
+    "approx_percentiles_gate": approx_percentiles_gate,
+    "clicks_in_purchase_window": clicks_in_purchase_window,
+    "snapshot_diff": snapshot_diff,
+    "rolling_fingerprint": rolling_fingerprint,
+    "chunker_separator": chunker_separator,
+    "q3_ann_recall": q3_ann_recall,
+    "media_pipeline": media_pipeline,
+    "video_frame_sample": video_frame_sample,
+    "clicks_before_purchase": clicks_before_purchase,
+    "cube_pricing": cube_pricing,
+    "session_windows_native": session_windows_native,
+    "pii_scrub": pii_scrub,
+    "pack_sequences": pack_sequences_q,
+    "contamination_check": contamination_check,
+    "stream_session_windows": stream_session_windows,
+    "embed_quantize": embed_quantize,
+    "stream_clicks_purchases": stream_clicks_purchases,
+    "chunker_udtf": chunker_udtf,
+    "udaf_median_acctbal": udaf_median_acctbal,
+    "q1_cosine_topk": q1_cosine_topk,
+    "q2_knn_join": q2_knn_join,
+    "q4_filtered_topk": q4_filtered_topk,
+    "q5_fetch_by_ids": q5_fetch_by_ids,
+    "q5_delete_by_ids": q5_delete_by_ids,
+    "chunker_stride": chunker_stride,
+    "chunk_metadata": chunk_metadata,
+    "pipeline_vectors": pipeline_vectors,
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "corpus_stats": corpus_stats,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "neardup_minhash": neardup_minhash,
+    "neardup_groups": neardup_groups,
+    "neardup_simhash": neardup_simhash,
+    "neardup_jaccard": neardup_jaccard,
+    "token_counts": token_counts,
+    "vocab_top_tokens": vocab_top_tokens,
+    "tfidf_top_terms": tfidf_top_terms,
+    "sample_docs_hash": sample_docs_hash,
+    "approx_distinct_parts": approx_distinct_parts,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "revenue_by_nation": revenue_by_nation,
+    "lm_bigram_quality": lm_bigram_quality,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
+    "scd2_customer_priority": scd2_customer_priority,
+    "anomaly_mad": anomaly_mad,
 }
 
 

@@ -108,11 +108,26 @@ def run_sessions_to_memory(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
-def read_events_stream(spark, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark,
+    sf_dir: str,
+    directory: str | None = None,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming read of the events fixture (parquet directory source).
 
     The nanos timestamp lands as LongType under nanosAsLong; normalize
     like io.read_table does for batch.
+
+    ``directory``/``glob`` point the file source somewhere other than
+    the fixture dir (e.g. a derived landing dir that appends sentinel
+    files — streaming/joins.outer_join_landing_dir) while the SCHEMA
+    still comes from the canonical fixture file, so every landing
+    variant is forced to write schema-identical files.
+    ``max_files_per_trigger`` bounds batch admission — the knob that
+    makes multi-batch watermark advancement deterministic in the
+    bounded replays (file source processes files in mtime order).
     """
     import os
 
@@ -123,11 +138,12 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     static_schema = spark.read.parquet(path).schema
     # the fixture is a single file; the streaming file source wants a
     # directory, so stream the parent dir filtered to this file
-    stream = (
-        spark.readStream.schema(static_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(static_schema).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(directory or sf_dir)
     if isinstance(static_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(static_schema["ts"].dataType, T.TimestampNTZType):

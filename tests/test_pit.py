@@ -216,3 +216,26 @@ def test_pit_join_left_outer_semantics(spark):
     assert len(out) == 3  # unmatched facts appear exactly once
     # the fact-side key survives on null-extended rows
     assert all(r.k is not None for r in out)
+
+
+def test_outer_pit_join_query_semantics(spark, sf_dir):
+    """r10 registered row: every customer exactly once; customers with
+    no orders (or first version after the audit instant) null-extend;
+    matched rows agree with the INNER pit join on the same graph."""
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        outer_pit_join,
+    )
+
+    rows = outer_pit_join(spark, sf_dir).collect()
+    n_cust = read_table(spark, sf_dir, "customer").count()
+    assert len(rows) == n_cust  # disjoint intervals: one row per customer
+    assert len({r.custkey for r in rows}) == n_cust
+    nulls = [r for r in rows if r.priority_asof is None]
+    assert nulls, "fixture has customers with no orders"
+    # null-extension is all-or-nothing across the dimension columns
+    for r in rows:
+        dim_side = (r.priority_asof, r.version, r.valid_from)
+        assert all(v is None for v in dim_side) or all(
+            v is not None for v in dim_side
+        )

@@ -502,3 +502,17 @@ def test_signature_queries_serve_stores_not_reshingle(spark, sf_dir):
     assert "md5" not in p.lower(), p  # banding explodes chunks, not tokens
     locs = [ln for ln in p.splitlines() if "Location" in ln]
     assert locs and all("simhash_" in ln for ln in locs), locs
+
+
+def test_outer_pit_join_is_equijoin_not_nested_loop(spark, sf_dir):
+    """r10 left PIT join: Catalyst must extract the custkey equality
+    as the JOIN KEY — a LeftOuter hash/sort-merge join with the
+    interval residual evaluated inside — never a nested loop over the
+    raw interval predicate (SCD2 disjointness makes the equi-join
+    shape correct; the residual is probe-side work only)."""
+    plan = formatted_plan(Q.outer_pit_join(spark, sf_dir))
+    low = plan.lower()
+    assert "nestedloop" not in low, plan
+    assert "cartesian" not in low, plan
+    assert "leftouter" in low.replace(" ", ""), plan
+    assert "o_custkey" in plan

@@ -64,3 +64,28 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
         for r in clicks_in_purchase_window(spark, sf_dir).collect()
     }
     assert stream_pairs == batch_pairs
+
+
+def test_stream_outer_interval_join_matches_batch(spark, sf_dir):
+    """r10 outer parity: the LEFT OUTER stream-stream interval join's
+    bounded replay equals the batch left banded range join on FULL
+    rows — matched pairs identical, every unmatched click present
+    exactly once null-extended (the sentinel files exist precisely to
+    flush the tail; see streaming/joins.outer_join_landing_dir)."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        outer_range_join,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.streaming.joins import (
+        run_outer_interval_join_to_memory,
+    )
+
+    stream_rows = [
+        tuple(r) for r in run_outer_interval_join_to_memory(spark, sf_dir).collect()
+    ]
+    batch_rows = [tuple(r) for r in outer_range_join(spark, sf_dir).collect()]
+    assert sorted(stream_rows, key=str) == sorted(batch_rows, key=str)
+    # no sentinel leaked, and unmatched clicks appear exactly once
+    assert all(r[0] >= 0 for r in stream_rows)
+    nulls = [r for r in stream_rows if r[3] is None]
+    assert len(nulls) == len({r[0] for r in nulls})
+    assert nulls, "fixture should contain unconverted clicks"
