@@ -660,14 +660,25 @@ def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_corpus_salt() -> str:
     """Derivation salt for every store built over the SYNTHETIC
     near-dup corpus (r9 review fix): the truncation constant plus a
-    code token of the corpus builder itself, so changing either
-    rotates the store fingerprints instead of serving signatures /
-    fingerprints / groups of a corpus that no longer exists in that
-    form — the tag ('char7'/'word3'/'sim48') alone was an unenforced
-    naming convention. Raw-documents stores pass 'raw' instead."""
-    from .store import code_token
+    code token of the corpus builder, so changing either rotates the
+    store fingerprints instead of serving signatures / fingerprints /
+    groups of a corpus that no longer exists in that form — the tag
+    ('char7'/'word3'/'sim48') alone was an unenforced naming
+    convention. Raw-documents stores pass 'raw' instead.
 
-    return f"trunc{NEARDUP_TRUNC}:{code_token(neardup_corpus)}"
+    Token granularity (r9 ADVICE): closure_code_token covers the
+    builder PLUS every same-module function its body references (a
+    helper later extracted from neardup_corpus is hashed
+    automatically), plus the io module whose read_table semantics the
+    derivation flows through. Whole-module hashing of queries.py is
+    deliberately NOT used: the registry header changes every round, so
+    it would rotate every signature store's fingerprint per round —
+    useless as a corpus-version marker and a standing cold-rebuild tax
+    on the driver."""
+    from . import io as _io
+    from .store import closure_code_token
+
+    return f"trunc{NEARDUP_TRUNC}:{closure_code_token(neardup_corpus, _io)}"
 
 
 def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

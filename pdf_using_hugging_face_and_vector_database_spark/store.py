@@ -66,26 +66,77 @@ def code_token(*objs) -> str:
 
     When source text is unavailable (``inspect.getsource`` raises
     OSError under zipimport/frozen/.pyc-only deployments — r8 ADVICE),
-    fall back to hashing the module file's bytes, then to the object's
-    qualified name: a store-backed query must degrade to (at worst) a
-    spurious rebuild, never crash at salt time."""
+    fall back to hashing the module file's bytes, then (r9 ADVICE: the
+    old name-only last resort was STABLE across code edits, degrading
+    to silently serving stale stores in a deployment where neither
+    source nor file is readable) to whatever change-sensitive material
+    the object still carries — ``__loader__.get_data`` bytes for
+    zipimported modules, ``__code__`` bytecode + consts for functions —
+    with the qualified name folded in last. A store-backed query must
+    degrade to (at worst) a spurious rebuild, never crash at salt
+    time."""
     h = hashlib.sha256()
     for obj in objs:
         try:
             h.update(inspect.getsource(obj).encode())
         except (OSError, TypeError):
-            f = getattr(obj, "__file__", None) or getattr(
-                inspect.getmodule(obj), "__file__", None
-            )
+            mod = obj if inspect.ismodule(obj) else inspect.getmodule(obj)
+            f = getattr(obj, "__file__", None) or getattr(mod, "__file__", None)
             try:
                 with open(f, "rb") as fh:
                     h.update(fh.read())
             except (OSError, TypeError):
+                loader = getattr(mod, "__loader__", None)
+                if loader is not None and f and hasattr(loader, "get_data"):
+                    try:
+                        h.update(loader.get_data(f))
+                    except OSError:
+                        pass
+                code = getattr(obj, "__code__", None)
+                if code is not None:
+                    h.update(code.co_code)
+                    h.update(repr(code.co_consts).encode())
                 h.update(
                     f"{getattr(obj, '__module__', '')}:"
                     f"{getattr(obj, '__qualname__', getattr(obj, '__name__', repr(obj)))}".encode()
                 )
     return h.hexdigest()[:12]
+
+
+def closure_code_token(fn, *modules) -> str:
+    """:func:`code_token` over ``fn`` AND every same-module function it
+    references (transitively, via ``co_names``), plus the given helper
+    modules — the granularity between function-level (which misses a
+    helper later extracted from the function's body: r9 ADVICE on
+    `_neardup_corpus_salt`) and whole-module (which, for a module that
+    gains unrelated edits every round, rotates every consumer's store
+    fingerprint on each edit, making the fingerprint useless as a
+    corpus-version marker). Non-function globals the body reads (e.g.
+    derivation constants) are NOT covered — callers fold those into
+    the salt explicitly, where the oracle can read them too."""
+    import sys
+
+    mod = sys.modules[fn.__module__]
+    seen: set[str] = set()
+    stack, objs = [fn], []
+    while stack:
+        f = stack.pop()
+        name = getattr(f, "__qualname__", getattr(f, "__name__", ""))
+        if name in seen:
+            continue
+        seen.add(name)
+        objs.append(f)
+        code = getattr(f, "__code__", None)
+        if code is None:
+            continue
+        for ref in code.co_names:
+            cand = getattr(mod, ref, None)
+            if (
+                inspect.isfunction(cand)
+                and getattr(cand, "__module__", None) == fn.__module__
+            ):
+                stack.append(cand)
+    return code_token(*objs, *modules)
 
 
 def read_marker(marker: str) -> dict:

@@ -279,3 +279,63 @@ def test_code_token_survives_missing_source(monkeypatch):
     # a spurious rebuild — the degraded token is hash-identical
     monkeypatch.setattr(st.inspect, "getsource", real)
     assert st.code_token(setjoin) == t_setjoin
+
+
+def test_code_token_last_resort_is_change_sensitive():
+    """r9 ADVICE item 2 (fixed r10): when NEITHER getsource NOR the
+    module file is readable, the last-resort token must still rotate
+    on a kernel change — co_code + consts for functions — not degrade
+    to a stable name-only hash that silently serves stale stores."""
+    from pdf_using_hugging_face_and_vector_database_spark import store as st
+
+    def make(body):
+        # exec-compiled with a fake filename: getsource raises, the
+        # module file lookup fails -> last-resort branch
+        ns = {}
+        exec(compile(f"def kernel(x):\n    return {body}\n", "<nofile>", "exec"), ns)
+        fn = ns["kernel"]
+        fn.__module__ = "__fake_zipimported_module__"
+        return fn
+
+    a1, a2, b = make("x + 1"), make("x + 1"), make("x + 2")
+    assert st.code_token(a1) == st.code_token(a2)  # deterministic
+    assert st.code_token(a1) != st.code_token(b)  # rotates on change
+    # constant-only change (same bytecode shape) rotates via co_consts
+    c = make("x + 3")
+    assert st.code_token(b) != st.code_token(c)
+
+
+def test_closure_code_token_covers_extracted_helper(tmp_path):
+    """r9 ADVICE item 1 (fixed r10): closure_code_token must hash a
+    same-module helper the builder calls (so extracting derivation
+    logic into a helper cannot silently keep serving old-corpus
+    stores), while an edit to an UNREFERENCED function in the same
+    module must NOT rotate the token (the reason whole-module hashing
+    of queries.py is rejected)."""
+    import importlib.util
+    import sys
+
+    from pdf_using_hugging_face_and_vector_database_spark import store as st
+
+    def load(name, helper_body, unrelated_body):
+        p = tmp_path / f"{name}.py"
+        p.write_text(
+            f"def _helper(x):\n    return {helper_body}\n\n"
+            f"def unrelated(x):\n    return {unrelated_body}\n\n"
+            "def builder(x):\n    return _helper(x)\n"
+        )
+        spec = importlib.util.spec_from_file_location(name, p)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    base = load("clos_base", "x + 1", "x * 2")
+    helper_changed = load("clos_helper", "x + 99", "x * 2")
+    unrelated_changed = load("clos_unrel", "x + 1", "x * 777")
+    t = st.closure_code_token(base.builder)
+    assert t == st.closure_code_token(base.builder)  # deterministic
+    assert t != st.closure_code_token(helper_changed.builder)
+    assert t == st.closure_code_token(unrelated_changed.builder)
+    # extra helper modules fold in
+    assert st.closure_code_token(base.builder, st) != t
