@@ -164,8 +164,21 @@ def outer_join_landing_dir(spark, sf_dir: str) -> str:
         os.remove(marker)
     for stale in os.listdir(landing):
         os.remove(os.path.join(landing, stale))
-    shutil.copyfile(src, os.path.join(landing, "batch_0_events.parquet"))
-    tbl = pq.read_table(src)
+    if os.path.isfile(src):
+        shutil.copyfile(src, os.path.join(landing, "batch_0_events.parquet"))
+        tbl = pq.read_table(src)
+    else:
+        # a Spark-written dataset (directory of part files): coalesce
+        # into ONE landing file so all real data is admitted in ONE
+        # micro-batch — per-part batches would advance the watermark
+        # between unordered parts and silently DROP late rows from the
+        # join (the file source admits whole files; parts carry
+        # arbitrary time ranges)
+        import glob as _glob
+
+        parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+        pq.write_table(tbl, os.path.join(landing, "batch_0_events.parquet"))
     schema = tbl.schema
     max_ts = pc.max(tbl.column("ts")).as_py()
     base_mtime = os.stat(src).st_mtime
