@@ -36,16 +36,18 @@ def range_join(
     on: tuple[str, ...] = (),
     bucket_seconds: int = 3600,
     how: str = "inner",
+    interval_id: tuple[str, ...] = (),
 ) -> DataFrame:
     """points ⋈ intervals where ``start <= ts <= end`` (inclusive both
     ends, matching SQL BETWEEN) and the ``on`` keys are equal. Output
     columns = points ∪ intervals (minus the helper bucket). Column
     names must be disjoint apart from ``on``.
 
-    ``how``: ``'inner'`` or ``'left'`` (all points kept; a point
-    inside no interval comes back once, null-extended on the interval
-    columns). The two variants place the exact BETWEEN predicate
-    differently — and must:
+    ``how``: ``'inner'``, ``'left'`` (all points kept; a point inside
+    no interval comes back once, null-extended on the interval
+    columns), ``'right'`` or ``'full'`` (r10: unmatched INTERVALS also
+    kept, exactly once — requires ``interval_id``, see below). The
+    variants place the exact BETWEEN predicate differently — and must:
 
     - inner: verify AFTER the equi-join (a plain codegen'd filter on
       the join output — the cheapest placement);
@@ -57,19 +59,65 @@ def range_join(
       the residual just evaluates during the probe. Because a point
       lives in exactly ONE bucket, an unmatched point null-extends
       exactly once — no dedup pass.
-
-    right/full stay NotImplementedError: intervals are EXPLODED into
-    one row per overlapped bucket, so an unmatched interval would
-    null-extend once per replica; a correct rewrite needs a post-join
-    replica dedup keyed on the interval's identity, which this
-    operator does not require callers to provide.
+    - right/full: intervals are EXPLODED into one row per overlapped
+      bucket, so null-extending the join's unmatched replicas would
+      emit once per replica, not per interval. Instead the unmatched
+      intervals are recovered from the ORIGINAL (un-exploded) side:
+      matched ``interval_id``s are collected from the banded join
+      (a distinct bounded by the matched-interval count) and
+      anti-joined back — each never-matched interval then emits
+      exactly once, null-extended on the point columns, with its own
+      key values in the ``on`` columns. That is why these modes
+      require ``interval_id`` (column(s) uniquely identifying an
+      interval row): there is no correct replica-level dedup without
+      an identity, which is also why they were previously refused.
+      right = inner ∪ unmatched-intervals; full = left ∪
+      unmatched-intervals. Cost over left: one distinct + one
+      broadcast-able anti-join on the interval side — the point side
+      (the big side at 100 TB) is scanned no extra time.
     """
-    if how not in ("inner", "left"):
-        raise NotImplementedError(
-            "range_join supports how='inner' or 'left' only; right/full "
-            "would null-extend one row per exploded interval bucket "
-            "replica, not per interval"
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"range_join: unknown how={how!r}")
+    if how in ("right", "full") and not interval_id:
+        raise ValueError(
+            "range_join how='right'/'full' needs interval_id: unmatched "
+            "intervals are recovered by identity from the un-exploded "
+            "side (an exploded replica cannot be null-extended exactly "
+            "once without one)"
         )
+    if how in ("right", "full"):
+        missing = [c for c in interval_id if c not in intervals.columns]
+        if missing:
+            raise ValueError(f"interval_id columns not in intervals: {missing}")
+        # matched side first: inner (right) or left (full) banded join
+        base = range_join(
+            points, intervals, point_ts, start_col, end_col,
+            on=on, bucket_seconds=bucket_seconds,
+            how="inner" if how == "right" else "left",
+        )
+        matched = base
+        for c in interval_id:
+            # in the full/left base the unmatched-POINT rows carry null
+            # interval ids — they matched nothing
+            matched = matched.filter(F.col(c).isNotNull())
+        mids = matched.select(
+            *[F.col(c).alias(f"__rj_m_{c}") for c in interval_id]
+        ).dropDuplicates()
+        anti_cond = None
+        for c in interval_id:
+            term = intervals[c] == F.col(f"__rj_m_{c}")
+            anti_cond = term if anti_cond is None else anti_cond & term
+        never_matched = intervals.join(mids, anti_cond, "left_anti")
+        point_types = {f.name: f.dataType for f in points.schema.fields}
+        u = never_matched.select(
+            *[
+                F.col(c)
+                if c in intervals.columns
+                else F.lit(None).cast(point_types[c]).alias(c)
+                for c in base.columns
+            ]
+        )
+        return base.unionByName(u)
     w_us = F.lit(int(bucket_seconds) * 1_000_000)
     p = points.withColumn(
         BUCKET_COL, F.floor(F.unix_micros(F.col(point_ts)) / w_us)

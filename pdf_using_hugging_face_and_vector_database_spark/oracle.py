@@ -2100,6 +2100,21 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
 """
 
+    # FULL banded interval join (r10): DuckDB's native FULL IEJoin;
+    # user_id fills from whichever side is present, matching the
+    # operator's on-key contract
+    sql["full_outer_range_join"] = """
+SELECT c.event_id AS click_id,
+       coalesce(c.user_id, p.user_id) AS user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.event_id AS purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
     # stream==batch OUTER interval-join parity (r10): the bounded
     # streaming replay of the left outer stream-stream join must equal
     # the batch left banded range join — same oracle, the LEFT IEJoin

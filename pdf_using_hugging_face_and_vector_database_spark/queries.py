@@ -1728,6 +1728,47 @@ def outer_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def full_outer_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL banded interval join (operators/rangejoin.py ``how='full'``
+    — r10, retiring the operator's last declared refusal): every
+    (click, containing purchase-window) pair, PLUS every click inside
+    no window (null-extended on the purchase columns), PLUS every
+    purchase window containing no click (null-extended on the click
+    columns) — the two-sided attribution audit ("which clicks
+    converted, which purchases arrived cold"). The exploded-replica
+    hazard the old NotImplementedError documented is resolved by
+    recovering unmatched intervals from the UN-exploded side via a
+    distinct + anti-join on the interval identity (purchase_id), so
+    each cold purchase emits exactly once. user_id fills from
+    whichever side is present (the operator's on-key contract);
+    DuckDB replays the FULL IEJoin natively as the oracle."""
+    from .operators.rangejoin import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    out = range_join(
+        clicks, purchases, point_ts="c_ts", start_col="w_start", end_col="w_end",
+        on=("user_id",), bucket_seconds=3600, how="full",
+        interval_id=("purchase_id",),
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
 def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all 2^k grouping sets in one pass — the
     rollup_pricing sibling): per (returnflag x linestatus), each
@@ -5058,8 +5099,14 @@ def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then the 47 round-7-certified rows (exactly 3 rounds stale, the
 # rotation bound) = exactly 50. After that: the round-8-certified
 # block (the round-11 front), then the round-9-certified block (the
-# round-12 front). At 149 queries / 50 slots the bound stays
-# ceil(149/50) = 3 rounds.
+# round-12 front), then full_outer_range_join (NEW in r10 but out of
+# front slots: local tri-scale oracle receipts in NOTES_r10.md — the
+# r9 equidepth precedent — and the FIRST slot of the round-11 front).
+# rangejoin.py gained the right/full branch this round: its certified
+# consumers (clicks_in_purchase_window, outer_range_join — r9 rows)
+# are receipt-covered in NOTES_r10.md the same way, and the module is
+# exercised live by the front's outer_pit_join. At 150 queries / 50
+# slots the bound stays ceil(150/50) = 3 rounds.
 QUERIES = {
     # --- new in round 10 (r9 verdict items 3 & 4): the LEFT
     # point-in-time join and the LEFT OUTER stream-stream interval
@@ -5220,6 +5267,10 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "scd2_customer_priority": scd2_customer_priority,
     "anomaly_mad": anomaly_mad,
+    # --- new in round 10 but out of front slots (the front is exactly
+    # 2 new + equidepth + the 47 round-7 rows): local tri-scale oracle
+    # receipts in NOTES_r10.md; FIRST slot of the round-11 front ---
+    "full_outer_range_join": full_outer_range_join,
 }
 
 

@@ -239,3 +239,102 @@ def test_outer_pit_join_query_semantics(spark, sf_dir):
         assert all(v is None for v in dim_side) or all(
             v is not None for v in dim_side
         )
+
+
+def test_property_range_join_right_and_full_match_reference(spark):
+    """Randomized sweep (fixed seed) for how='right'/'full' (r10 —
+    retiring the operator's declared refusal): matched pairs equal the
+    plain-Python reference exactly; every interval matching no point
+    appears EXACTLY once null-extended (the replica-dedup hazard the
+    old NotImplementedError documented); for full, unmatched points
+    too; the on-key survives from whichever side is present."""
+    import random
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    rng = random.Random(0xD00D)
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    points = [
+        (i, rng.choice(("k1", "k2", "k3")), ts(rng.randint(0, 600)))
+        for i in range(100)
+    ]
+    intervals = []
+    for j in range(40):
+        s = rng.randint(0, 600)
+        e = s + rng.choice((0, 1, rng.randint(2, 300)))
+        # k4 intervals can never match (no k4 points) — and some
+        # intervals span MANY buckets (bucket_seconds=60), the replica
+        # explosion the exactly-once check targets
+        intervals.append((j, rng.choice(("k1", "k2", "k4")), ts(s), ts(e)))
+    pdf = spark.createDataFrame(points, "pid long, key string, ts timestamp")
+    idf = spark.createDataFrame(
+        intervals, "iid long, key string, start timestamp, end timestamp"
+    )
+    want_pairs = {
+        (pid, iid)
+        for pid, pkey, pts in points
+        for iid, ikey, s, e in intervals
+        if pkey == ikey and s <= pts <= e
+    }
+    matched_iids = {i for _, i in want_pairs}
+    matched_pids = {p for p, _ in want_pairs}
+
+    for how in ("right", "full"):
+        rows = range_join(
+            pdf, idf, "ts", "start", "end", on=("key",), bucket_seconds=60,
+            how=how, interval_id=("iid",),
+        ).collect()
+        got_pairs = {
+            (r.pid, r.iid) for r in rows if r.iid is not None and r.pid is not None
+        }
+        assert got_pairs == want_pairs, how
+        null_point = [r for r in rows if r.pid is None]
+        assert {r.iid for r in null_point} == {
+            iid for iid, *_ in intervals if iid not in matched_iids
+        }, how
+        assert len(null_point) == len(intervals) - len(matched_iids), how
+        # exactly once even for multi-bucket replicas, key from interval
+        assert all(r.key is not None for r in null_point), how
+        null_interval = [r for r in rows if r.iid is None]
+        if how == "right":
+            assert not null_interval
+            assert len(rows) == len(want_pairs) + len(null_point)
+        else:
+            assert {r.pid for r in null_interval} == {
+                pid for pid, _, _ in points if pid not in matched_pids
+            }
+            assert len(rows) == len(want_pairs) + len(null_point) + len(
+                null_interval
+            )
+
+
+def test_range_join_right_full_guards(spark):
+    """right/full without interval_id raise the documented ValueError;
+    unknown how raises."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    pdf = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "pid long, ts timestamp"
+    )
+    idf = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        "iid long, start timestamp, end timestamp",
+    )
+    with pytest.raises(ValueError, match="interval_id"):
+        range_join(pdf, idf, "ts", "start", "end", how="full")
+    with pytest.raises(ValueError, match="unknown how"):
+        range_join(pdf, idf, "ts", "start", "end", how="cross")
+    with pytest.raises(ValueError, match="not in intervals"):
+        range_join(
+            pdf, idf, "ts", "start", "end", how="right", interval_id=("nope",)
+        )

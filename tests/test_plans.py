@@ -516,3 +516,19 @@ def test_outer_pit_join_is_equijoin_not_nested_loop(spark, sf_dir):
     assert "cartesian" not in low, plan
     assert "leftouter" in low.replace(" ", ""), plan
     assert "o_custkey" in plan
+
+
+def test_full_outer_range_join_plan_shape(spark, sf_dir):
+    """r10 full banded range join: the matched side must stay the
+    banded equi-join (no nested loop, no cartesian), and the
+    unmatched-interval recovery must be a LeftAnti join against the
+    distinct matched ids — visible as exactly one LeftAnti in the
+    plan — with the union on top."""
+    plan = formatted_plan(Q.full_outer_range_join(spark, sf_dir))
+    low = plan.lower()
+    assert "nestedloop" not in low, plan
+    assert "cartesian" not in low, plan
+    assert "leftouter" in low.replace(" ", ""), plan
+    assert low.count("leftanti") >= 1, plan
+    assert "union" in low, plan
+    assert "__rj_bucket" in plan and "__rj_m_purchase_id" in plan

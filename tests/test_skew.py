@@ -167,7 +167,11 @@ def test_range_join_left_outer_self_lineage(spark):
     assert all(r["user_id"] is not None for r in out)
 
 
-def test_range_join_rejects_right_full(spark):
+def test_range_join_how_contract(spark):
+    """r10: right/full are IMPLEMENTED but demand interval_id (the
+    identity that makes exactly-once null-extension of exploded
+    intervals possible — the old NotImplementedError's reason, now an
+    explicit API requirement); unknown modes still fail fast."""
     import pytest as _pytest
 
     from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
@@ -179,9 +183,11 @@ def test_range_join_rejects_right_full(spark):
         F.current_timestamp().alias("w_start"),
         F.current_timestamp().alias("w_end"),
     )
-    for bad in ("right", "full", "left_anti"):
-        with _pytest.raises(NotImplementedError):
-            range_join(df, df, "c_ts", "w_start", "w_end", how=bad)
+    for needs_id in ("right", "full"):
+        with _pytest.raises(ValueError, match="interval_id"):
+            range_join(df, df, "c_ts", "w_start", "w_end", how=needs_id)
+    with _pytest.raises(ValueError, match="unknown how"):
+        range_join(df, df, "c_ts", "w_start", "w_end", how="left_anti")
 
 
 def test_skew_report_detects_planted_skew(spark):

@@ -131,6 +131,20 @@ def run(spark, sf_dir: str, factor: int) -> dict:
         out["rangejoin_left_sec"] = _min_of(2, _left)
         out["rangejoin_left_rows"] = counts["left"]
 
+        # r10: the FULL variant (left ∪ anti-join-recovered unmatched
+        # intervals) — present only in runs taken after rangejoin.py
+        # gained the right/full branch
+        if "full_outer_range_join" in QUERIES:
+
+            def _full():
+                release_caches()
+                counts["full"] = QUERIES["full_outer_range_join"](
+                    spark, scratch
+                ).count()
+
+            out["rangejoin_full_sec"] = _min_of(2, _full)
+            out["rangejoin_full_rows"] = counts["full"]
+
         def _pct():
             release_caches()
             QUERIES["approx_percentiles_gate"](spark, scratch).collect()
@@ -180,6 +194,7 @@ def main() -> None:
                 "approx_pct_gate_sec",
                 "equidepth_full_sec",
                 "equidepth_product_sec",
+                *(("rangejoin_full_sec",) if "rangejoin_full_sec" in r1 else ()),
             )
         },
         "note": (
