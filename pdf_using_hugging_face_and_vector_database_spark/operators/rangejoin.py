@@ -69,22 +69,42 @@ def range_join(
       exactly once, null-extended on the point columns, with its own
       key values in the ``on`` columns. That is why these modes
       require ``interval_id`` (column(s) uniquely identifying an
-      interval row): there is no correct replica-level dedup without
-      an identity, which is also why they were previously refused.
-      right = inner ∪ unmatched-intervals; full = left ∪
-      unmatched-intervals. Cost over left: one distinct + one
-      broadcast-able anti-join on the interval side — the point side
-      (the big side at 100 TB) is scanned no extra time.
+      interval row, NON-NULL — an interval whose id is null is
+      unidentifiable and is never null-extended, though it still
+      joins normally on the matched side; SQL's null-never-equals
+      would otherwise make a matched null-id interval ALSO emit as
+      unmatched): there is no correct replica-level dedup without an
+      identity, which is also why they were previously refused.
+      ``interval_id`` must be disjoint from ``on``: in the full
+      variant's left base an unmatched POINT carries a non-null value
+      in the shared key column, which would poison the matched-id set
+      and suppress legitimately unmatched intervals. right = inner ∪
+      unmatched-intervals; full = left ∪ unmatched-intervals. Cost
+      over left: the matched ids are a distinct bounded by the
+      matched-interval count (persisted — they feed the anti-join)
+      plus a broadcast-able anti-join on the interval side; the
+      matched banded join itself appears in BOTH union branches, so
+      within one action the probe runs twice (the shuffle is deduped
+      by ReusedExchange) — at warehouse scale you would materialize
+      the matched side first if the double probe mattered.
     """
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"range_join: unknown how={how!r}")
-    if how in ("right", "full") and not interval_id:
-        raise ValueError(
-            "range_join how='right'/'full' needs interval_id: unmatched "
-            "intervals are recovered by identity from the un-exploded "
-            "side (an exploded replica cannot be null-extended exactly "
-            "once without one)"
-        )
+    if how in ("right", "full"):
+        if not interval_id:
+            raise ValueError(
+                "range_join how='right'/'full' needs interval_id: "
+                "unmatched intervals are recovered by identity from the "
+                "un-exploded side (an exploded replica cannot be "
+                "null-extended exactly once without one)"
+            )
+        clash = sorted(set(interval_id) & set(on))
+        if clash:
+            raise ValueError(
+                f"interval_id columns {clash} overlap the 'on' keys: in "
+                "the full variant's left base an unmatched point carries "
+                "a non-null value there, poisoning the matched-id set"
+            )
     if how in ("right", "full"):
         missing = [c for c in interval_id if c not in intervals.columns]
         if missing:
@@ -98,16 +118,31 @@ def range_join(
         matched = base
         for c in interval_id:
             # in the full/left base the unmatched-POINT rows carry null
-            # interval ids — they matched nothing
+            # interval ids — they matched nothing (interval_id is
+            # guarded disjoint from `on`, so no point-side value can
+            # leak into this projection)
             matched = matched.filter(F.col(c).isNotNull())
-        mids = matched.select(
-            *[F.col(c).alias(f"__rj_m_{c}") for c in interval_id]
-        ).dropDuplicates()
+        from ..caching import persist_tracked
+
+        # tiny (bounded by the matched-interval count) and referenced
+        # by the anti-join branch — persist so repeated actions on the
+        # result don't re-derive it through the banded join
+        mids = persist_tracked(
+            matched.select(
+                *[F.col(c).alias(f"__rj_m_{c}") for c in interval_id]
+            ).dropDuplicates()
+        )
         anti_cond = None
         for c in interval_id:
             term = intervals[c] == F.col(f"__rj_m_{c}")
             anti_cond = term if anti_cond is None else anti_cond & term
+        # a null-id interval is unidentifiable: it can never appear in
+        # mids (filtered above) and null-never-equals would keep it in
+        # the anti-join even when MATCHED — emitting it twice. Exclude
+        # it from recovery instead (documented contract).
         never_matched = intervals.join(mids, anti_cond, "left_anti")
+        for c in interval_id:
+            never_matched = never_matched.filter(F.col(c).isNotNull())
         point_types = {f.name: f.dataType for f in points.schema.fields}
         u = never_matched.select(
             *[

@@ -94,13 +94,43 @@ def code_token(*objs) -> str:
                         pass
                 code = getattr(obj, "__code__", None)
                 if code is not None:
-                    h.update(code.co_code)
-                    h.update(repr(code.co_consts).encode())
+                    _hash_code_object(h, code)
                 h.update(
                     f"{getattr(obj, '__module__', '')}:"
                     f"{getattr(obj, '__qualname__', getattr(obj, '__name__', repr(obj)))}".encode()
                 )
     return h.hexdigest()[:12]
+
+
+def _hash_code_object(h, code) -> None:
+    """Deterministically fold a code object into ``h``: bytecode plus
+    consts, recursing into NESTED code objects (lambdas / inner defs)
+    instead of repr()-ing them — a code object's repr embeds its memory
+    address, which would rotate the token on every process and turn
+    the degraded-deployment fallback into a permanent rebuild tax
+    (r10 review finding on the r9-ADVICE fix)."""
+    import types
+
+    h.update(code.co_code)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            _hash_code_object(h, const)
+        else:
+            h.update(repr(const).encode())
+
+
+def _walk_code_names(code):
+    """Yield every global name referenced by ``code`` INCLUDING names
+    referenced only inside nested code objects (lambdas / inner defs /
+    comprehensions) — closure_code_token's traversal must see a helper
+    call even when it sits inside a lambda the builder maps over
+    (r10 review finding)."""
+    import types
+
+    yield from code.co_names
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            yield from _walk_code_names(const)
 
 
 def closure_code_token(fn, *modules) -> str:
@@ -129,7 +159,7 @@ def closure_code_token(fn, *modules) -> str:
         code = getattr(f, "__code__", None)
         if code is None:
             continue
-        for ref in code.co_names:
+        for ref in _walk_code_names(code):
             cand = getattr(mod, ref, None)
             if (
                 inspect.isfunction(cand)

@@ -44,10 +44,16 @@ def pdf_landing_dir(spark, sf_dir: str) -> str:
     from ..operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
     from ..sources.pdf_text import make_pdf
 
-    from ..store import read_marker, write_marker_atomic
+    from ..store import code_token, read_marker, write_marker_atomic
 
     path = os.path.join(INDEX_ROOT, f"pdf_landing_{dataset_dir_key(sf_dir)}")
-    salt = f"pdf:{PDF_INGEST_DOCS}:{PDF_PAGE_CHARS}"
+    # builder + PDF writer code tokens in the salt (r10 review class:
+    # a derivation change must rebuild the landing, never replay files
+    # the code no longer describes)
+    salt = (
+        f"pdf:{PDF_INGEST_DOCS}:{PDF_PAGE_CHARS}:"
+        f"{code_token(pdf_landing_dir, make_pdf)}"
+    )
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
     marker = os.path.join(path, "meta.json")
     ok = read_marker(marker).get("fingerprint") == fp

@@ -115,7 +115,7 @@ def clicks_in_purchase_window_stream_outer(
 SENTINEL_DAYS = (30, 60)
 
 
-def outer_join_landing_dir(spark, sf_dir: str) -> str:
+def outer_join_landing_dir(sf_dir: str) -> str:
     """Materialize the landing directory the bounded OUTER-join replay
     streams from: the events fixture file plus two far-future sentinel
     files (one click + one purchase each, negative ids, staggered
@@ -147,13 +147,17 @@ def outer_join_landing_dir(spark, sf_dir: str) -> str:
 
     from ..io import table_path
     from ..operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
-    from ..store import read_marker, write_marker_atomic
+    from ..store import code_token, read_marker, write_marker_atomic
 
     src = table_path(sf_dir, "events")
     path = os.path.join(
         INDEX_ROOT, f"outer_join_landing_{dataset_dir_key(sf_dir)}"
     )
-    salt = f"outerjoin:{SENTINEL_DAYS}"
+    # the builder's own code token is in the salt (r10 review): any
+    # change to the sentinel scheme — ids, schema handling, mtime
+    # stagger — must rebuild the landing, not replay stale files the
+    # code no longer describes
+    salt = f"outerjoin:{SENTINEL_DAYS}:{code_token(outer_join_landing_dir)}"
     fp = dataset_fingerprint(src, salt=salt)
     marker = os.path.join(path, "meta.json")
     landing = os.path.join(path, "landing")
@@ -182,7 +186,6 @@ def outer_join_landing_dir(spark, sf_dir: str) -> str:
     schema = tbl.schema
     max_ts = pc.max(tbl.column("ts")).as_py()
     base_mtime = os.stat(src).st_mtime
-    day_us = 86_400 * 1_000_000
     for i, days in enumerate(SENTINEL_DAYS):
         ts = max_ts + dt.timedelta(days=days)
         rows = {
@@ -227,7 +230,7 @@ def run_outer_interval_join_to_memory(
     bit-for-bit (shared oracle)."""
     from .windows import read_events_stream, stream_shuffle_partitions
 
-    landing = outer_join_landing_dir(spark, sf_dir)
+    landing = outer_join_landing_dir(sf_dir)
     events = read_events_stream(
         spark, sf_dir, directory=landing, glob="*.parquet",
         max_files_per_trigger=1,

@@ -338,3 +338,64 @@ def test_range_join_right_full_guards(spark):
         range_join(
             pdf, idf, "ts", "start", "end", how="right", interval_id=("nope",)
         )
+
+
+def test_range_join_interval_id_on_overlap_rejected(spark):
+    """r10 review finding: an interval_id column shared with `on`
+    would let unmatched POINTS poison the matched-id set (their
+    point-side key is non-null in the left base) and silently
+    suppress legitimately unmatched intervals — rejected up front."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    pdf = spark.createDataFrame(
+        [(1, "k", dt.datetime(2024, 1, 1))], "pid long, key string, ts timestamp"
+    )
+    idf = spark.createDataFrame(
+        [(1, "k", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        "iid long, key string, start timestamp, end timestamp",
+    )
+    with pytest.raises(ValueError, match="overlap the 'on' keys"):
+        range_join(
+            pdf, idf, "ts", "start", "end", on=("key",), how="full",
+            interval_id=("key",),
+        )
+
+
+def test_range_join_null_interval_id_never_duplicates(spark):
+    """r10 review finding: a null-id interval is unidentifiable — it
+    must never emit twice (once matched, once 'unmatched'). Contract:
+    it joins normally on the matched side but is excluded from
+    unmatched recovery; non-null-id behavior is unaffected."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = spark.createDataFrame(
+        [(1, "k", t0 + dt.timedelta(seconds=30))],
+        "pid long, key string, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [
+            # null id, MATCHES the point -> must emit exactly once
+            (None, "k", t0, t0 + dt.timedelta(seconds=60)),
+            # null id, matches nothing -> excluded from recovery
+            (None, "k", t0 + dt.timedelta(days=5), t0 + dt.timedelta(days=6)),
+            # normal unmatched interval -> null-extended once
+            (7, "k", t0 + dt.timedelta(days=9), t0 + dt.timedelta(days=10)),
+        ],
+        "iid long, key string, start timestamp, end timestamp",
+    )
+    rows = range_join(
+        pdf, idf, "ts", "start", "end", on=("key",), bucket_seconds=60,
+        how="full", interval_id=("iid",),
+    ).collect()
+    matched = [r for r in rows if r.pid is not None and r.start is not None]
+    assert len(matched) == 1 and matched[0].iid is None
+    unmatched_intervals = [r for r in rows if r.pid is None]
+    assert [r.iid for r in unmatched_intervals] == [7]
+    assert len(rows) == 2

@@ -339,3 +339,58 @@ def test_closure_code_token_covers_extracted_helper(tmp_path):
     assert t == st.closure_code_token(unrelated_changed.builder)
     # extra helper modules fold in
     assert st.closure_code_token(base.builder, st) != t
+
+
+def test_code_token_last_resort_stable_with_nested_lambdas():
+    """r10 review finding: repr() of a nested code object embeds its
+    memory address — the last-resort token must instead recurse into
+    nested code, staying IDENTICAL for equal sources (across what
+    would be different processes: two independent compilations) and
+    still rotating when the lambda body changes."""
+    from pdf_using_hugging_face_and_vector_database_spark import store as st
+
+    def make(body):
+        ns = {}
+        exec(
+            compile(
+                f"def kernel(xs):\n    return list(map(lambda x: {body}, xs))\n",
+                "<nofile>",
+                "exec",
+            ),
+            ns,
+        )
+        fn = ns["kernel"]
+        fn.__module__ = "__fake_zipimported_module__"
+        return fn
+
+    # two independent compilations of the same source = the same token
+    # (the code objects live at different addresses)
+    assert st.code_token(make("x + 1")) == st.code_token(make("x + 1"))
+    assert st.code_token(make("x + 1")) != st.code_token(make("x + 2"))
+
+
+def test_closure_code_token_sees_helper_inside_lambda(tmp_path):
+    """r10 review finding: a helper referenced ONLY inside a nested
+    lambda/inner def of the builder must still rotate the closure
+    token (co_names of nested code objects are walked too)."""
+    import importlib.util
+    import sys
+
+    from pdf_using_hugging_face_and_vector_database_spark import store as st
+
+    def load(name, helper_body):
+        p = tmp_path / f"{name}.py"
+        p.write_text(
+            f"def _helper(x):\n    return {helper_body}\n\n"
+            "def builder(xs):\n"
+            "    return [y for y in map(lambda x: _helper(x), xs)]\n"
+        )
+        spec = importlib.util.spec_from_file_location(name, p)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    a = load("closl_a", "x + 1")
+    b = load("closl_b", "x + 99")
+    assert st.closure_code_token(a.builder) != st.closure_code_token(b.builder)

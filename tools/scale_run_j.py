@@ -79,7 +79,7 @@ def run(spark, sf_dir: str, factor: int) -> dict:
             os.path.join(scratch, "events.parquet")
         ).count()
         # sentinel landing build is untimed fixture materialization
-        outer_join_landing_dir(spark, scratch)
+        outer_join_landing_dir(scratch)
 
         counts: dict = {}
 
