@@ -170,6 +170,10 @@ BENCH_QUERIES = [
     "q3_ann_append",
     "rolling_distinct_users",
     "rolling_distinct_users_sketch",
+    # round 10
+    "outer_pit_join",
+    "stream_outer_interval_join",
+    "full_outer_range_join",
 ]
 
 

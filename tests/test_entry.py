@@ -266,3 +266,14 @@ def test_readme_query_count_matches_registry():
         m = re.search(r"(\d+) named queries", f.read())
     assert m, "README must state the named-query count"
     assert int(m.group(1)) == len(QUERIES)
+
+
+def test_bench_covers_every_registered_query():
+    """BENCH_QUERIES claims 'every registered query' — pin it so a new
+    registry row can't silently go unbenchmarked (r10: three new rows
+    were missing until this test existed)."""
+    from bench import BENCH_QUERIES
+    from pdf_using_hugging_face_and_vector_database_spark.queries import QUERIES
+
+    assert set(BENCH_QUERIES) == set(QUERIES)
+    assert len(BENCH_QUERIES) == len(QUERIES)  # no duplicates either
