@@ -89,3 +89,40 @@ def test_stream_outer_interval_join_matches_batch(spark, sf_dir):
     nulls = [r for r in stream_rows if r[3] is None]
     assert len(nulls) == len({r[0] for r in nulls})
     assert nulls, "fixture should contain unconverted clicks"
+
+
+def test_outer_join_landing_store_protocol(spark, sf_dir, tmp_path, monkeypatch):
+    """The sentinel landing dir follows the store marker protocol:
+    built once per (source fingerprint, sentinel constants, builder
+    code token); served on re-call without rewriting; a stale/absent
+    marker forces a rebuild (crash-safe: marker is written LAST)."""
+    import os
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators import ann
+    from pdf_using_hugging_face_and_vector_database_spark.streaming import (
+        joins as J,
+    )
+
+    monkeypatch.setattr(ann, "INDEX_ROOT", str(tmp_path))
+    landing = J.outer_join_landing_dir(sf_dir)
+    files = sorted(os.listdir(landing))
+    assert files == [
+        "batch_0_events.parquet",
+        "batch_1_sentinel.parquet",
+        "batch_2_sentinel.parquet",
+    ]
+    mtimes = [os.stat(os.path.join(landing, f)).st_mtime for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3  # batch order
+    marker = os.path.join(os.path.dirname(landing), "meta.json")
+    stamp = os.stat(os.path.join(landing, files[0])).st_mtime_ns
+    # second call serves the existing landing (no rewrite)
+    assert J.outer_join_landing_dir(sf_dir) == landing
+    assert os.stat(os.path.join(landing, files[0])).st_mtime_ns == stamp
+    # a corrupt marker (crash before the atomic flip) forces a rebuild
+    with open(marker, "w") as f:
+        f.write("{not json")
+    assert J.outer_join_landing_dir(sf_dir) == landing
+    assert os.path.exists(marker)
+    import json as _json
+
+    assert "fingerprint" in _json.load(open(marker))
