@@ -191,6 +191,13 @@ def zorder_value(cols, mins, maxs, bits: int | None = None):
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         c = F.col(c) if isinstance(c, str) else c
+        # a zero-row store or an all-NULL key column has no min/max
+        # (None stats): every row degenerates to bucket 0 for that
+        # dimension instead of crashing with a bare float(None)
+        # TypeError on the driver (r10 review)
+        if lo is None or hi is None:
+            scaled.append(F.lit(0).cast("long"))
+            continue
         span = float(hi) - float(lo)
         if span <= 0:
             scaled.append(F.lit(0).cast("long"))
@@ -200,7 +207,22 @@ def zorder_value(cols, mins, maxs, bits: int | None = None):
             / F.lit(span)
             * F.lit(float((1 << bits) - 1))
         ).cast("long")
-        scaled.append(F.greatest(F.least(b, F.lit((1 << bits) - 1)), F.lit(0)))
+        # NULL key values scale to bucket 0, NOT the max bucket:
+        # Spark's least/greatest SKIP nulls (least(NULL, cap) = cap),
+        # so a NULL row previously landed co-located with the genuine
+        # max rows, inflating the top row groups' min/max spread in
+        # the other dimensions (r10 review). Coalesce the scaled value
+        # BEFORE the clamp — bucket 0 matches where repartitionByRange
+        # places NULLS FIRST.
+        scaled.append(
+            F.greatest(
+                F.least(
+                    F.coalesce(b, F.lit(0).cast("long")),
+                    F.lit((1 << bits) - 1),
+                ),
+                F.lit(0),
+            )
+        )
     # Column & / | are BOOLEAN operators in PySpark — bitwise ops must
     # go through bitwiseAND / bitwiseOR
     z = F.lit(0).cast("long")

@@ -45,13 +45,18 @@ def upsert_cocluster(
     e = existing.select(id_col, F.struct(*payload).alias("__e"))
     b = batch.select(id_col, F.struct(*payload).alias("__b"))
     j = e.join(b, id_col, "full_outer")
+    bv = F.col(f"__b.{version_col}")
+    ev = F.col(f"__e.{version_col}")
+    # NULL-version parity with upsert() (r10 review): upsert sorts
+    # desc(version) NULLS LAST then prefers the batch — so the batch
+    # wins when the existing version is NULL (incl. both-NULL, the
+    # batch-preference tie) and loses when only ITS version is NULL; a
+    # bare `bv >= ev` is NULL in those cases and silently kept the
+    # existing row, making the two "equivalent" merge paths diverge
     win = (
         F.when(F.col("__b").isNull(), F.col("__e"))
         .when(F.col("__e").isNull(), F.col("__b"))
-        .when(
-            F.col(f"__b.{version_col}") >= F.col(f"__e.{version_col}"),
-            F.col("__b"),
-        )
+        .when(ev.isNull() | (bv.isNotNull() & (bv >= ev)), F.col("__b"))
         .otherwise(F.col("__e"))
     )
     return j.select(id_col, win.alias("__w")).select(id_col, "__w.*")
@@ -130,6 +135,15 @@ def merge_into(
     )
     if matched_update is not None:
         assignments = matched_update(t, s)
+        # a typo'd assignment key would otherwise be silently ignored
+        # (the merge "succeeds" with the update lost); real Delta MERGE
+        # fails analysis on an unknown column (r10 review)
+        unknown = sorted(set(assignments) - set(payload))
+        if unknown:
+            raise ValueError(
+                f"merge_into: unknown assignment columns {unknown}; "
+                f"target payload columns are {sorted(payload)}"
+            )
         updated = F.struct(
             *[assignments.get(c, t[c]).alias(c) for c in payload]
         )
@@ -154,7 +168,12 @@ def upsert(
     version_col: str = "ingest_version",
 ) -> DataFrame:
     """Last-writer-wins by (id, version): the highest version per id
-    survives; ties (same version in both inputs) prefer the batch.
+    survives; ties (same version in both inputs) prefer the batch;
+    remaining ties (duplicate (id, version) rows WITHIN one input)
+    break on a deterministic full-row hash — without it the window
+    picked an arbitrary survivor, so a task retry or a replayed
+    streaming micro-batch could flip the stored row between runs
+    (r10 review), breaking the idempotence this operator promises.
 
     Idempotent: re-applying the same batch converges to the same table
     (strictly stronger than the reference's skip-on-failure ingest).
@@ -162,8 +181,11 @@ def upsert(
     tagged_existing = existing.withColumn("__is_batch", F.lit(0))
     tagged_batch = batch.withColumn("__is_batch", F.lit(1))
     unioned = tagged_existing.unionByName(tagged_batch)
+    payload = [c for c in existing.columns]
     w = Window.partitionBy(id_col).orderBy(
-        F.desc(version_col), F.desc("__is_batch")
+        F.desc(version_col),
+        F.desc("__is_batch"),
+        F.desc(F.xxhash64(*payload)),
     )
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
@@ -196,12 +218,20 @@ def scd2_from_changelog(
     Returns ``(key, attr, valid_from, valid_to, version, is_current)``.
     """
     w = Window.partitionBy(key).orderBy(*order_cols)
+    # NULL-safe change detection (r10 review): `attr != prev` is NULL
+    # for a non-NULL -> NULL transition (silently dropping the change:
+    # the old value would read as still current), and `prev IS NULL`
+    # conflates "first observation" with "previous value was NULL"
+    # (repeated NULLs each opening a spurious version). First row is
+    # detected by row_number (same window, same WindowExec pipeline);
+    # value change by null-safe inequality.
     changed = (
         changes.withColumn("__prev", F.lag(F.col(attr)).over(w))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(
-            F.col("__prev").isNull() | (F.col(attr) != F.col("__prev"))
+            (F.col("__rn") == 1) | ~F.col(attr).eqNullSafe(F.col("__prev"))
         )
-        .drop("__prev")
+        .drop("__prev", "__rn")
     )
     w2 = Window.partitionBy(key).orderBy(*order_cols)
     return changed.select(

@@ -2302,12 +2302,13 @@ FROM agg a JOIN sz s USING (cohort_week)
     sql["scd2_customer_priority"] = """
 WITH ordered AS (
   SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-         lag(o_orderpriority) OVER w AS prev
+         lag(o_orderpriority) OVER w AS prev,
+         row_number() OVER w AS rn
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
 changed AS (
   SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
-  FROM ordered WHERE prev IS NULL OR o_orderpriority <> prev)
+  FROM ordered WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev)
 SELECT o_custkey, o_orderpriority,
        o_orderdate AS valid_from,
        lead(o_orderdate) OVER w AS valid_to,
@@ -2321,12 +2322,13 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     sql["pit_priority_revenue"] = f"""
 WITH ordered AS (
   SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-         lag(o_orderpriority) OVER w AS prev
+         lag(o_orderpriority) OVER w AS prev,
+         row_number() OVER w AS rn
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
 changed AS (
   SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
-  FROM ordered WHERE prev IS NULL OR o_orderpriority <> prev),
+  FROM ordered WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev),
 dim AS (
   SELECT o_custkey, o_orderpriority,
          o_orderdate AS valid_from,
@@ -2360,12 +2362,13 @@ FROM j GROUP BY priority_at_ship
     sql["outer_pit_join"] = f"""
 WITH ordered AS (
   SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-         lag(o_orderpriority) OVER w AS prev
+         lag(o_orderpriority) OVER w AS prev,
+         row_number() OVER w AS rn
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
 changed AS (
   SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
-  FROM ordered WHERE prev IS NULL OR o_orderpriority <> prev),
+  FROM ordered WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev),
 dim AS (
   SELECT o_custkey, o_orderpriority,
          o_orderdate AS valid_from,

@@ -97,10 +97,14 @@ def streamed_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     and update batch as two parquet files in a fingerprint-keyed
     landing dir, stream them through the LWW upsert sink (one
     micro-batch per file — the continuous-ingest shape), and return
-    the final store. Fingerprint-fresh runs reuse the finished store
-    (same crash-safe marker ordering as the persisted indexes);
-    stale fingerprints rebuild landing + checkpoint + store from
-    scratch, so the stream actually re-runs whenever inputs change.
+    the final store. The landing + checkpoint + store build runs
+    through the shared versioned-store core (store.ensure_store_dir —
+    r10 review: the previous hand-rolled marker protocol deleted the
+    live store IN PLACE before the stream rewrote it, exactly the
+    reader-race window the versioned data dirs were introduced to
+    close, and duplicated the crash-safety logic); the fingerprint
+    salt folds in this module's code token, so a sink/kernel change
+    rebuilds the store instead of serving one an old kernel wrote.
 
     The result equals upsert_compact's LWW compact by construction
     (versions differ on every colliding id, so micro-batch boundaries
@@ -108,11 +112,12 @@ def streamed_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     write -> stream -> merge-per-batch -> store loop.
     """
     import glob
-    import json
     import shutil
+    import sys
 
     from ..io import table_path
     from ..operators.ann import INDEX_ROOT, dataset_dir_key, dataset_fingerprint
+    from ..store import code_token, ensure_store_dir
 
     # late import: queries.py imports this module's sibling package
     from ..queries import _upsert_fixture
@@ -120,21 +125,20 @@ def streamed_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(
         INDEX_ROOT, f"upsert_stream_{dataset_dir_key(sf_dir)}"
     )
-    salt = "upsert_stream:v1"
+    salt = (
+        f"upsert_stream:{code_token(sys.modules[__name__], _upsert_fixture)}"
+    )
     fp = dataset_fingerprint(table_path(sf_dir, "documents"), salt=salt)
-    from ..store import read_marker, write_marker_atomic
 
-    marker = os.path.join(root, "meta.json")
-    store = os.path.join(root, "store")
-    ok = read_marker(marker).get("fingerprint") == fp
-    if not (ok and os.path.isdir(store)):
-        if os.path.isdir(root):
-            shutil.rmtree(root)
-        landing = os.path.join(root, "landing")
+    def build(data_dir: str) -> None:
+        # underscore-prefixed subdirs are invisible to the parquet
+        # reader; the store itself is a named subdir so a per-batch
+        # mode=overwrite store rewrite can never clobber them
+        landing = os.path.join(data_dir, "_landing")
         os.makedirs(landing, exist_ok=True)
         existing, batch = _upsert_fixture(spark, sf_dir)
         for name, df in (("00_existing", existing), ("01_batch", batch)):
-            tmp = os.path.join(root, f"_tmp_{name}")
+            tmp = os.path.join(data_dir, f"_tmp_{name}")
             df.coalesce(1).write.mode("overwrite").parquet(tmp)
             part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
             os.rename(part, os.path.join(landing, f"{name}.parquet"))
@@ -142,11 +146,20 @@ def streamed_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_upsert_stream(
             spark,
             landing,
-            store,
-            os.path.join(root, "ckpt"),
+            os.path.join(data_dir, "store"),
+            os.path.join(data_dir, "_ckpt"),
             query_name="upsert_store_stream",
             schema=UPSERT_STREAM_SCHEMA,
             max_files_per_trigger=1,
         )
-        write_marker_atomic(marker, {"fingerprint": fp, "salt": salt})
-    return spark.read.parquet(store)
+
+    data_dir = ensure_store_dir(root, fp, build)
+    # one-time migration sweep: the pre-r10 hand-rolled layout left
+    # 'store'/'landing'/'ckpt' at the root; ensure_store_dir's GC
+    # deliberately never touches non-owned sibling names (r8 ADVICE),
+    # so this root cleans up its own legacy dirs after the flip
+    for legacy in ("store", "landing", "ckpt"):
+        full = os.path.join(root, legacy)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+    return spark.read.parquet(os.path.join(data_dir, "store"))

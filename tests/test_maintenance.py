@@ -211,3 +211,36 @@ def test_zorder_value_warns_on_explicit_bits_shrink(spark):
         warnings.simplefilter("always")
         zorder_value(["a", "b", "c", "d"], [0] * 4, [3] * 4)
     assert not w
+
+
+def test_zorder_handles_empty_and_null_stats(spark, tmp_path):
+    """r10 review: a zero-row store (None min/max stats) must not
+    crash zorder_store with a bare float(None) TypeError; NULL key
+    values bucket to 0 (with repartitionByRange's NULLS FIRST), not
+    to the max bucket via least(NULL, cap)."""
+    import os
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.maintenance import (
+        zorder_store,
+        zorder_value,
+    )
+    from pyspark.sql import functions as F
+
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    empty = spark.createDataFrame([], "x long, y long")
+    empty.write.parquet(src)
+    out = zorder_store(spark, src, dst, keys=["x", "y"])
+    assert out.count() == 0
+
+    # NULL x buckets to 0: its z-value must equal the z-value of the
+    # MINIMUM x, never the maximum's
+    df = spark.createDataFrame(
+        [(0, 0), (1023, 0), (None, 0)], "x long, y long"
+    )
+    z = df.select(
+        "x", zorder_value(["x", "y"], mins=[0, 0], maxs=[1023, 0]).alias("z")
+    ).collect()
+    by_x = {r.x: r.z for r in z}
+    assert by_x[None] == by_x[0]
+    assert by_x[None] != by_x[1023]

@@ -193,3 +193,105 @@ def test_property_upsert_variants_match_reference(spark):
             for r in fn(e, b).collect()
         }
         assert got == want, fn.__name__
+
+
+def test_scd2_null_transitions(spark):
+    """r10 review: change detection must be NULL-safe — a non-NULL ->
+    NULL transition OPENS a version (previously silently dropped,
+    leaving the old value reading as current), repeated NULLs extend
+    one version (previously each opened a spurious one), and a
+    NULL -> non-NULL transition closes it."""
+    import datetime as dt
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        scd2_from_changelog,
+    )
+
+    rows = [
+        (1, "a", dt.date(2020, 1, 1)),
+        (1, None, dt.date(2020, 2, 1)),   # a -> NULL: new version
+        (1, None, dt.date(2020, 3, 1)),   # repeat NULL: extends
+        (1, "b", dt.date(2020, 4, 1)),    # NULL -> b: new version
+        (2, None, dt.date(2021, 1, 1)),   # first observation is NULL
+        (2, None, dt.date(2021, 2, 1)),   # repeat: extends
+    ]
+    log = spark.createDataFrame(rows, "k int, attr string, t date")
+    out = scd2_from_changelog(
+        log, key="k", attr="attr", order_cols=["t"], valid_col="t"
+    ).collect()
+    got = {
+        (r.k, r.version): (r.attr, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in out
+    }
+    assert got == {
+        (1, 1): ("a", "2020-01-01", "2020-02-01"),
+        (1, 2): (None, "2020-02-01", "2020-04-01"),
+        (1, 3): ("b", "2020-04-01", None),
+        (2, 1): (None, "2021-01-01", None),
+    }
+
+
+def test_upsert_duplicate_id_version_deterministic(spark):
+    """r10 review: duplicate (id, version) rows within one input must
+    yield a DETERMINISTIC survivor (full-row-hash tiebreak) — the
+    previous arbitrary row_number pick could flip the stored row
+    across task retries / replayed micro-batches."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        upsert,
+    )
+
+    existing = spark.createDataFrame(
+        [("x", "old", 1)], "id string, text string, ingest_version long"
+    )
+    batch = spark.createDataFrame(
+        [("x", "A", 2), ("x", "B", 2), ("x", "C", 2)],
+        "id string, text string, ingest_version long",
+    )
+    picks = {
+        tuple(upsert(existing, batch).collect()[0]) for _ in range(5)
+    }
+    assert len(picks) == 1  # same survivor every run
+    # and re-applying the surviving row converges (idempotence)
+    survivor = picks.pop()
+    table = spark.createDataFrame([survivor], "id string, text string, ingest_version long")
+    again = upsert(table, batch).collect()
+    assert len(again) == 1 and tuple(again[0]) == survivor
+
+
+def test_upsert_cocluster_null_version_parity(spark):
+    """r10 review: upsert_cocluster must agree with upsert() on every
+    NULL-version combination (previously a NULL on either side made
+    the comparison NULL and silently kept the existing row)."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        upsert,
+        upsert_cocluster,
+    )
+
+    schema = "id string, text string, ingest_version long"
+    cases = [
+        (("x", "e", None), ("x", "b", 5)),     # existing NULL -> batch wins
+        (("x", "e", 5), ("x", "b", None)),     # batch NULL -> existing wins
+        (("x", "e", None), ("x", "b", None)),  # both NULL -> batch (tie pref)
+        (("x", "e", 3), ("x", "b", 5)),        # plain
+    ]
+    for e_row, b_row in cases:
+        e = spark.createDataFrame([e_row], schema)
+        b = spark.createDataFrame([b_row], schema)
+        via_upsert = sorted(tuple(r) for r in upsert(e, b).collect())
+        via_cocluster = sorted(tuple(r) for r in upsert_cocluster(e, b).collect())
+        assert via_upsert == via_cocluster, (e_row, b_row)
+
+
+def test_merge_into_rejects_unknown_assignment(spark):
+    """r10 review: a typo'd matched_update column must fail fast like
+    Delta's analysis error, not silently drop the update."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        merge_into,
+    )
+
+    t = spark.createDataFrame([("x", 1)], "id string, v long")
+    s = spark.createDataFrame([("x", 2)], "id string, v long")
+    with pytest.raises(ValueError, match="unknown assignment columns"):
+        merge_into(t, s, matched_update=lambda tt, ss: {"vv": ss["v"]})
