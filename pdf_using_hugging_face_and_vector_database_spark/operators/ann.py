@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MAX24, det_embed_py, md5_int
+from ..functions.hashing import MAX24, det_embed_py
 from ..functions.vector import cosine, dot
 
 # persisted-index root (generated data, gitignored): the build/probe
@@ -92,6 +92,15 @@ class IvfIndex:
         self.assigned: DataFrame | None = None
 
     def fit(self, df: DataFrame, vec_col: str = "embedding") -> "IvfIndex":
+        # each Lloyd iteration collects means over df — persist for the
+        # duration of the loop so the input lineage is paid one scan,
+        # not once per iteration (r10 review), then UNPERSIST before
+        # returning: Spark's CacheManager substitutes a cached plan
+        # into EVERY matching query globally, so leaving the raw input
+        # cached leaks an InMemoryRelation into unrelated consumers of
+        # the same table and kills their scan pushdown (caught by the
+        # plan pins when this persist was first left unscoped)
+        df = df.persist()
         # deterministic seeds in the same hash-projection space
         centroids = [det_embed_py(f"centroid:{i}", self.dim) for i in range(self.k)]
         for _ in range(self.iters):
@@ -115,6 +124,10 @@ class IvfIndex:
             centroids = new
         self.centroids = centroids
         self.assigned = df.withColumn("cell", ivf_assign_udf(centroids)(F.col(vec_col)))
+        # the assignment is written by the caller AFTER this cache is
+        # gone — one fresh scan, same as pre-r10; the loop's collects
+        # above are what the persist buys
+        df.unpersist()
         return self
 
     def probe_cells(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
@@ -207,21 +220,28 @@ def dataset_fingerprint(path: str, salt: str = "") -> str:
     identical total byte size — or changed constants produce a
     different fingerprint, so a persisted index built from old data is
     detected and rebuilt rather than silently served."""
-    import glob
     import hashlib
 
-    paths = [path] if os.path.isfile(path) else sorted(
-        glob.glob(os.path.join(path, "*"))
-    )
+    # recursive (r10 review): a partitioned source (label=X/part-*)
+    # previously hashed only the direct children, so a part file
+    # rewritten IN PLACE inside a partition subdir could leave the
+    # fingerprint unchanged and serve stale stores; every nested file
+    # now contributes its (relative path, size, mtime_ns)
+    if os.path.isfile(path):
+        names = [(os.path.basename(path), path)]
+    else:
+        names = sorted(
+            (os.path.relpath(os.path.join(root, f), path), os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+        )
     h = hashlib.sha256()
-    for p in paths:
+    for name, p in names:
         try:
             st = os.stat(p)
         except OSError:
             continue
-        h.update(
-            f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode()
-        )
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
     return f"{h.hexdigest()[:16]}:{salt}"
 
 
@@ -235,6 +255,27 @@ def _ann_code_token() -> str:
     from ..store import code_token
 
     return code_token(sys.modules[__name__], _vector)
+
+
+def ivf_fingerprint(
+    source_path: str,
+    n_cells: int,
+    iters: int,
+    dim: int,
+    extra_salt: str = "",
+) -> str:
+    """Staleness key for a persisted IVF index: the source fingerprint
+    SALTED with the index's derivation constants AND the module's code
+    token (r10 review — the same salt class the int8/binary code
+    tables already fold in). Call sites previously keyed on the bare
+    dataset fingerprint, so an assignment-kernel fix or a constant
+    change kept serving cell assignments computed by the old kernel —
+    the exact stale-store class the module docstring promises is
+    detected."""
+    return dataset_fingerprint(
+        source_path,
+        salt=f"ivf:{n_cells}:{iters}:{dim}:{extra_salt}:{_ann_code_token()}",
+    )
 
 
 def build_ivf_index(
@@ -330,6 +371,13 @@ def probe_ivf_index(
     meta = read_marker(os.path.join(path, "centroids.json"))
     if not meta:
         raise FileNotFoundError(f"no readable index marker under {path}")
+    # a dim mismatch was previously SILENT: cosine's zip_with truncates
+    # to the shorter array, scoring on a prefix (r10 review)
+    if "dim" in meta and len(query_vec) != meta["dim"]:
+        raise ValueError(
+            f"probe_ivf_index: query dim {len(query_vec)} != stored "
+            f"index dim {meta['dim']} at {path}"
+        )
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
     return topk_in_cells(
         assigned, meta["centroids"], query_vec, k, nprobe, vec_col, id_col
@@ -370,8 +418,14 @@ def append_ivf_index(
         raise FileNotFoundError(f"no readable index marker at {marker}")
     if tag in meta.get("appends", {}):
         return 0
-    assigned = new_vectors.withColumn(
-        "cell", ivf_assign_udf(meta["centroids"])(F.col(vec_col))
+    from ..caching import persist_tracked
+
+    # count + write both reference the assignment — persist so the
+    # Arrow-batched assignment UDF runs once, not twice (r10 review)
+    assigned = persist_tracked(
+        new_vectors.withColumn(
+            "cell", ivf_assign_udf(meta["centroids"])(F.col(vec_col))
+        )
     )
     n = assigned.count()
     assigned.write.mode("append").partitionBy("cell").parquet(
@@ -738,19 +792,37 @@ def binary_candidates(
     extra_cols: tuple[str, ...] = ("label",),
     dim: int = 64,
     query_vec_col: str = "qv",
+    word_bits: int = BIN_WORD_BITS,
 ) -> DataFrame:
     """Stage 1 of binary re-rank serving: Hamming distance =
     sum_j bit_count(w_j XOR qw_j) over the packed words, keep the
     ``cand_k`` nearest (ties to min id). The scan touches only the
-    codes table; the cut lowers to TakeOrderedAndProject."""
-    n_words = (dim + BIN_WORD_BITS - 1) // BIN_WORD_BITS
+    codes table; the cut lowers to TakeOrderedAndProject.
+
+    ``word_bits`` MUST match the packing the codes table was built
+    with (r10 review: a hardcoded constant here against a
+    parameterized binary_codes_of silently XOR'd misaligned bit
+    layouts and ignored the extra words of a narrower packing —
+    garbage distances, no error)."""
+    n_words = (dim + word_bits - 1) // word_bits
     qcodes = binary_codes_of(
         query.select(F.lit(-1).alias("__qid"), F.col(query_vec_col)),
         vec_col=query_vec_col,
         id_col="__qid",
         extra_cols=(),
         dim=dim,
+        word_bits=word_bits,
     ).select(*[F.col(f"w{j}").alias(f"qw{j}") for j in range(n_words)])
+    import re as _re
+
+    want = {f"w{j}" for j in range(n_words)}
+    have = {c for c in codes.columns if _re.fullmatch(r"w\d+", c)}
+    if want != have:
+        raise ValueError(
+            f"binary_candidates: probe expects words {sorted(want)} but "
+            f"the codes table carries {sorted(have)} — built with "
+            f"different dim/word_bits than probed"
+        )
     ham = F.lit(0)
     for j in range(n_words):
         ham = ham + F.bit_count(F.col(f"w{j}").bitwiseXOR(F.col(f"qw{j}")))
@@ -774,6 +846,7 @@ def binary_rerank_topk(
     extra_cols: tuple[str, ...] = ("label",),
     query_vec_col: str = "qv",
     dim: int = 64,
+    word_bits: int = BIN_WORD_BITS,
 ) -> DataFrame:
     """Two-stage binary-prefilter + exact re-rank top-k (the
     quantized_rerank_topk contract at 32x compression): stage 1 scans
@@ -781,10 +854,12 @@ def binary_rerank_topk(
     Hamming-nearest; the bounded candidate ids are collected so stage
     2 pushes an ``isin`` into the vector scan and re-scores with exact
     double cosine. Seed-free and fully SQL — the DuckDB oracle replays
-    both stages bit-for-bit."""
+    both stages bit-for-bit. ``word_bits`` must match the packing of a
+    caller-supplied ``codes`` table (see binary_candidates)."""
     if codes is None:
         codes = binary_codes_of(
-            emb, vec_col=vec_col, id_col=id_col, extra_cols=extra_cols, dim=dim
+            emb, vec_col=vec_col, id_col=id_col, extra_cols=extra_cols,
+            dim=dim, word_bits=word_bits,
         )
     cands = binary_candidates(
         codes,
@@ -794,6 +869,7 @@ def binary_rerank_topk(
         extra_cols=extra_cols,
         dim=dim,
         query_vec_col=query_vec_col,
+        word_bits=word_bits,
     )
     rows = cands.collect()  # cand_k rows — bounded, same class as int8 path
     spark = emb.sparkSession

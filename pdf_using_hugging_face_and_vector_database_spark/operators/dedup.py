@@ -30,7 +30,6 @@ from ..functions.hashing import (
     simhash_from_hashes,
 )
 from ..functions.text import char_ngrams, tokens
-from ..functions.vector import dot, l2_norm
 
 
 def exact_dedup(
@@ -94,9 +93,6 @@ def minhash_signatures_agg(
     doesn't know the difference. Returns (id_col, out_col) only.
     """
     from ..functions.hashing import P_MINHASH, minhash_params
-
-    from ..functions.hashing import md5_int
-    from ..functions.text import tokens
 
     # Build shingles WITHOUT array higher-order functions: explode a
     # position sequence and project substring/concat_ws — plain
@@ -540,23 +536,20 @@ def neardup_representatives(
     from ..caching import persist_tracked
 
     spark = sigs.sparkSession
-    rows_per_band = num_hashes // bands
     if nodes is None:
         # the final label join needs the id universe; cache sigs so it
         # is not re-derived through the (expensive) shingle lineage
         sigs = persist_tracked(sigs)
         nodes = sigs.select(id_col)
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(
-                    sig_col, b * F.lit(rows_per_band) + F.lit(1), rows_per_band
-                ),
-            )
-        ).alias("band_index", "band_sig"),
-    )
+    # band through the shared projection (r10 review: this site had
+    # its own copy of the slice arithmetic, bypassing the
+    # non-divisibility ValueError banded_signatures raises — a
+    # non-divisible split would silently band only the first
+    # bands*(num_hashes//bands) components and weaken recall)
+    banded = banded_signatures(
+        sigs, id_col, sig_col, num_hashes, bands,
+        out_id=id_col, out_sig="__full_sig",
+    ).drop("__full_sig")
     w = Window.partitionBy("band_index", "band_sig")
     star = (
         banded.withColumn("__bmin", F.min(id_col).over(w))
@@ -702,7 +695,14 @@ def simhash_candidate_pairs(
     ~n/2^width; AQE skew-join splits hot buckets. Output is the exact
     Hamming<=k join, deterministically.
     """
-    assert chunks > max_hamming, "pigeonhole requires chunks > max_hamming"
+    # ValueError, not assert: an assert is stripped under python -O,
+    # silently returning an incomplete candidate set (r10 review)
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole requires chunks ({chunks}) > max_hamming "
+            f"({max_hamming}): a pair may differ in every chunk and "
+            f"share no equal join key"
+        )
     width = bits // chunks
     mask = (1 << width) - 1
     from ..caching import persist_tracked

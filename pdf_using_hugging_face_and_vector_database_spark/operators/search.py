@@ -23,7 +23,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot, l2_norm
+from ..functions.vector import cosine
 
 
 def query_vector_lit(vec: Sequence[float]) -> Column:

@@ -2187,11 +2187,13 @@ def q3_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from .io import table_path
-    from .operators.ann import build_ivf_index, dataset_fingerprint, ivf_index_path
+    from .operators.ann import build_ivf_index, ivf_fingerprint, ivf_index_path
 
     emb = read_table(spark, sf_dir, "embeddings")
     path = ivf_index_path(sf_dir, ANN_CELLS)
-    fp = dataset_fingerprint(table_path(sf_dir, "embeddings"))
+    # constants + kernel code token in the salt (r10 review): a kernel
+    # fix or constant change must rebuild, never serve old-kernel cells
+    fp = ivf_fingerprint(table_path(sf_dir, "embeddings"), ANN_CELLS, 2, EMBED_DIM)
     build_ivf_index(
         emb, path, n_cells=ANN_CELLS, iters=2, dim=EMBED_DIM, fingerprint=fp
     )
@@ -2222,14 +2224,14 @@ def q3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io import table_path
     from .operators.ann import (
         build_ivf_index,
-        dataset_fingerprint,
+        ivf_fingerprint,
         ivf_index_exists,
         ivf_index_path,
         probe_ivf_index,
     )
 
     path = ivf_index_path(sf_dir, ANN_CELLS)
-    fp = dataset_fingerprint(table_path(sf_dir, "embeddings"))
+    fp = ivf_fingerprint(table_path(sf_dir, "embeddings"), ANN_CELLS, 2, EMBED_DIM)
     emb = read_table(spark, sf_dir, "embeddings")
     if not ivf_index_exists(path, fp):
         build_ivf_index(
@@ -2318,7 +2320,7 @@ def q3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io import table_path
     from .operators.ann import (
         build_ivf_index,
-        dataset_fingerprint,
+        ivf_fingerprint,
         ivf_index_exists,
         ivf_index_path,
         probe_ivf_index,
@@ -2326,10 +2328,11 @@ def q3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = clustered_embeddings(spark, sf_dir)
     path = ivf_index_path(sf_dir, ANN_CELLS) + "_clustered"
-    # derivation constants join the fingerprint: changing ALPHA or the
-    # label count must invalidate the persisted clustered index
-    fp = dataset_fingerprint(
-        table_path(sf_dir, "embeddings"), salt=f"a{ANN_ALPHA}:l{ANN_N_LABELS}"
+    # corpus-derivation constants join via extra_salt; index constants
+    # + kernel code token come from ivf_fingerprint itself (r10 review)
+    fp = ivf_fingerprint(
+        table_path(sf_dir, "embeddings"), ANN_CELLS, 2, EMBED_DIM,
+        extra_salt=f"a{ANN_ALPHA}:l{ANN_N_LABELS}",
     )
     if not ivf_index_exists(path, fp):
         build_ivf_index(
@@ -3919,7 +3922,7 @@ def q3_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import (
         append_ivf_index,
         build_ivf_index,
-        dataset_fingerprint,
+        ivf_fingerprint,
         ivf_index_exists,
         ivf_index_path,
         probe_ivf_index,
@@ -3930,8 +3933,9 @@ def q3_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     holdout = emb.filter(F.col("vec_id") % 50 == 7)
     base = emb.filter(F.col("vec_id") % 50 != 7)
     path = ivf_index_path(sf_dir, ANN_CELLS, root=None) + "_appendable"
-    fp = dataset_fingerprint(
-        table_path(sf_dir, "embeddings"), salt="append_base_v1"
+    fp = ivf_fingerprint(
+        table_path(sf_dir, "embeddings"), ANN_CELLS, 2, EMBED_DIM,
+        extra_salt="append_base_v1",
     )
     if not ivf_index_exists(path, fp):
         build_ivf_index(
@@ -4277,6 +4281,7 @@ def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io import table_path
     from .operators.ann import (
         INDEX_ROOT,
+        _ann_code_token,
         dataset_dir_key,
         dataset_fingerprint,
         int8_codes_col,
@@ -4310,7 +4315,10 @@ def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.join(INDEX_ROOT, f"chunkvecs_{dataset_dir_key(sf_dir)}"),
         dataset_fingerprint(
             table_path(sf_dir, "documents"),
-            salt=f"chunkvecs2:{CHUNK_SIZE}:{CHUNK_OVERLAP}:{EMBED_DIM}",
+            salt=(
+                f"chunkvecs2:{CHUNK_SIZE}:{CHUNK_OVERLAP}:{EMBED_DIM}:"
+                f"{_ann_code_token()}"
+            ),
         ),
         _build,
     )

@@ -534,3 +534,28 @@ def test_corpus_salt_rotates_signature_store(spark, tmp_path, monkeypatch):
         spark, str(sf_dir), corpus, 16, 3, "word", "t", corpus_salt="trunc60"
     ).count()
     assert os.path.getmtime(marker) > mtime1
+
+
+def test_banding_guards_are_uniform(spark):
+    """r10 review: every banding site fails fast on bad splits —
+    neardup_representatives previously had its own copy of the slice
+    arithmetic that silently dropped trailing signature components on
+    a non-divisible num_hashes/bands split; simhash's pigeonhole
+    precondition was an assert (stripped under python -O)."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        neardup_representatives,
+        simhash_candidate_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4])], "doc_id long, minhash array<long>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        neardup_representatives(
+            sigs, id_col="doc_id", sig_col="minhash", num_hashes=4, bands=3
+        ).collect()
+    fps = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_candidate_pairs(fps, chunks=3, max_hamming=3)

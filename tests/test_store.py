@@ -394,3 +394,52 @@ def test_closure_code_token_sees_helper_inside_lambda(tmp_path):
     a = load("closl_a", "x + 1")
     b = load("closl_b", "x + 99")
     assert st.closure_code_token(a.builder) != st.closure_code_token(b.builder)
+
+
+def test_dataset_fingerprint_sees_nested_files(tmp_path):
+    """r10 review: the fingerprint must cover files inside nested
+    partition subdirectories — previously only direct children were
+    statted, so a part file rewritten in place inside label=X/ could
+    escape staleness detection."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        dataset_fingerprint,
+    )
+
+    root = tmp_path / "ds"
+    sub = root / "label=X"
+    sub.mkdir(parents=True)
+    f = sub / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    fp1 = dataset_fingerprint(str(root))
+    assert fp1 == dataset_fingerprint(str(root))  # stable
+    import os
+
+    os.utime(f, ns=(1, 1))  # in-place rewrite: same name+size, new mtime
+    fp2 = dataset_fingerprint(str(root))
+    assert fp2 != fp1
+    # a sibling partition with identical content under a different
+    # relative path is a DIFFERENT dataset
+    sub2 = root / "label=Y"
+    sub2.mkdir()
+    (sub2 / "part-0.parquet").write_bytes(b"aaaa")
+    assert dataset_fingerprint(str(root)) != fp2
+
+
+def test_ivf_fingerprint_covers_constants_and_kernel(tmp_path):
+    """r10 review: the IVF staleness key folds in the index constants
+    and the ann code token, so a constant change rotates it (the bare
+    dataset fingerprint previously kept serving old-kernel cells)."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        dataset_fingerprint,
+        ivf_fingerprint,
+    )
+
+    f = tmp_path / "emb.parquet"
+    f.write_bytes(b"x")
+    base = ivf_fingerprint(str(f), 16, 2, 64)
+    assert base == ivf_fingerprint(str(f), 16, 2, 64)
+    assert base != ivf_fingerprint(str(f), 32, 2, 64)
+    assert base != ivf_fingerprint(str(f), 16, 3, 64)
+    assert base != ivf_fingerprint(str(f), 16, 2, 128)
+    assert base != ivf_fingerprint(str(f), 16, 2, 64, extra_salt="clustered")
+    assert base != dataset_fingerprint(str(f))

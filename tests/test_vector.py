@@ -105,3 +105,56 @@ def test_binary_codes_pack_and_hamming(spark):
     out = {r["vec_id"]: r["hamming"] for r in
            binary_candidates(binary_codes_of(df), q, cand_k=10).collect()}
     assert out == {1: 2, 2: 0}
+
+
+def test_probe_ivf_index_rejects_dim_mismatch(spark, sf_dir, tmp_path):
+    """r10 review: a query vector of the wrong dimension previously
+    scored SILENTLY on a truncated prefix (zip_with stops at the
+    shorter array); now it fails fast against the stored meta."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_cells=4, iters=1, dim=64)
+    with pytest.raises(ValueError, match="query dim 8 != stored index dim 64"):
+        probe_ivf_index(spark, path, [0.1] * 8, k=5, nprobe=2)
+
+
+def test_binary_candidates_word_bits_contract(spark, sf_dir):
+    """r10 review: binary_candidates must probe with the SAME word
+    packing the codes table was built with — a 16-bit-packed table
+    yields identical candidates when probed at 16 bits, and a
+    mismatched probe fails fast instead of XOR-ing misaligned
+    layouts."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.functions.hashing import (
+        det_embed_py,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        binary_candidates,
+        binary_codes_of,
+    )
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    qv = det_embed_py("probe", 64)
+    query = spark.createDataFrame([(qv,)], "qv array<float>")
+    got = {}
+    for wb in (32, 16):
+        codes = binary_codes_of(emb, extra_cols=(), dim=64, word_bits=wb)
+        rows = binary_candidates(
+            codes, query, cand_k=10, extra_cols=(), dim=64, word_bits=wb
+        ).collect()
+        got[wb] = [(r.vec_id, r.hamming) for r in rows]
+    assert got[32] == got[16]  # packing is an encoding detail only
+    codes16 = binary_codes_of(emb, extra_cols=(), dim=64, word_bits=16)
+    with pytest.raises(ValueError, match="different dim/word_bits"):
+        binary_candidates(codes16, query, cand_k=10, extra_cols=(), dim=64)
