@@ -28,7 +28,11 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    return F.size(tokens(text))
+    """Whitespace token count; 0 for NULL text — Spark's legacy
+    size(NULL) is -1, which previously leaked a NEGATIVE count into
+    doc_stats' quality score (outside its documented [0,1]) and into
+    pack_sequences' cumulative-token arithmetic (r10 review)."""
+    return F.greatest(F.size(tokens(text)), F.lit(0))
 
 
 def occurrence_count(text: Column, needle: str) -> Column:
@@ -83,7 +87,11 @@ def bpe_token_count(text: Column | str) -> Column:
 def word_ngrams(text: Column, n: int) -> Column:
     """Word n-gram shingles (space-joined) — ~4x fewer shingles than
     char n-grams on prose, the standard corpus-dedup choice at scale
-    (char shingles stay the default for short/noisy text)."""
+    (char shingles stay the default for short/noisy text). DEDUP
+    convention: a sub-n doc keeps its whole text as one gram and a
+    zero-token doc yields the '' gram — two empty docs ARE duplicates
+    and must keep matching; quality/contamination paths instead drop
+    the '' gram (curation._word_ngrams_exploded, r10 review)."""
     toks = tokens(text)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.transform(

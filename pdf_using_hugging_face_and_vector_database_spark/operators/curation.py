@@ -28,10 +28,14 @@ def scrub_pii(
     regexes run codegen'd JVM-side (never a Python UDF)."""
     text = F.col(text_col)
     n_email = F.regexp_count(text, F.lit(EMAIL_RE))
-    n_phone = F.regexp_count(text, F.lit(PHONE_RE))
-    clean = F.regexp_replace(
-        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
+    emails_gone = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    # count phones on the EMAIL-REDACTED text, mirroring the
+    # sequential replacement below (r10 review: counting both patterns
+    # on the raw text over-reported when they overlap — a digit-bearing
+    # email like 555-1234@x.com yielded n_phones=1 with no <PHONE>
+    # ever emitted, so audit counts disagreed with the output)
+    n_phone = F.regexp_count(emails_gone, F.lit(PHONE_RE))
+    clean = F.regexp_replace(emails_gone, PHONE_RE, "<PHONE>")
     return df.select(
         F.col(id_col),
         clean.alias("clean_text"),
@@ -119,12 +123,24 @@ def mixture_sample(
     n_epochs = F.lit(1)
     for src, r in repeats.items():
         n_epochs = F.when(F.col(source_col) == src, F.lit(r)).otherwise(n_epochs)
-    sampled = df.select(
-        id_col,
-        source_col,
-        bucket.cast("int").alias("sample_bucket"),
-        n_epochs.cast("int").alias("__n_epochs"),
-    ).filter(bucket < rate)
+    sampled = (
+        df.select(
+            id_col,
+            source_col,
+            bucket.cast("int").alias("sample_bucket"),
+            n_epochs.cast("int").alias("__n_epochs"),
+            rate.alias("__rate"),
+        )
+        # filter on the SELECTED columns: filtering on the rebuilt
+        # bucket expression made Catalyst push it below the projection
+        # and re-evaluate the md5 per surviving row (r10 review)
+        .filter(F.col("sample_bucket") < F.col("__rate"))
+        .drop("__rate")
+        # repeats < 1 means "drop the source", not a DESCENDING
+        # sequence(1, 0) = [1, 0] that would emit the doc TWICE
+        # (r10 review)
+        .filter(F.col("__n_epochs") >= 1)
+    )
     w = Window.partitionBy(source_col).orderBy("sample_bucket", id_col)
     capped = (
         sampled.withColumn("rank_in_source", F.row_number().over(w).cast("int"))
@@ -155,7 +171,15 @@ def _word_ngrams_exploded(
     gram = F.concat_ws(
         " ", *[F.get("__t", F.col("pos") - 1 + F.lit(j)) for j in range(n)]
     )
-    return exploded.select(id_col, gram.alias("gram"))
+    # the repo-wide shingle convention keeps a sub-n doc as ONE
+    # whole-doc gram (it still deserves a signature / can still be
+    # verbatim contamination), but a ZERO-token doc produces the empty
+    # gram '' — which would match every other empty doc and flag
+    # spurious contamination pairs (r10 review); drop it on both
+    # engines (the oracle's word-n-gram helper applies the same filter)
+    return exploded.select(id_col, gram.alias("gram")).filter(
+        F.col("gram") != ""
+    )
 
 
 def contamination_hits(
@@ -223,13 +247,19 @@ def dsir_weights(
     # cast must be EXACT (a 6-scale carrier would re-round the last 3
     # digits under engine-specific cast rounding — observed mismatch)
     DEC9 = "decimal(27,9)"
+    # explode_outer (r10 review): a zero-token doc must still come
+    # back (n_grams 0, neutral weight 0.0) — a plain explode silently
+    # dropped it, and a downstream importance-resampling join on
+    # doc_id lost the doc entirely instead of deciding about it
     grams = df.select(
         F.col(id_col),
         target_pred.alias("is_target"),
-        F.explode(tokens(F.col(text_col))).alias("gram"),
+        F.explode_outer(tokens(F.col(text_col))).alias("gram"),
     ).withColumn("bucket", md5_int(F.col("gram")) % n_buckets)
 
-    counts = grams.groupBy("bucket").agg(
+    # bucket stats over REAL grams only — the null-gram carrier rows
+    # of empty docs must not inflate raw_total
+    counts = grams.filter(F.col("gram").isNotNull()).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_cnt"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tgt_cnt"),
     )
@@ -249,13 +279,17 @@ def dsir_weights(
         ).alias("log_ratio"),
     )
     return (
-        grams.join(F.broadcast(stats), "bucket")
+        grams.join(F.broadcast(stats), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            # count(gram) skips the null carrier row -> 0 for empty docs
+            F.count("gram").alias("n_grams"),
             F.round(
-                F.sum(F.col("log_ratio").cast(DEC9)).cast("double")
-                / F.count(F.lit(1)),
+                F.coalesce(
+                    F.sum(F.col("log_ratio").cast(DEC9)).cast("double"),
+                    F.lit(0.0),
+                )
+                / F.greatest(F.count("gram"), F.lit(1)),
                 6,
             ).alias("dsir_weight"),
         )

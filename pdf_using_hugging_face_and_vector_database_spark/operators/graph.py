@@ -51,6 +51,11 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # an empty edge table has no ranks — return the empty result
+        # with the contract schema instead of a driver-side
+        # ZeroDivisionError in 1.0/n (r10 review)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = persist_tracked(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     )

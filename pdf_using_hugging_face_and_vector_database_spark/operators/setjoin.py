@@ -43,6 +43,14 @@ def word_gram_sets(
     the higher-order-function form is CodegenFallback (interpreted per
     row) and measured 15.8s vs 2.5s at sf0.1 for the same sets (see
     queries.neardup_jaccard, where the shape was first established).
+
+    Deliberately NOT shared with curation's exploded word-n-gram
+    helper (r10 review adjudication): the quality/contamination paths
+    DROP a zero-token doc's '' gram (it would flag every empty-doc
+    pair as contaminated), while this set-similarity path follows the
+    DEDUP convention and KEEPS it — two empty docs are Jaccard-1
+    duplicates and must keep matching (the oracle's word-n-gram helper
+    carries the same drop_empty switch).
     """
     from ..functions.text import tokens
 

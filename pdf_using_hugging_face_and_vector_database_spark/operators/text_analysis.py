@@ -134,8 +134,13 @@ def repetition_stats(
     this definition):
 
     - ``unique_word_frac``   distinct tokens / tokens
-    - ``top{n}gram_char_frac``  chars covered by the most frequent
-      word ``top_n``-gram (count * gram length) / doc chars
+    - ``top{n}gram_char_frac``  MAX over ``top_n``-grams of
+      (count * gram length) / doc chars — the heaviest-COVERAGE gram,
+      which is not always the most FREQUENT gram (a rarer but longer
+      gram can cover more chars; r10 review adjudication: the
+      max-coverage form is the stricter, more conservative gate and
+      the oracle replays the same formula, so it is the documented
+      contract rather than a divergence from it)
     - ``dup{n}gram_char_frac``  chars in word ``dup_n``-grams occurring
       >= 2 times (count * gram length summed) / doc chars
 
@@ -424,6 +429,13 @@ def bigram_lm_xent(
 BPE_EOW = "</w>"
 
 
+def _bpe_word(word: Column) -> Column:
+    """Strip the BPE encoding's reserved delimiter chars from a word
+    (see bpe_merge_table's normalization contract) — scalar replaces,
+    codegen'd, mirrored by the DuckDB replays."""
+    return F.replace(F.replace(word, F.lit("["), F.lit("")), F.lit("]"), F.lit(""))
+
+
 def bpe_merge_table(
     df: DataFrame,
     n_merges: int,
@@ -450,12 +462,23 @@ def bpe_merge_table(
 
     Ties on pair count break (count desc, lhs asc, rhs asc) — ASCII
     binary compare in both engines.
+
+    Normalization contract (r10 review): ``[`` and ``]`` are the
+    encoding's RESERVED delimiters — a bracket inside a word would
+    make the symbol string ambiguous (merging symbols that are
+    themselves brackets re-parses into phantom symbols, corrupting
+    later merge rounds and token counts). Bracket chars are therefore
+    stripped from words before encoding, in the trainer AND the
+    applier AND both DuckDB replays; words that become empty are
+    dropped. A scalar replace after the explode — stays codegen'd.
     """
     from ..caching import persist_tracked
     from ..functions.text import tokens
 
     words = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        df.select(F.explode(tokens(F.col(text_col))).alias("__raw"))
+        .select(_bpe_word(F.col("__raw")).alias("word"))
+        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -546,7 +569,12 @@ def bpe_apply(
     """
     from ..functions.text import occurrence_count, tokens
 
-    words = df.select(F.explode(tokens(F.col(text_col))).alias("word")).distinct()
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__raw"))
+        .select(_bpe_word(F.col("__raw")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
     chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
     seq = F.concat(
         F.lit("["),
@@ -572,8 +600,10 @@ def bpe_apply(
     # (millions of words) drop the hint and this is a word-key shuffle
     # join against a table still ~6 orders smaller than the corpus
     doc_words = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
-    )
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__raw")
+    ).select(
+        id_col, _bpe_word(F.col("__raw")).alias("word")
+    ).filter(F.col("word") != "")
     return (
         doc_words.join(F.broadcast(enc), "word")
         .groupBy(id_col)

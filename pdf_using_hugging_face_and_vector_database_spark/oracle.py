@@ -125,14 +125,23 @@ def _tokens(text: str) -> str:
     return f"list_filter(string_split({text}, ' '), x -> x <> '')"
 
 
-def _word_ngrams(text: str, n: int) -> str:
-    """Word n-gram shingles, space-joined (== functions.text.word_ngrams
-    and the concat_ws shingles in minhash_signatures_agg)."""
+def _word_ngrams(text: str, n: int, drop_empty: bool = False) -> str:
+    """Word n-gram shingles, space-joined. ``drop_empty`` mirrors the
+    two Spark conventions (r10 review): quality / contamination paths
+    (curation's exploded word-n-gram helper — gopher, crossdoc,
+    contamination) drop the zero-token doc's '' gram, which would
+    otherwise flag every pair of empty docs as mutually contaminated;
+    the DEDUP / set-similarity paths (dedup's minhash word mode,
+    setjoin's word-gram set builder) KEEP it, because two empty docs
+    ARE duplicates and must keep matching."""
     toks = _tokens(text)
-    return (
+    grams = (
         f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
         f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
     )
+    if drop_empty:
+        return f"list_filter({grams}, g -> g <> '')"
+    return grams
 
 
 def _simhash_bits(hs: str, bits: int) -> str:
@@ -1028,14 +1037,14 @@ WITH base AS (
   FROM documents),
 ctop AS (
   SELECT doc_id, gram, count(*) AS cnt
-  FROM (SELECT doc_id, unnest({_word_ngrams('text', GOPHER_TOP_N)}) AS gram
+  FROM (SELECT doc_id, unnest({_word_ngrams('text', GOPHER_TOP_N, drop_empty=True)}) AS gram
         FROM documents)
   GROUP BY doc_id, gram),
 top AS (SELECT doc_id, max(cnt * length(gram))::BIGINT AS top_chars
         FROM ctop GROUP BY doc_id),
 cdup AS (
   SELECT doc_id, gram, count(*) AS cnt
-  FROM (SELECT doc_id, unnest({_word_ngrams('text', GOPHER_DUP_N)}) AS gram
+  FROM (SELECT doc_id, unnest({_word_ngrams('text', GOPHER_DUP_N, drop_empty=True)}) AS gram
         FROM documents)
   GROUP BY doc_id, gram),
 dup AS (SELECT doc_id,
@@ -1059,7 +1068,7 @@ FROM j
 
     sql["crossdoc_spans"] = f"""
 WITH g AS (
-  SELECT doc_id, unnest({_word_ngrams('text', CROSSDOC_NGRAM)}) AS gram
+  SELECT doc_id, unnest({_word_ngrams('text', CROSSDOC_NGRAM, drop_empty=True)}) AS gram
   FROM documents),
 pd AS (SELECT gram, doc_id, count(*) AS n_occ FROM g GROUP BY gram, doc_id),
 gd AS (SELECT gram, count(*) AS n_docs FROM pd GROUP BY gram),
@@ -1215,11 +1224,11 @@ WITH bench AS (
          substr(text, 1, (length(text) // 2)::INT) AS text
   FROM documents WHERE doc_id % 97 = 0),
 cg AS (
-  SELECT doc_id AS corpus_doc, unnest({_word_ngrams('text', CONTAM_NGRAM)}) AS gram
+  SELECT doc_id AS corpus_doc, unnest({_word_ngrams('text', CONTAM_NGRAM, drop_empty=True)}) AS gram
   FROM documents),
 bg AS (
   SELECT DISTINCT doc_id AS bench_doc, gram FROM (
-    SELECT doc_id, unnest({_word_ngrams('text', CONTAM_NGRAM)}) AS gram FROM bench))
+    SELECT doc_id, unnest({_word_ngrams('text', CONTAM_NGRAM, drop_empty=True)}) AS gram FROM bench))
 SELECT cg.corpus_doc, bg.bench_doc,
        count(DISTINCT cg.gram) AS n_shared_grams
 FROM cg JOIN bg ON cg.gram = bg.gram
@@ -2817,7 +2826,10 @@ GROUP BY 1 ORDER BY 1
          '[' || array_to_string(
            list_transform(range(1, length(word) + 1), i -> word[i]), '][')
            || '][{BPE_EOW}]' AS seq
-  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t != ''))
+  FROM (SELECT unnest(list_filter(
+            list_transform(string_split(text, ' '),
+                           t -> replace(replace(t, '[', ''), ']', '')),
+            t -> t != ''))
           AS word FROM documents)
   GROUP BY word)"""
     ]
@@ -2863,7 +2875,10 @@ v{r + 1} AS MATERIALIZED (
          '[' || array_to_string(
            list_transform(range(1, length(word) + 1), i -> word[i]), '][')
            || '][{BPE_EOW}]' AS seq
-  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t != ''))
+  FROM (SELECT unnest(list_filter(
+            list_transform(string_split(text, ' '),
+                           t -> replace(replace(t, '[', ''), ']', '')),
+            t -> t != ''))
           AS word FROM documents))"""
     )
     for r in range(BPE_N_MERGES):
@@ -2885,7 +2900,10 @@ v{r + 1} AS MATERIALIZED (
     enc_ctes.append(
         """d AS (
   SELECT doc_id,
-         unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+         unnest(list_filter(
+           list_transform(string_split(text, ' '),
+                          t -> replace(replace(t, '[', ''), ']', '')),
+           t -> t != '')) AS word
   FROM documents)"""
     )
     sql["bpe_encode"] = (
@@ -2934,12 +2952,19 @@ stats AS (
          round(ln(((tgt_cnt + {_a}) / (tgt_total + {_ab}))
                 / ((raw_cnt + {_a}) / (raw_total + {_ab}))), 9) AS log_ratio
   FROM counts, tot),
-w AS MATERIALIZED (
+w0 AS (
   SELECT doc_id, count(*)::BIGINT AS n_grams,
          round(CAST(SUM(CAST(log_ratio AS DECIMAL(27,9))) AS DOUBLE)
                / count(*), 6) AS dsir_weight
   FROM grams JOIN stats USING (bucket)
-  GROUP BY 1)
+  GROUP BY 1),
+-- zero-token docs keep a row (n_grams 0, neutral weight 0.0) —
+-- mirrors curation.dsir_weights' explode_outer (r10 review)
+w AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(w0.n_grams, 0) AS n_grams,
+         coalesce(w0.dsir_weight, 0.0) AS dsir_weight
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN w0 USING (doc_id))
 SELECT doc_id, n_grams, dsir_weight,
        dsir_weight > (SELECT round(
            CAST(SUM(CAST(dsir_weight AS {DEC})) AS DOUBLE) / count(*), 6)

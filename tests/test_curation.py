@@ -124,3 +124,80 @@ def test_mixture_sample_rates_cap_epochs(spark):
     assert sorted((r["doc_id"], r["epoch"]) for r in out) == sorted(
         (r["doc_id"], r["epoch"]) for r in out2
     )
+
+
+def test_scrub_pii_counts_match_replacements(spark):
+    """r10 review: a digit-bearing email must not ALSO count as a
+    phone — counts mirror the sequential replacement, so the audit
+    numbers always agree with the redacted output."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.curation import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "contact 555-1234@example.com now")], "doc_id long, text string"
+    )
+    r = scrub_pii(df).collect()[0]
+    assert r.n_emails == 1 and r.n_phones == 0 and r.n_redactions == 1
+    assert "<EMAIL>" in r.clean_text and "<PHONE>" not in r.clean_text
+
+
+def test_mixture_sample_repeats_zero_drops_source(spark):
+    """r10 review: repeats=0 means 'drop the source' — previously
+    F.sequence(1, 0) generated the DESCENDING [1, 0] and emitted the
+    doc twice."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(40)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(
+        df, rates={}, default_rate=100, repeats={"drop": 0, "keep": 2},
+        cap=1000,
+    ).collect()
+    assert all(r.source == "keep" for r in out)
+    assert {r.epoch for r in out} == {1, 2}
+
+
+def test_dsir_weights_keep_empty_docs(spark):
+    """r10 review: a zero-token doc must come back (n_grams 0, neutral
+    weight 0.0) instead of silently vanishing from the weights."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.curation import (
+        dsir_weights
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "web"), (2, "", "web"), (3, "   ", "web")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.doc_id: r for r in dsir_weights(
+        df, target_pred=F.col("source") == "none"
+    ).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].n_grams == 0 and rows[2].dsir_weight == 0.0
+    assert rows[3].n_grams == 0 and rows[3].dsir_weight == 0.0
+    assert rows[1].n_grams == 3
+
+
+def test_contamination_ignores_empty_docs(spark):
+    """r10 review: zero-token docs previously produced the '' gram and
+    flagged every empty-doc pair as mutually contaminated."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.curation import (
+        contamination_hits,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, ""), (11, "quick brown fox jumps over the lazy dog extra")],
+        "doc_id long, text string",
+    )
+    rows = contamination_hits(corpus, bench, n=8).collect()
+    assert all(r.corpus_doc != 1 for r in rows)  # empty never pairs
+    assert any(r.corpus_doc == 2 and r.bench_doc == 11 for r in rows)

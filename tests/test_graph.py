@@ -60,3 +60,16 @@ def test_query_graph_is_bipartite_doubled(spark, sf_dir):
     # probability-ish mass: no dangling nodes in the doubled graph, so
     # total rank stays ~1
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
+
+
+def test_pagerank_empty_edges(spark):
+    """r10 review: an empty edge table returns the empty contract
+    schema instead of a driver ZeroDivisionError."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

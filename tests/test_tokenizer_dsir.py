@@ -171,3 +171,29 @@ def test_property_bpe_merges_match_reference(spark):
         for r in bpe_merge_table(docs, n_merges=12).collect()
     ]
     assert got == want
+
+
+def test_bpe_bracket_words_normalized(spark):
+    """r10 review: '[' and ']' are the encoding's reserved delimiters —
+    a bracket inside a word previously corrupted merge induction and
+    inflated token counts. Bracket chars are stripped (both engines);
+    counts stay exact."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_merge_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a[b a[b ][ c]d"), (2, "ab ab cd")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_merge_table(df, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    # normalized corpus = {ab x4, cd x2, '][' -> '' dropped}
+    assert all("[" not in l + r and "]" not in l + r for l, r in merges)
+    out = {r.doc_id: r for r in bpe_apply(df, merges).collect()}
+    # doc 1: tokens a[b, a[b, ][, c]d -> normalized ab, ab, cd ('][' drops)
+    assert out[1].n_words == 3
+    assert out[1].n_tokens == out[2].n_tokens  # same normalized content

@@ -123,3 +123,23 @@ def test_crossdoc_spans_within_doc_repeat_not_counted(spark):
     out = {r["doc_id"]: r for r in crossdoc_duplicate_spans(df, n=8).collect()}
     assert out[1]["dup_grams"] == 0
     assert out[1]["is_boilerplate"] is False
+
+
+def test_token_count_null_text_is_zero(spark):
+    """r10 review: size(NULL) = -1 under legacy sizeOfNull previously
+    leaked a negative token count into quality scores and packing
+    arithmetic; token_count now clamps to 0 and doc_stats stays in
+    its documented [0, 1] range."""
+    from pdf_using_hugging_face_and_vector_database_spark.functions.text import (
+        token_count,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+        doc_stats,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, None), (2, "two words")], "doc_id long, text string")
+    counts = {r.doc_id: r.n for r in df.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert counts == {1: 0, 2: 2}
+    q = {r.doc_id: r.quality_score for r in doc_stats(df).collect()}
+    assert 0.0 <= q[1] <= 1.0 and 0.0 <= q[2] <= 1.0
