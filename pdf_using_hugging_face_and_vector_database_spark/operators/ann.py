@@ -103,31 +103,42 @@ class IvfIndex:
         df = df.persist()
         # deterministic seeds in the same hash-projection space
         centroids = [det_embed_py(f"centroid:{i}", self.dim) for i in range(self.k)]
-        for _ in range(self.iters):
-            assigned = df.withColumn("cell", ivf_assign_udf(centroids)(F.col(vec_col)))
-            # per-component mean per cell: ONE shuffle, 'dim' avg aggs
-            means = assigned.groupBy("cell").agg(
-                *[
-                    F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"c{j}")
-                    for j in range(self.dim)
-                ]
+        try:
+            for _ in range(self.iters):
+                assigned = df.withColumn("cell", ivf_assign_udf(centroids)(F.col(vec_col)))
+                # per-component mean per cell: ONE shuffle, 'dim' avg aggs
+                means = assigned.groupBy("cell").agg(
+                    *[
+                        F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"c{j}")
+                        for j in range(self.dim)
+                    ]
+                )
+                rows = {
+                    r["cell"]: [r[f"c{j}"] for j in range(self.dim)]
+                    for r in means.collect()
+                }
+                new = []
+                for i in range(self.k):
+                    c = rows.get(i + 1)
+                    if c is None:
+                        new.append(centroids[i])  # empty cell keeps its seed
+                        continue
+                    norm = sum(x * x for x in c) ** 0.5 or 1.0
+                    new.append([x / norm for x in c])
+                centroids = new
+            self.centroids = centroids
+            self.assigned = df.withColumn(
+                "cell", ivf_assign_udf(centroids)(F.col(vec_col))
             )
-            rows = {r["cell"]: [r[f"c{j}"] for j in range(self.dim)] for r in means.collect()}
-            new = []
-            for i in range(self.k):
-                c = rows.get(i + 1)
-                if c is None:
-                    new.append(centroids[i])  # empty cell keeps its seed
-                    continue
-                norm = sum(x * x for x in c) ** 0.5 or 1.0
-                new.append([x / norm for x in c])
-            centroids = new
-        self.centroids = centroids
-        self.assigned = df.withColumn("cell", ivf_assign_udf(centroids)(F.col(vec_col)))
-        # the assignment is written by the caller AFTER this cache is
-        # gone — one fresh scan, same as pre-r10; the loop's collects
-        # above are what the persist buys
-        df.unpersist()
+        finally:
+            # the assignment is written by the caller AFTER this cache
+            # is gone — one fresh scan, same as pre-r10; the loop's
+            # collects above are what the persist buys. finally (r10
+            # ADVICE): an exception mid-loop (UDF failure) must not
+            # leak the cached plan into the global CacheManager, which
+            # would substitute an InMemoryRelation into every other
+            # query's scan of the same table and kill their pushdown.
+            df.unpersist()
         return self
 
     def probe_cells(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
@@ -751,7 +762,14 @@ def binary_codes_of(
             w = w + F.when(v[idx] > 0, F.lit(1 << i).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
-        words.append(w.alias(f"w{j}"))
+        # stamp the packing layout on w0 as column metadata — Spark
+        # round-trips field metadata through parquet, so a persisted
+        # codes table carries its OWN (dim, word_bits) and a probe can
+        # refuse a misaligned layout even when the word-column NAMES
+        # coincide, e.g. (dim=32, word_bits=16) vs (dim=64,
+        # word_bits=32) both yield {w0, w1} (r10 ADVICE).
+        meta = {"dim": dim, "word_bits": word_bits} if j == 0 else None
+        words.append(w.alias(f"w{j}", metadata=meta))
     return emb.select(id_col, *extra_cols, *words)
 
 
@@ -823,6 +841,21 @@ def binary_candidates(
             f"the codes table carries {sorted(have)} — built with "
             f"different dim/word_bits than probed"
         )
+    # the name check alone passes when two different layouts share a
+    # word COUNT — (dim=32, word_bits=16) vs (dim=64, word_bits=32)
+    # both carry {w0, w1} yet XOR misaligned bit layouts (r10 ADVICE).
+    # binary_codes_of stamps (dim, word_bits) on w0's column metadata
+    # and parquet round-trips it, so a persisted table self-describes;
+    # validate the values, not just the count.
+    built = codes.schema["w0"].metadata or {}
+    for name, probed in (("dim", dim), ("word_bits", word_bits)):
+        if name in built and int(built[name]) != probed:
+            raise ValueError(
+                f"binary_candidates: codes table was packed with "
+                f"{name}={int(built[name])} but probed with {name}="
+                f"{probed} — Hamming distances would be computed over "
+                f"misaligned bit layouts"
+            )
     ham = F.lit(0)
     for j in range(n_words):
         ham = ham + F.bit_count(F.col(f"w{j}").bitwiseXOR(F.col(f"qw{j}")))

@@ -181,7 +181,29 @@ def upsert(
     tagged_existing = existing.withColumn("__is_batch", F.lit(0))
     tagged_batch = batch.withColumn("__is_batch", F.lit(1))
     unioned = tagged_existing.unionByName(tagged_batch)
-    payload = [c for c in existing.columns]
+    # Spark rejects xxhash64 over MapType by default
+    # (spark.sql.legacy.allowHashOnMapType=false) — a table with a map
+    # column must not fail analysis here (r10 ADVICE), so map columns
+    # enter the tiebreak as their canonical JSON text instead. to_json
+    # of a map is key-order-stable for a given row value in Spark's
+    # UnsafeMapData layout, and even if two semantically-equal maps
+    # serialized differently the tiebreak only needs determinism for
+    # the SAME physical row across retries, which JSON text gives.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    payload = [
+        F.to_json(F.col(f.name)) if _has_map(f.dataType) else F.col(f.name)
+        for f in existing.schema.fields
+    ]
     w = Window.partitionBy(id_col).orderBy(
         F.desc(version_col),
         F.desc("__is_batch"),

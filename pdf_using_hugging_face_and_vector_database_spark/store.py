@@ -102,13 +102,28 @@ def code_token(*objs) -> str:
     return h.hexdigest()[:12]
 
 
+def _canon_const(const) -> str:
+    """PYTHONHASHSEED-independent repr of a code constant: frozenset
+    consts (compiled from ``x in {...}`` literals) iterate in a
+    hash-seed-dependent order, so a bare ``repr()`` rotates per
+    process — the exact per-process instability the nested-code-object
+    fix targets (r10 ADVICE). Sort set members by their own canonical
+    repr; recurse into tuples, which can nest frozensets."""
+    if isinstance(const, (set, frozenset)):
+        return "{" + ",".join(sorted(_canon_const(x) for x in const)) + "}"
+    if isinstance(const, tuple):
+        return "(" + ",".join(_canon_const(x) for x in const) + ")"
+    return repr(const)
+
+
 def _hash_code_object(h, code) -> None:
     """Deterministically fold a code object into ``h``: bytecode plus
     consts, recursing into NESTED code objects (lambdas / inner defs)
     instead of repr()-ing them — a code object's repr embeds its memory
     address, which would rotate the token on every process and turn
     the degraded-deployment fallback into a permanent rebuild tax
-    (r10 review finding on the r9-ADVICE fix)."""
+    (r10 review finding on the r9-ADVICE fix). Collection consts go
+    through :func:`_canon_const` for hash-seed-independent order."""
     import types
 
     h.update(code.co_code)
@@ -116,7 +131,7 @@ def _hash_code_object(h, code) -> None:
         if isinstance(const, types.CodeType):
             _hash_code_object(h, const)
         else:
-            h.update(repr(const).encode())
+            h.update(_canon_const(const).encode())
 
 
 def _walk_code_names(code):

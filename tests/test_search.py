@@ -409,3 +409,29 @@ def test_mmr_select_skips_nan_candidates(spark):
     assert len(out) == 3
     again = [tuple(t[:2]) for t in mmr_select(cand, k=4, lam=0.7)]
     assert out == again
+
+
+def test_ivf_fit_unpersists_on_midloop_failure(spark, monkeypatch):
+    """r10 ADVICE: IvfIndex.fit persists its input for the Lloyd loop;
+    an exception mid-loop must not leak the cached plan into the
+    global CacheManager (which would substitute an InMemoryRelation
+    into every other query's scan of the same table and kill their
+    pushdown) — the unpersist sits in a finally block."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators import ann
+
+    from pdf_using_hugging_face_and_vector_database_spark.functions.hashing import (
+        det_embed_py,
+    )
+
+    vecs = [(i, det_embed_py(f"v{i}", 8)) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    def boom(_centroids):
+        raise RuntimeError("mid-loop UDF failure")
+
+    monkeypatch.setattr(ann, "ivf_assign_udf", boom)
+    with pytest.raises(RuntimeError, match="mid-loop"):
+        ann.IvfIndex(k=2, iters=2, dim=8).fit(df)
+    assert not df.storageLevel.useMemory and not df.storageLevel.useDisk

@@ -443,3 +443,41 @@ def test_ivf_fingerprint_covers_constants_and_kernel(tmp_path):
     assert base != ivf_fingerprint(str(f), 16, 2, 128)
     assert base != ivf_fingerprint(str(f), 16, 2, 64, extra_salt="clustered")
     assert base != dataset_fingerprint(str(f))
+
+
+def test_code_token_set_consts_stable_across_hash_seeds():
+    """r10 ADVICE: the last-resort code-object hash repr()'d consts;
+    frozenset consts (compiled from `x in {...}` literals) iterate in
+    PYTHONHASHSEED-dependent order, rotating the token per process and
+    turning the degraded-deployment fallback into a permanent
+    spurious-rebuild tax. Canonicalized consts must yield the SAME
+    token under different hash seeds (subprocess per seed)."""
+    import subprocess
+    import sys
+
+    prog = r"""
+import sys
+sys.path.insert(0, %r)
+from pdf_using_hugging_face_and_vector_database_spark import store as st
+ns = {}
+exec(compile(
+    "def kernel(x):\n    return x in {'alpha', 'beta', 'gamma', 'delta'}\n",
+    "<nofile>", "exec"), ns)
+fn = ns["kernel"]
+fn.__module__ = "__fake_zipimported_module__"
+print(st.code_token(fn))
+""" % (
+        str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+    )
+
+    def token(seed):
+        import os
+
+        env = dict(os.environ, PYTHONHASHSEED=str(seed))
+        out = subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True, env=env
+        )
+        assert out.returncode == 0, out.stderr
+        return out.stdout.strip()
+
+    assert token(1) == token(2) == token(12345)

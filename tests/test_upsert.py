@@ -295,3 +295,37 @@ def test_merge_into_rejects_unknown_assignment(spark):
     s = spark.createDataFrame([("x", 2)], "id string, v long")
     with pytest.raises(ValueError, match="unknown assignment columns"):
         merge_into(t, s, matched_update=lambda tt, ss: {"vv": ss["v"]})
+
+
+def test_upsert_map_column_tiebreak(spark):
+    """r10 ADVICE: the deterministic full-row-hash tiebreak used
+    xxhash64 over every column; Spark rejects hashing MapType by
+    default (spark.sql.legacy.allowHashOnMapType=false), so a table
+    with a map column failed analysis. Map columns now enter the
+    tiebreak as canonical JSON text — upsert must work AND stay
+    deterministic on duplicate (id, version) rows."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        upsert,
+    )
+
+    schema = "id string, props map<string,string>, ingest_version long"
+    existing = spark.createDataFrame([("x", {"k": "old"}, 1)], schema)
+    batch = spark.createDataFrame(
+        [("x", {"k": "A"}, 2), ("x", {"k": "B"}, 2)], schema
+    )
+    picks = set()
+    for _ in range(3):
+        rows = upsert(existing, batch).collect()
+        assert len(rows) == 1
+        picks.add((rows[0]["id"], rows[0]["props"]["k"], rows[0]["ingest_version"]))
+    assert len(picks) == 1  # deterministic survivor, no analysis error
+
+    # nested map (struct containing a map) must also be tolerated
+    schema2 = (
+        "id string, payload struct<tags: map<string,string>, n: long>, "
+        "ingest_version long"
+    )
+    e2 = spark.createDataFrame([("y", {"tags": {"a": "1"}, "n": 1}, 1)], schema2)
+    b2 = spark.createDataFrame([("y", {"tags": {"a": "2"}, "n": 2}, 2)], schema2)
+    out = upsert(e2, b2).collect()
+    assert len(out) == 1 and out[0]["payload"]["n"] == 2

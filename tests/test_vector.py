@@ -158,3 +158,47 @@ def test_binary_candidates_word_bits_contract(spark, sf_dir):
     codes16 = binary_codes_of(emb, extra_cols=(), dim=64, word_bits=16)
     with pytest.raises(ValueError, match="different dim/word_bits"):
         binary_candidates(codes16, query, cand_k=10, extra_cols=(), dim=64)
+
+
+def test_binary_candidates_rejects_same_word_count_mismatch(spark, tmp_path):
+    """r10 ADVICE: the word-column NAME guard alone passes when two
+    different layouts share a word COUNT — (dim=32, word_bits=16) and
+    (dim=64, word_bits=32) both carry {w0, w1}. The codes table now
+    self-describes its packing via column metadata (parquet
+    round-tripped), so the mismatched probe must fail fast instead of
+    XOR-ing misaligned bit layouts."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.functions.hashing import (
+        det_embed_py,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        binary_candidates,
+        binary_codes_of,
+    )
+
+    vecs = [(i, det_embed_py(f"v{i}", 64)) for i in range(50)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    query = spark.createDataFrame([(det_embed_py("probe", 64),)], "qv array<float>")
+
+    codes_narrow = binary_codes_of(emb, extra_cols=(), dim=32, word_bits=16)
+    assert {c for c in codes_narrow.columns if c.startswith("w")} == {"w0", "w1"}
+    with pytest.raises(ValueError, match="packed with"):
+        binary_candidates(
+            codes_narrow, query, cand_k=5, extra_cols=(), dim=64, word_bits=32
+        )
+
+    # metadata survives a parquet round trip: a PERSISTED table built
+    # with the other layout still refuses the misaligned probe...
+    p = str(tmp_path / "codes32")
+    codes_narrow.write.parquet(p)
+    stored = spark.read.parquet(p)
+    with pytest.raises(ValueError, match="packed with"):
+        binary_candidates(
+            stored, query, cand_k=5, extra_cols=(), dim=64, word_bits=32
+        )
+    # ...and serves the aligned probe
+    rows = binary_candidates(
+        stored, query, cand_k=5, extra_cols=(), dim=32, word_bits=16
+    ).collect()
+    assert len(rows) == 5
