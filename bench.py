@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "outer_pit_join",
     "stream_outer_interval_join",
     "full_outer_range_join",
+    "right_outer_range_join",
+    "scd2_null_transitions",
+    "upsert_dup_versions",
 ]
 
 

@@ -2124,6 +2124,20 @@ FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
 """
 
+    # RIGHT banded interval join (r11): DuckDB's native RIGHT IEJoin;
+    # matched pairs plus cold purchase windows, unmatched clicks gone
+    sql["right_outer_range_join"] = """
+SELECT c.event_id AS click_id,
+       coalesce(c.user_id, p.user_id) AS user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.event_id AS purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
     # stream==batch OUTER interval-join parity (r10): the bounded
     # streaming replay of the left outer stream-stream join must equal
     # the batch left banded range join — same oracle, the LEFT IEJoin
@@ -2325,6 +2339,53 @@ SELECT o_custkey, o_orderpriority,
        lead(o_orderdate) OVER w IS NULL AS is_current
 FROM changed
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+    # adversarial SCD2 (r11, VERDICT r10 item 3): same replay over a
+    # changelog whose attribute is NULLed for o_orderkey % 5 IN (0, 3)
+    # — the input provably contains non-NULL→NULL, NULL→non-NULL and
+    # repeated-NULL shapes, so the null-safe change detection
+    # (IS DISTINCT FROM) is driver-certified, not just pytest-pinned
+    sql["scd2_null_transitions"] = """
+WITH src AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN o_orderkey % 5 IN (0, 3) THEN NULL
+              ELSE o_orderpriority END AS priority
+  FROM orders),
+ordered AS (
+  SELECT o_custkey, priority, o_orderdate, o_orderkey,
+         lag(priority) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM src
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+changed AS (
+  SELECT o_custkey, priority, o_orderdate, o_orderkey
+  FROM ordered WHERE rn = 1 OR priority IS DISTINCT FROM prev)
+SELECT o_custkey, priority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (row_number() OVER w)::INT AS version,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+    # adversarial duplicate-version upsert (r11, VERDICT r10 item 3):
+    # the oracle derives the expected LWW survivor per id DIRECTLY
+    # (independent derivation, not a mechanics replay) — precedence:
+    # the %11 within-batch duplicate pair at version 3, then the %3
+    # version-2 upgrade, then the %7 batch-wins same-version tie,
+    # else the untouched existing row
+    sql["upsert_dup_versions"] = """
+SELECT c_custkey AS id,
+       CASE WHEN c_custkey % 11 = 0 THEN 'DUP'
+            WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+            WHEN c_custkey % 7 = 0 THEN c_mktsegment || '!'
+            ELSE c_mktsegment END AS seg,
+       CAST(CASE WHEN c_custkey % 11 = 0 THEN 3
+                 WHEN c_custkey % 3 = 0 THEN 2
+                 ELSE 1 END AS BIGINT) AS v
+FROM customer
 """
 
     # PIT join: replay SCD2 build + interval match + digest

@@ -1769,6 +1769,124 @@ def full_outer_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def right_outer_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT banded interval join (operators/rangejoin.py
+    ``how='right'`` — r11, completing the outer-variant matrix the r10
+    full variant opened): every (click, containing purchase-window)
+    pair PLUS every purchase window containing no click (null-extended
+    on the click columns) — the cold-conversion audit ("which
+    purchases arrived with no attributable click") without the left
+    side's unmatched clicks. Shares full_outer_range_join's unmatched-
+    interval recovery path (distinct matched ids + anti-join on the
+    UN-exploded interval side); the matched base is the plain inner
+    banded join. DuckDB replays the RIGHT IEJoin natively as the
+    oracle."""
+    from .operators.rangejoin import range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    out = range_join(
+        clicks, purchases, point_ts="c_ts", start_col="w_start", end_col="w_end",
+        on=("user_id",), bucket_seconds=3600, how="right",
+        interval_id=("purchase_id",),
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+def scd2_null_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build over a changelog that PROVABLY contains NULL
+    attribute transitions (r10 VERDICT item 3: the r10 proactive
+    review found the NULL-unsafe change-detection bug precisely
+    because no oracle fixture exercised non-NULL→NULL / NULL→non-NULL
+    / repeated-NULL shapes — this row makes those shapes
+    driver-certified, not just pytest-pinned). The adversarial input
+    derives deterministically from orders: the tracked attribute is
+    NULLed for o_orderkey % 5 IN (0, 3) (~40% of observations), so
+    every customer's ordered log contains transitions INTO NULL
+    (must open a version whose attr is NULL — the `attr != prev`
+    formulation silently dropped these), OUT of NULL, and runs of
+    consecutive NULLs (must EXTEND one NULL version, not open one per
+    observation — the `prev IS NULL` formulation opened spurious
+    versions). Same one-Exchange two-window plan as
+    scd2_customer_priority; oracle replays with IS DISTINCT FROM."""
+    from .operators.upsert import scd2_from_changelog
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when((F.col("o_orderkey") % 5).isin(0, 3), F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+    )
+    return scd2_from_changelog(
+        orders,
+        key="o_custkey",
+        attr="priority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        valid_col="o_orderdate",
+    )
+
+
+def upsert_dup_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW upsert over inputs that PROVABLY contain duplicate
+    (id, version) rows (r10 VERDICT item 3's second shape — the r10
+    review's nondeterministic-survivor bug was invisible because no
+    oracle fixture carried duplicate versions). Derived
+    deterministically from customer: existing = every customer at
+    version 1; the batch carries (a) a version-2 upgrade for id%3==0,
+    (b) a SAME-(id, version-1) row with a DIFFERENT payload for
+    id%7==0 — the cross-input tie, resolved batch-wins, and (c) an
+    identical (id, version-3) row TWICE for id%11==0 — the
+    within-input duplicate, resolved by the full-row-hash tiebreak
+    (identical payloads here: Spark's xxhash64 has no DuckDB twin, so
+    the DIFFERING-payload within-input case stays pinned by
+    tests/test_upsert.py::test_upsert_duplicate_id_version_deterministic
+    — the documented oracle boundary). The oracle computes the
+    expected survivor per id directly (an independent derivation,
+    not a mechanics replay)."""
+    from .operators.upsert import upsert
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("seg")
+    )
+    existing = cust.withColumn("v", F.lit(1).cast("long"))
+    b_upgrade = (
+        cust.filter(F.col("id") % 3 == 0)
+        .withColumn("seg", F.upper(F.col("seg")))
+        .withColumn("v", F.lit(2).cast("long"))
+    )
+    b_tie = (
+        cust.filter(F.col("id") % 7 == 0)
+        .withColumn("seg", F.concat(F.col("seg"), F.lit("!")))
+        .withColumn("v", F.lit(1).cast("long"))
+    )
+    b_dup = (
+        cust.filter(F.col("id") % 11 == 0)
+        .withColumn("seg", F.lit("DUP"))
+        .withColumn("v", F.lit(3).cast("long"))
+    )
+    batch = b_upgrade.unionByName(b_tie).unionByName(b_dup).unionByName(b_dup)
+    return upsert(existing, batch, id_col="id", version_col="v").select(
+        "id", "seg", "v"
+    )
+
+
 def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all 2^k grouping sets in one pass — the
     rollup_pricing sibling): per (returnflag x linestatus), each
@@ -5098,82 +5216,37 @@ def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ceil(147/50) = 3 rounds - three consecutive CORRECTNESS files
 # jointly cover the whole registry.
 #
-# Round-10 front (executes VERDICT r9 items 1, 3 and 4 exactly): the
-# two NEW spare-slot rows — outer_pit_join (pit_join's left branch,
-# implemented+test-pinned in r9, owed its oracle row) and
-# stream_outer_interval_join (the outer stream-stream parity row,
-# sharing outer_range_join's oracle) — then equidepth_by_range
-# (changed r9: small-n guard; receipt-covered, owed a driver row),
-# then the 47 round-7-certified rows (exactly 3 rounds stale, the
-# rotation bound) = exactly 50. After that: the round-8-certified
-# block (the round-11 front), then the round-9-certified block (the
-# round-12 front), then full_outer_range_join (NEW in r10 but out of
-# front slots: local tri-scale oracle receipts in NOTES_r10.md — the
-# r9 equidepth precedent — and the FIRST slot of the round-11 front).
-# rangejoin.py gained the right/full branch this round: its certified
-# consumers (clicks_in_purchase_window, outer_range_join — r9 rows)
-# are receipt-covered in NOTES_r10.md the same way, and the module is
-# exercised live by the front's outer_pit_join. At 150 queries / 50
-# slots the bound stays ceil(150/50) = 3 rounds.
+# Round-11 front (executes VERDICT r10 items 1, 3 and 4): the three
+# NEW rows — scd2_null_transitions + upsert_dup_versions (item 3: the
+# adversarial-shape oracle rows) and right_outer_range_join (item 4) —
+# then full_outer_range_join (NEW r10, out of that front's slots,
+# tri-scale-receipted in NOTES_r10.md + judge-oracled, the prescribed
+# first owed slot), then the first 46 round-8-certified rows = exactly
+# 50. The three round-8 rows the new rows displace
+# (impute_event_values, q3_ann_append, rolling_distinct_users) carry
+# tri-scale oracle receipts in NOTES_r11.md — the r9-equidepth /
+# r10-full_outer precedent — and take the FIRST slots of the round-12
+# front, ahead of the round-9 block. Growth arithmetic: at 153
+# queries / 50 slots the pure-rotation bound is ceil(153/50) = 4
+# rounds; the (at most) three over-bound rows per round are exactly
+# the receipt-covered ones, so every row is either driver-certified
+# within 3 rounds or receipt-certified in the round it slipped — the
+# NOTES ledger shows which.
 QUERIES = {
-    # --- new in round 10 (r9 verdict items 3 & 4): the LEFT
-    # point-in-time join and the LEFT OUTER stream-stream interval
-    # join (streaming parity family, outer semantics) ---
-    "outer_pit_join": outer_pit_join,
-    "stream_outer_interval_join": stream_outer_interval_join,
-    # --- changed round 9 (small-n guard; receipt-covered in
-    #     NOTES_r9.md) - the owed driver row, 3rd front slot ---
-    "equidepth_by_range": equidepth_by_range,
-    # --- driver-green round 7 (the rest of the round-10 front) ---
-    "semantic_dedup": semantic_dedup,
-    "large_order_customers": large_order_customers,
-    "top_supplier_revenue": top_supplier_revenue,
-    "returned_items_topk": returned_items_topk,
-    "rolling_revenue_7d": rolling_revenue_7d,
-    "gopher_quality": gopher_quality,
-    "crossdoc_spans": crossdoc_spans,
-    "mixture_sample": mixture_sample_q,
-    "hybrid_search_rrf": hybrid_search_rrf,
-    "q3_ann_binary_rerank": q3_ann_binary_rerank,
-    "dedup_incremental": dedup_incremental,
-    "stream_dedup_incremental": stream_dedup_incremental,
-    "q3_ann_quantized_rerank": q3_ann_quantized_rerank,
-    "curation_pipeline": curation_pipeline,
-    "stream_pdf_ingest": stream_pdf_ingest,
-    "q3_ann_build": q3_ann_build,
-    "q3_ann_ivf": q3_ann_ivf,
-    "q3_ann_lsh": q3_ann_lsh,
-    "neardup_embedding": neardup_embedding,
-    "merge_parts": merge_parts,
-    "top_unshipped_orders": top_unshipped_orders,
-    "local_supplier_volume": local_supplier_volume,
-    "top_parts_per_brand": top_parts_per_brand,
-    "customer_segments": customer_segments,
-    "events_hourly": events_hourly,
-    "stream_events_hourly": stream_events_hourly,
-    "stream_dedup_keys": stream_dedup_keys,
-    "rollup_pricing": rollup_pricing,
-    "grouping_sets_pricing": grouping_sets_pricing,
-    "above_avg_customers": above_avg_customers,
-    "semi_anti_customers": semi_anti_customers,
-    "salted_join_segments": salted_join_segments,
-    "asof_join_events": asof_join_events,
-    "pivot_order_status": pivot_order_status,
-    "sessionize_events": sessionize_events,
-    "distinct_parts_per_supplier": distinct_parts_per_supplier,
-    "pages_roundtrip": pages_roundtrip,
-    "upsert_compact": upsert_compact,
-    "upsert_bucketed": upsert_bucketed,
-    "setops_parts": setops_parts,
-    "q6_revenue_band": q6_revenue_band,
-    "orders_calendar": orders_calendar,
-    "percentiles_acctbal": percentiles_acctbal,
-    "events_json_props": events_json_props,
-    "segment_dedup": segment_dedup,
-    "rolling_distinct_users_sketch": rolling_distinct_users_sketch,
-    "order_count_distribution": order_count_distribution,
-    # --- driver-green round 8 (newest certifications; the round-11
-    # front) ---
+    # --- new in round 11 (VERDICT r10 items 3 & 4): the adversarial
+    # NULL-transition SCD2 and duplicate-version upsert rows (shapes
+    # the r10 proactive-review bugs proved the fixtures never
+    # exercised) and the RIGHT banded range join (completing the
+    # outer-variant matrix) ---
+    "scd2_null_transitions": scd2_null_transitions,
+    "upsert_dup_versions": upsert_dup_versions,
+    "right_outer_range_join": right_outer_range_join,
+    # --- new round 10 but out of that front's slots (tri-scale
+    # receipts in NOTES_r10.md + an independent judge oracle PASS);
+    # the prescribed first owed slot of this front ---
+    "full_outer_range_join": full_outer_range_join,
+    # --- driver-green round 8 (the rest of the round-11 front:
+    # 3 + 1 + 46 = exactly 50) ---
     "neardup_ppjoin": neardup_ppjoin,
     "lsh_exact_audit": lsh_exact_audit,
     "q3_ann_lsh_join": q3_ann_lsh_join,
@@ -5220,11 +5293,15 @@ QUERIES = {
     "heavy_hitters_events": heavy_hitters_events,
     "lineitem_skew_report": lineitem_skew_report,
     "value_histogram": value_histogram,
+    # --- driver-green round 8, displaced from the round-11 front by
+    # the three NEW rows: tri-scale oracle receipts in NOTES_r11.md
+    # (the r9-equidepth / r10-full_outer precedent) and the FIRST
+    # slots of the round-12 front ---
     "impute_event_values": impute_event_values,
     "q3_ann_append": q3_ann_append,
     "rolling_distinct_users": rolling_distinct_users,
-    # --- driver-green round 9 (newest certifications; the round-12
-    # front) ---
+    # --- driver-green round 9 (with the three displaced rows above,
+    # the round-12 front) ---
     "outer_range_join": outer_range_join,
     "approx_percentiles_gate": approx_percentiles_gate,
     "clicks_in_purchase_window": clicks_in_purchase_window,
@@ -5275,10 +5352,58 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "scd2_customer_priority": scd2_customer_priority,
     "anomaly_mad": anomaly_mad,
-    # --- new in round 10 but out of front slots (the front is exactly
-    # 2 new + equidepth + the 47 round-7 rows): local tri-scale oracle
-    # receipts in NOTES_r10.md; FIRST slot of the round-11 front ---
-    "full_outer_range_join": full_outer_range_join,
+    # --- driver-green round 10 (newest certifications; the round-13
+    # front) ---
+    "outer_pit_join": outer_pit_join,
+    "stream_outer_interval_join": stream_outer_interval_join,
+    "equidepth_by_range": equidepth_by_range,
+    "semantic_dedup": semantic_dedup,
+    "large_order_customers": large_order_customers,
+    "top_supplier_revenue": top_supplier_revenue,
+    "returned_items_topk": returned_items_topk,
+    "rolling_revenue_7d": rolling_revenue_7d,
+    "gopher_quality": gopher_quality,
+    "crossdoc_spans": crossdoc_spans,
+    "mixture_sample": mixture_sample_q,
+    "hybrid_search_rrf": hybrid_search_rrf,
+    "q3_ann_binary_rerank": q3_ann_binary_rerank,
+    "dedup_incremental": dedup_incremental,
+    "stream_dedup_incremental": stream_dedup_incremental,
+    "q3_ann_quantized_rerank": q3_ann_quantized_rerank,
+    "curation_pipeline": curation_pipeline,
+    "stream_pdf_ingest": stream_pdf_ingest,
+    "q3_ann_build": q3_ann_build,
+    "q3_ann_ivf": q3_ann_ivf,
+    "q3_ann_lsh": q3_ann_lsh,
+    "neardup_embedding": neardup_embedding,
+    "merge_parts": merge_parts,
+    "top_unshipped_orders": top_unshipped_orders,
+    "local_supplier_volume": local_supplier_volume,
+    "top_parts_per_brand": top_parts_per_brand,
+    "customer_segments": customer_segments,
+    "events_hourly": events_hourly,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_dedup_keys": stream_dedup_keys,
+    "rollup_pricing": rollup_pricing,
+    "grouping_sets_pricing": grouping_sets_pricing,
+    "above_avg_customers": above_avg_customers,
+    "semi_anti_customers": semi_anti_customers,
+    "salted_join_segments": salted_join_segments,
+    "asof_join_events": asof_join_events,
+    "pivot_order_status": pivot_order_status,
+    "sessionize_events": sessionize_events,
+    "distinct_parts_per_supplier": distinct_parts_per_supplier,
+    "pages_roundtrip": pages_roundtrip,
+    "upsert_compact": upsert_compact,
+    "upsert_bucketed": upsert_bucketed,
+    "setops_parts": setops_parts,
+    "q6_revenue_band": q6_revenue_band,
+    "orders_calendar": orders_calendar,
+    "percentiles_acctbal": percentiles_acctbal,
+    "events_json_props": events_json_props,
+    "segment_dedup": segment_dedup,
+    "rolling_distinct_users_sketch": rolling_distinct_users_sketch,
+    "order_count_distribution": order_count_distribution,
 }
 
 

@@ -532,3 +532,20 @@ def test_full_outer_range_join_plan_shape(spark, sf_dir):
     assert low.count("leftanti") >= 1, plan
     assert "union" in low, plan
     assert "__rj_bucket" in plan and "__rj_m_purchase_id" in plan
+
+
+def test_right_outer_range_join_plan_shape(spark, sf_dir):
+    """r11 right banded range join: matched side = plain INNER banded
+    equi-join (no left-outer residual needed), plus the same
+    LeftAnti unmatched-interval recovery and union as the full
+    variant — never a nested loop or cartesian."""
+    plan = formatted_plan(Q.right_outer_range_join(spark, sf_dir))
+    low = plan.lower()
+    assert "nestedloop" not in low, plan
+    assert "cartesian" not in low, plan
+    assert low.count("leftanti") >= 1, plan
+    assert "union" in low, plan
+    assert "__rj_bucket" in plan and "__rj_m_purchase_id" in plan
+    # the matched base is inner, not leftouter (the right variant's
+    # cost advantage over full: no null-extension probe on the left)
+    assert "leftouter" not in low.replace(" ", ""), plan

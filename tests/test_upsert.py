@@ -329,3 +329,53 @@ def test_upsert_map_column_tiebreak(spark):
     b2 = spark.createDataFrame([("y", {"tags": {"a": "2"}, "n": 2}, 2)], schema2)
     out = upsert(e2, b2).collect()
     assert len(out) == 1 and out[0]["payload"]["n"] == 2
+
+
+def test_scd2_null_transitions_query_is_adversarial(spark, sf_dir):
+    """VERDICT r10 item 3: the registered scd2_null_transitions row
+    must (a) run over an input that PROVABLY contains non-NULL→NULL
+    transitions, NULL→non-NULL transitions, and consecutive-NULL runs,
+    and (b) DISCRIMINATE the r10 bug class — the old `attr != prev` /
+    `prev IS NULL` change detection must produce a different result on
+    this input (it was bit-identical on the NULL-free fixtures, which
+    is how the bug survived three rounds of certification)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        scd2_null_transitions,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when((F.col("o_orderkey") % 5).isin(0, 3), F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.withColumn("__prev", F.lag("priority").over(w)).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    to_null = seq.filter(
+        F.col("__prev").isNotNull() & F.col("priority").isNull()
+    ).count()
+    from_null = seq.filter(
+        (F.col("__rn") > 1) & F.col("__prev").isNull() & F.col("priority").isNotNull()
+    ).count()
+    null_runs = seq.filter(
+        (F.col("__rn") > 1) & F.col("__prev").isNull() & F.col("priority").isNull()
+    ).count()
+    assert to_null > 0 and from_null > 0 and null_runs > 0
+
+    # the OLD (pre-r10) change detection on the same input
+    old_changed = seq.filter(
+        F.col("__prev").isNull() | (F.col("priority") != F.col("__prev"))
+    ).count()
+    new_rows = scd2_null_transitions(spark, sf_dir).count()
+    assert new_rows != old_changed  # the registered row discriminates
+    # exact accounting: old drops every →NULL change and opens a
+    # spurious version per repeated NULL
+    assert old_changed == new_rows - to_null + null_runs
