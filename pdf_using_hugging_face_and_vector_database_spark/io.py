@@ -29,6 +29,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # The engine's declared timestamp semantics are CIVIL UTC: every
+    # date_format/to_date/string-anchor comparison in the query corpus
+    # (and this reader's own NTZ->LTZ normalization below) assumes
+    # session tz UTC, and the DuckDB oracle reads the same parquet as
+    # naive UTC. get_spark() pins it, but the DRIVER hands queries a
+    # VANILLA session that inherits the HOST zone — on a non-UTC host
+    # every timestamp filter/bucket silently shifts by the zone offset
+    # (r11 review: events_gapfill returned 248 vs 243 bucket-rows under
+    # UTC vs America/New_York). Pin it here, the one entry point every
+    # query reads fixtures through — same runtime-conf precedent as
+    # nanosAsLong below; a no-op on UTC hosts.
+    tz_conf = "spark.sql.session.timeZone"
+    if spark.conf.get(tz_conf, "") != "UTC":
+        spark.conf.set(tz_conf, "UTC")
+
     ts_cols = {"events": ["ts"]}.get(name, [])
     if ts_cols:
         # Session requirement: TIMESTAMP(NANOS) parquet columns need

@@ -612,7 +612,10 @@ WITH scored AS (
          round(-ln((('0x' || substr(md5('wrs:' || doc_id::VARCHAR), 1, 6))::BIGINT
                     + 1)::DOUBLE / {float((1 << 24) + 1)!r})
                / len({_tokens('text')})::DOUBLE, 9) AS k
-  FROM documents),
+  FROM documents
+  -- zero-weight (empty) docs are EXCLUDED, matching the Spark side
+  -- (r11 review: NULL sort keys place opposite ways across engines)
+  WHERE len({_tokens('text')}) > 0),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank
   FROM scored)

@@ -3568,7 +3568,13 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed anchor (no interval/format dialect drift); fills carry the
     already-rounded sums so both engines forward identical values."""
     ev = read_table(spark, sf_dir, "events").filter(
-        (F.col("ts") >= F.lit(GAPFILL_ANCHOR).cast("timestamp"))
+        # BOTH bounds in integer epoch seconds (r11 review): the lower
+        # bound was a string literal cast to timestamp, which parses in
+        # the SESSION zone — the one tz-dependent expression in a query
+        # whose docstring promises pure epoch arithmetic (observed:
+        # 248 vs 243 bucket-rows under UTC vs America/New_York before
+        # read_table pinned the zone)
+        (F.col("ts").cast("long") >= F.lit(GAPFILL_ANCHOR_EPOCH))
         & (
             F.col("ts").cast("long")
             < F.lit(GAPFILL_ANCHOR_EPOCH + GAPFILL_MINUTES * 60)
@@ -4497,7 +4503,13 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double") / F.lit(float((1 << 24) + 1))
     w = token_count(F.col("text")).cast("double")
     key = F.round(-F.log(u) / w, 9)
-    scored = docs.select(
+    # w = 0 (empty doc) must mean probability 0 — EXCLUDED (r11
+    # review): unfiltered, the 0-division key is NULL and the two
+    # engines disagree on NULL placement in an ascending window
+    # (Spark NULLS FIRST: sampled with certainty; DuckDB NULLS LAST:
+    # never sampled). Invisible on the fixtures (no empty docs);
+    # pinned by tests/test_analytics_r4b.py.
+    scored = docs.filter(w > 0).select(
         "doc_id", "source", w.cast("int").alias("weight"), key.alias("__k")
     )
     win = Window.partitionBy("source").orderBy("__k", "doc_id")

@@ -79,7 +79,18 @@ def apply_mv_batch(
     last = -1
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
-            last = json.load(f).get("last_batch_id", -1)
+            meta = json.load(f)
+        # .get(key, -1) silently re-folded every committed batch when a
+        # meta file PARSED but lacked the key (e.g. written by a future
+        # or foreign store version) — the exact double-count the
+        # docstring's fail-LOUDLY principle forbids; only json.load
+        # errors were loud (r11 review)
+        if "last_batch_id" not in meta:
+            raise ValueError(
+                f"MV store watermark {meta_path} has no last_batch_id: "
+                "refusing to re-fold over existing data"
+            )
+        last = meta["last_batch_id"]
     if batch_id <= last:
         return  # replayed batch: already committed
     delta = _mv_agg(batch)

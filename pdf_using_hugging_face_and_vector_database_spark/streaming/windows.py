@@ -135,6 +135,11 @@ def read_events_stream(
 
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same vanilla-session hazard as io.read_table (r11 review): the
+    # NTZ cast below and every window/date_format downstream assume
+    # session tz UTC — pin it for streams read outside get_spark()
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     static_schema = spark.read.parquet(path).schema
     # the fixture is a single file; the streaming file source wants a
     # directory, so stream the parent dir filtered to this file

@@ -354,3 +354,30 @@ def test_property_pack_sequences_matches_reference(spark):
             assert pack_id == before // budget, i
             assert overflowed == ((before % budget) + n_tok > budget), i
             before += n_tok
+
+
+def test_weighted_sample_excludes_zero_weight_docs(spark, tmp_path):
+    """r11 review: an empty (zero-token) doc has Efraimidis-Spirakis
+    weight 0 => sampling probability 0 and must be EXCLUDED — the
+    unfiltered 0-division produced a NULL key, which Spark's ascending
+    window placed FIRST (sampled with certainty) and DuckDB's NULLS
+    LAST placed never: an engine-divergent, semantically wrong draw.
+    Invisible on the fixtures (no empty docs there)."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        weighted_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s", "alpha beta gamma"), (2, "s", ""), (3, "s", "   "),
+         (4, "s", "delta")],
+        "doc_id long, source string, text string",
+    )
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    rows = weighted_sample(spark, d).collect()
+    ids = {r.doc_id for r in rows}
+    assert ids == {1, 4}  # empty and whitespace-only docs excluded
+    assert all(r.rank >= 1 and r.weight > 0 for r in rows)

@@ -90,3 +90,20 @@ def test_stream_restart_folds_only_new_files(spark, tmp_path):
         .collect()
     }
     assert second == truth
+
+
+def test_keyless_watermark_fails_loudly(spark, tmp_path):
+    """r11 review: a _meta.json that PARSES but lacks last_batch_id
+    (future/foreign store version) must raise, not default to -1 and
+    re-fold committed batches into the additive MV (double count) —
+    only unparseable JSON failed loudly before."""
+    import json
+
+    import pytest
+
+    store = str(tmp_path / "mv")
+    apply_mv_batch(spark, store, _orders_df(spark, [1, 2]), 0)
+    with open(os.path.join(store, "_meta.json"), "w") as f:
+        json.dump({"some_other_key": 0}, f)
+    with pytest.raises(ValueError, match="no last_batch_id"):
+        apply_mv_batch(spark, store, _orders_df(spark, [1, 2]), 0)

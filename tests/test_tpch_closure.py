@@ -96,3 +96,32 @@ def test_q11_and_q20_selectivity_is_sf_invariant(spark):
         n_parts = Q.read_table(spark, sf, "part").count()
         picked = Q.important_parts(spark, sf).count()
         assert 0 < picked < n_parts, (sf, picked, n_parts)
+
+
+def test_queries_tz_independent_via_read_table(spark, sf_dir):
+    """r11 review: the engine's timestamp semantics are civil UTC and
+    the DuckDB oracle reads the fixtures as naive UTC, but the DRIVER
+    hands queries a vanilla session inheriting the HOST zone — on a
+    non-UTC host every timestamp filter/bucket shifted by the offset
+    (events_gapfill: 248 vs 243 bucket-rows UTC vs America/New_York).
+    read_table now pins session tz UTC at read time, so a query must
+    return identical results no matter what zone the session starts
+    in."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        events_gapfill,
+        events_hourly,
+    )
+
+    def digest():
+        g = events_gapfill(spark, sf_dir).agg({"n_events": "sum"}).collect()[0][0]
+        h = events_hourly(spark, sf_dir).count()
+        return (g, h)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    want = digest()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = digest()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got == want
