@@ -156,8 +156,10 @@ def repetition_stats(
     base = df.select(
         id_col,
         F.length(text).alias("__n_chars"),
-        F.size(toks).alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("__n_unique"),
+        # greatest(., 0): size(NULL) is NULL (or -1 under the legacy
+        # conf) — a NULL-text doc must gate as empty, not as NULL
+        F.greatest(F.size(toks), F.lit(0)).alias("n_words"),
+        F.greatest(F.size(F.array_distinct(toks)), F.lit(0)).alias("__n_unique"),
     )
 
     def gram_counts(n: int) -> DataFrame:
@@ -178,13 +180,19 @@ def repetition_stats(
             )
         ).alias("__dup_chars")
     )
-    joined = base.join(top, id_col).join(dup, id_col)
+    # LEFT joins + zero fills (r11 review): the gram helper drops a
+    # zero-token doc's '' gram, so inner joins made such a doc VANISH
+    # from the gate's output instead of failing it — a quality FILTER
+    # must judge every input row (an empty doc scores uniq 0 and
+    # fails), not silently lose the worst ones. Invisible on the
+    # fixtures (no empty docs); pinned by tests/test_validation_text.py.
+    joined = base.join(top, id_col, "left").join(dup, id_col, "left")
     denom_c = F.greatest(F.col("__n_chars"), F.lit(1)).cast("double")
-    uniq = F.col("__n_unique").cast("double") / F.greatest(
-        F.col("n_words"), F.lit(1)
-    ).cast("double")
-    top_frac = F.col("__top_chars").cast("double") / denom_c
-    dup_frac = F.col("__dup_chars").cast("double") / denom_c
+    uniq = F.coalesce(F.col("__n_unique"), F.lit(0)).cast(
+        "double"
+    ) / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    top_frac = F.coalesce(F.col("__top_chars"), F.lit(0)).cast("double") / denom_c
+    dup_frac = F.coalesce(F.col("__dup_chars"), F.lit(0)).cast("double") / denom_c
     return joined.select(
         id_col,
         "n_words",

@@ -1055,11 +1055,15 @@ dup AS (SELECT doc_id,
                  AS dup_chars
         FROM cdup GROUP BY doc_id),
 j AS (
+  -- LEFT joins + zero fills mirror the Spark kernel (r11 review): a
+  -- zero-token doc has no grams but must still be judged by the gate
   SELECT b.doc_id, b.n_words,
          b.n_unique::DOUBLE / greatest(b.n_words, 1)::DOUBLE AS uniq,
-         t.top_chars::DOUBLE / greatest(b.n_chars, 1)::DOUBLE AS topf,
-         d.dup_chars::DOUBLE / greatest(b.n_chars, 1)::DOUBLE AS dupf
-  FROM base b JOIN top t USING (doc_id) JOIN dup d USING (doc_id))
+         coalesce(t.top_chars, 0)::DOUBLE
+           / greatest(b.n_chars, 1)::DOUBLE AS topf,
+         coalesce(d.dup_chars, 0)::DOUBLE
+           / greatest(b.n_chars, 1)::DOUBLE AS dupf
+  FROM base b LEFT JOIN top t USING (doc_id) LEFT JOIN dup d USING (doc_id))
 SELECT doc_id, n_words,
        round(uniq, 6) AS unique_word_frac,
        round(topf, 6) AS top{GOPHER_TOP_N}gram_char_frac,

@@ -143,3 +143,26 @@ def test_token_count_null_text_is_zero(spark):
     assert counts == {1: 0, 2: 2}
     q = {r.doc_id: r.quality_score for r in doc_stats(df).collect()}
     assert 0.0 <= q[1] <= 1.0 and 0.0 <= q[2] <= 1.0
+
+
+def test_repetition_gate_judges_empty_docs(spark):
+    """r11 review: the gram helper drops a zero-token doc's '' gram,
+    and repetition_stats' inner joins then LOST the doc — a quality
+    gate silently passing (by omission) exactly the docs it should
+    fail. Empty and NULL-text docs must come back with uniq 0 and
+    passes_repetition False."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat with a hat"), (2, ""), (3, "   "),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}  # every input doc is judged
+    for d in (2, 3, 4):
+        assert rows[d].unique_word_frac == 0.0
+        assert rows[d].passes_repetition is False
+    assert rows[1].n_words == 9
