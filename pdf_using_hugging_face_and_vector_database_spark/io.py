@@ -40,8 +40,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC vs America/New_York). Pin it here, the one entry point every
     # query reads fixtures through — same runtime-conf precedent as
     # nanosAsLong below; a no-op on UTC hosts.
+    # single-arg get: conf.get(key, default) VALIDATES the default
+    # string against the entry's converter when the key is unset —
+    # exactly the vanilla-session case — and '' is not a timezone
+    # (observed: INVALID_CONF_VALUE.TIME_ZONE on every vanilla query)
     tz_conf = "spark.sql.session.timeZone"
-    if spark.conf.get(tz_conf, "") != "UTC":
+    if spark.conf.get(tz_conf) != "UTC":
         spark.conf.set(tz_conf, "UTC")
 
     ts_cols = {"events": ["ts"]}.get(name, [])

@@ -138,7 +138,10 @@ def read_events_stream(
     # same vanilla-session hazard as io.read_table (r11 review): the
     # NTZ cast below and every window/date_format downstream assume
     # session tz UTC — pin it for streams read outside get_spark()
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # single-arg get — a two-arg get validates the default string
+    # against the timezone converter when the key is unset (vanilla
+    # sessions) and throws INVALID_CONF_VALUE (see io.read_table)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     static_schema = spark.read.parquet(path).schema
     # the fixture is a single file; the streaming file source wants a

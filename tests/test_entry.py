@@ -277,3 +277,34 @@ def test_bench_covers_every_registered_query():
 
     assert set(BENCH_QUERIES) == set(QUERIES)
     assert len(BENCH_QUERIES) == len(QUERIES)  # no duplicates either
+
+
+def test_read_table_on_bare_session_with_unset_tz():
+    """r11 review regression pin: read_table pins session tz UTC, and
+    on a session where the key is UNSET (the driver's vanilla session)
+    a two-arg conf.get(key, '') VALIDATES '' against the timezone
+    converter and throws INVALID_CONF_VALUE — which took down 144/153
+    queries in the first vanilla sweep. Exercise the unset-key path in
+    a subprocess with a truly bare session."""
+    import subprocess
+    import sys
+
+    prog = """
+import sys
+sys.path.insert(0, %r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+n = read_table(spark, "/root/testdata/sf0.001", "events").count()
+assert n > 0, n
+assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+print("OK", n)
+""" % (
+        __import__("os").path.dirname(__import__("os").path.dirname(__file__)),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True, timeout=240
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().startswith("OK")
