@@ -399,3 +399,90 @@ def test_range_join_null_interval_id_never_duplicates(spark):
     unmatched_intervals = [r for r in rows if r.pid is None]
     assert [r.iid for r in unmatched_intervals] == [7]
     assert len(rows) == 2
+
+
+def test_range_join_property_all_variants(spark):
+    """Hypothesis property pin over ALL FOUR outer variants vs a
+    brute-force reference on random (point, interval) sets — including
+    multi-bucket intervals (bucket_seconds=5 against spans up to 20s),
+    empty sides, duplicate timestamps, and never-matched rows on both
+    sides. Complements the fixed-seed randomized sweep above with
+    shrinking counterexamples."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    points_s = st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 24)),
+        min_size=0,
+        max_size=6,
+    )
+    intervals_s = st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20), st.integers(0, 12)),
+        min_size=0,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(points_s, intervals_s)
+    def run(pts, ivs):
+        p_rows = [
+            (i, k, base + dt.timedelta(seconds=t)) for i, (k, t) in enumerate(pts)
+        ]
+        i_rows = [
+            (
+                j,
+                k,
+                base + dt.timedelta(seconds=s),
+                base + dt.timedelta(seconds=s + d),
+            )
+            for j, (k, s, d) in enumerate(ivs)
+        ]
+        pdf = spark.createDataFrame(
+            p_rows, "pid long, k long, ts timestamp"
+        ) if p_rows else spark.createDataFrame([], "pid long, k long, ts timestamp")
+        idf = spark.createDataFrame(
+            i_rows, "iid long, k long, s timestamp, e timestamp"
+        ) if i_rows else spark.createDataFrame(
+            [], "iid long, k long, s timestamp, e timestamp"
+        )
+        matched = {
+            (pi, ij)
+            for pi, (pk, pt) in enumerate(pts)
+            for ij, (ik, s, d) in enumerate(ivs)
+            if pk == ik and s <= pt <= s + d
+        }
+        m_points = {p for p, _ in matched}
+        m_ivs = {i for _, i in matched}
+        want = {
+            "inner": matched,
+            "left": matched
+            | {(p, None) for p in range(len(pts)) if p not in m_points},
+            "right": matched
+            | {(None, i) for i in range(len(ivs)) if i not in m_ivs},
+            "full": matched
+            | {(p, None) for p in range(len(pts)) if p not in m_points}
+            | {(None, i) for i in range(len(ivs)) if i not in m_ivs},
+        }
+        for how in ("inner", "left", "right", "full"):
+            kw = {"interval_id": ("iid",)} if how in ("right", "full") else {}
+            out = range_join(
+                pdf, idf, point_ts="ts", start_col="s", end_col="e",
+                on=("k",), bucket_seconds=5, how=how, **kw,
+            ).collect()
+            got = {(r["pid"], r["iid"]) for r in out}
+            assert got == want[how], (how, pts, ivs)
+            assert len(out) == len(want[how]), (how, "duplicate rows")
+
+    run()

@@ -379,3 +379,65 @@ def test_scd2_null_transitions_query_is_adversarial(spark, sf_dir):
     # exact accounting: old drops every →NULL change and opens a
     # spurious version per repeated NULL
     assert old_changed == new_rows - to_null + null_runs
+
+
+def test_scd2_property_random_changelogs(spark):
+    """Property pin for the twice-burned SCD2 kernel (r10 NULL bug,
+    r11 adversarial row): on random change logs INCLUDING NULLs and
+    repeated values, scd2_from_changelog must equal a direct Python
+    reference of the documented semantics — first row opens, null-safe
+    value change opens, repeats (incl. repeated NULLs) extend, lead()
+    closes intervals, last version is current."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        scd2_from_changelog,
+    )
+
+    logs = st.dictionaries(
+        keys=st.integers(min_value=0, max_value=2),
+        values=st.lists(
+            st.sampled_from([None, "a", "b"]), min_size=1, max_size=6
+        ),
+        min_size=1,
+        max_size=3,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(logs)
+    def run(log):
+        rows = [
+            (k, i, a) for k, attrs in log.items() for i, a in enumerate(attrs)
+        ]
+        df = spark.createDataFrame(rows, "k long, seq long, attr string")
+        key_fn = lambda t: (t[0], t[2])  # (key, valid_from) — unique
+        got = sorted(
+            (
+                (r.k, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+                for r in scd2_from_changelog(
+                    df, key="k", attr="attr", order_cols=["seq"], valid_col="seq"
+                ).collect()
+            ),
+            key=key_fn,
+        )
+        want = []
+        for k, attrs in log.items():
+            kept = [
+                (i, a)
+                for i, a in enumerate(attrs)
+                if i == 0 or not (a is None and attrs[i - 1] is None)
+                and not (
+                    a is not None and attrs[i - 1] is not None and a == attrs[i - 1]
+                )
+            ]
+            for v, (i, a) in enumerate(kept):
+                nxt = kept[v + 1][0] if v + 1 < len(kept) else None
+                want.append((k, a, i, nxt, v + 1, nxt is None))
+        assert got == sorted(want, key=key_fn)
+
+    run()
