@@ -109,11 +109,28 @@ def range_join(
         missing = [c for c in interval_id if c not in intervals.columns]
         if missing:
             raise ValueError(f"interval_id columns not in intervals: {missing}")
-        # matched side first: inner (right) or left (full) banded join
-        base = range_join(
-            points, intervals, point_ts, start_col, end_col,
-            on=on, bucket_seconds=bucket_seconds,
-            how="inner" if how == "right" else "left",
+        from ..caching import persist_tracked
+
+        # matched side first: inner (right) or left (full) banded join.
+        # PERSISTED (r11 — measured at 50×): the base feeds THREE
+        # consumers inside one action — the matched-ids distinct, the
+        # anti-join's broadcast side, and the union's matched branch —
+        # and without the cache the banded-join PROBE re-ran per
+        # consumer (ReusedExchange dedupes only the shuffle write).
+        # That was fine at 10×/20× (exponents 0.09/0.12) but at 50×
+        # the full variant read 13.7 s vs the left branch's 1.78 s
+        # (exponent 0.62 vs 0.22) — the exact "materialize the matched
+        # side first if the double probe mattered" escape hatch the
+        # original design documented, now the default. MEMORY_AND_DISK
+        # persist is the local stand-in for the warehouse
+        # materialize-to-storage step; released by release_caches()
+        # between queries like every tracked intermediate.
+        base = persist_tracked(
+            range_join(
+                points, intervals, point_ts, start_col, end_col,
+                on=on, bucket_seconds=bucket_seconds,
+                how="inner" if how == "right" else "left",
+            )
         )
         matched = base
         for c in interval_id:
@@ -122,16 +139,11 @@ def range_join(
             # guarded disjoint from `on`, so no point-side value can
             # leak into this projection)
             matched = matched.filter(F.col(c).isNotNull())
-        from ..caching import persist_tracked
-
-        # tiny (bounded by the matched-interval count) and referenced
-        # by the anti-join branch — persist so repeated actions on the
-        # result don't re-derive it through the banded join
-        mids = persist_tracked(
-            matched.select(
-                *[F.col(c).alias(f"__rj_m_{c}") for c in interval_id]
-            ).dropDuplicates()
-        )
+        # tiny (bounded by the matched-interval count); derived from
+        # the persisted base, so no extra probe
+        mids = matched.select(
+            *[F.col(c).alias(f"__rj_m_{c}") for c in interval_id]
+        ).dropDuplicates()
         anti_cond = None
         for c in interval_id:
             term = intervals[c] == F.col(f"__rj_m_{c}")
