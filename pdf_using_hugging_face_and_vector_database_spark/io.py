@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .schemas import TESTDATA_TABLES
 
+_TZ_OVERRIDE_LOGGED = False
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -45,7 +47,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # exactly the vanilla-session case — and '' is not a timezone
     # (observed: INVALID_CONF_VALUE.TIME_ZONE on every vanilla query)
     tz_conf = "spark.sql.session.timeZone"
-    if spark.conf.get(tz_conf) != "UTC":
+    prev_tz = spark.conf.get(tz_conf)
+    if prev_tz != "UTC":
+        # log once per process (ADVICE r11): the override is part of
+        # the engine's civil-UTC contract, but a library consumer who
+        # set a zone deliberately should be able to SEE it happen
+        global _TZ_OVERRIDE_LOGGED
+        if not _TZ_OVERRIDE_LOGGED:
+            _TZ_OVERRIDE_LOGGED = True
+            import sys
+
+            print(
+                "pdf_using_hugging_face_and_vector_database_spark: pinning "
+                f"spark.sql.session.timeZone={prev_tz!r} -> 'UTC' for fixture "
+                "reads (engine timestamp contract is civil UTC)",
+                file=sys.stderr,
+            )
         spark.conf.set(tz_conf, "UTC")
 
     ts_cols = {"events": ["ts"]}.get(name, [])

@@ -1033,10 +1033,17 @@ FROM hashed
     # lengths -> every fraction is the same exact double division in
     # both engines; the pass gate compares those doubles to literal
     # thresholds, so it cannot straddle a rounding boundary.
+    # coalesce(...,0) on the token counts (r12, ADVICE r11): DuckDB's
+    # len(string_split(NULL)) is NULL, so a NULL-text doc scored
+    # n_words=NULL -> uniq NULL -> gate NULL here while the Spark
+    # kernel clamps to 0 and FAILS the doc. Latent on the fixtures (no
+    # NULL-text docs); pinned by
+    # tests/test_validation_text.py::test_gopher_oracle_judges_null_text_docs.
     sql["gopher_quality"] = f"""
 WITH base AS (
-  SELECT doc_id, length(text) AS n_chars, len({toks})::INT AS n_words,
-         len(list_distinct({toks})) AS n_unique
+  SELECT doc_id, length(text) AS n_chars,
+         coalesce(len({toks})::INT, 0) AS n_words,
+         coalesce(len(list_distinct({toks})), 0) AS n_unique
   FROM documents),
 ctop AS (
   SELECT doc_id, gram, count(*) AS cnt

@@ -475,14 +475,24 @@ def test_range_join_property_all_variants(spark):
             | {(p, None) for p in range(len(pts)) if p not in m_points}
             | {(None, i) for i in range(len(ivs)) if i not in m_ivs},
         }
-        for how in ("inner", "left", "right", "full"):
-            kw = {"interval_id": ("iid",)} if how in ("right", "full") else {}
-            out = range_join(
-                pdf, idf, point_ts="ts", start_col="s", end_col="e",
-                on=("k",), bucket_seconds=5, how=how, **kw,
-            ).collect()
-            got = {(r["pid"], r["iid"]) for r in out}
-            assert got == want[how], (how, pts, ivs)
-            assert len(out) == len(want[how]), (how, "duplicate rows")
+        from pdf_using_hugging_face_and_vector_database_spark.caching import (
+            release_caches,
+        )
+
+        try:
+            for how in ("inner", "left", "right", "full"):
+                kw = {"interval_id": ("iid",)} if how in ("right", "full") else {}
+                out = range_join(
+                    pdf, idf, point_ts="ts", start_col="s", end_col="e",
+                    on=("k",), bucket_seconds=5, how=how, **kw,
+                ).collect()
+                got = {(r["pid"], r["iid"]) for r in out}
+                assert got == want[how], (how, pts, ivs)
+                assert len(out) == len(want[how]), (how, "duplicate rows")
+        finally:
+            # right/full register a tracked persist per build (caller
+            # contract, ADVICE r11) — release per example so dozens of
+            # hypothesis iterations don't accumulate cached bases
+            release_caches()
 
     run()

@@ -166,3 +166,53 @@ def test_repetition_gate_judges_empty_docs(spark):
         assert rows[d].unique_word_frac == 0.0
         assert rows[d].passes_repetition is False
     assert rows[1].n_words == 9
+
+
+def test_gopher_oracle_judges_null_text_docs(spark):
+    """r12 (ADVICE r11): the DuckDB gopher oracle's base CTE scored a
+    NULL-text doc n_words=NULL (len(string_split(NULL)) is NULL), so
+    uniq and passes_repetition came back NULL while the Spark kernel
+    clamps to 0 and FAILS the doc. Replay the registered oracle SQL on
+    a NULL-text fixture and require exact row parity with the kernel —
+    fails on the pre-r12 SQL (NULL n_words / NULL gate)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    data = [
+        (1, "the cat sat on the mat with a hat"),
+        (2, None),
+        (3, ""),
+        (4, "dup dup dup dup dup dup dup dup"),
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    spark_rows = {
+        r.doc_id: (
+            r.n_words,
+            r.unique_word_frac,
+            r.top2gram_char_frac,
+            r.dup3gram_char_frac,
+            r.passes_repetition,
+        )
+        for r in repetition_stats(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    sql = entrymod.oracle_sql()["gopher_quality"]
+    duck_rows = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(
+            "SELECT doc_id, n_words, unique_word_frac, top2gram_char_frac,"
+            " dup3gram_char_frac, passes_repetition FROM (" + sql + ")"
+        ).fetchall()
+    }
+    assert duck_rows == spark_rows
+    # the NULL-text doc specifically: judged (0-token) and failed
+    assert duck_rows[2] == (0, 0.0, 0.0, 0.0, False)
