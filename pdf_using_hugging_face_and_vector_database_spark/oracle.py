@@ -2470,6 +2470,48 @@ FROM customer c LEFT JOIN dim d
  AND (d.valid_to IS NULL OR TIMESTAMP '{PIT_AS_OF}' < d.valid_to)
 """
 
+    # boundary-tied PIT join (r12, VERDICT r11 item 4): same SCD2
+    # replay; the facts are the dim's own valid_from instants x2
+    # copies, matched with the HALF-OPEN [valid_from, valid_to)
+    # predicate — a strict > or a closed <= kernel shifts the digest
+    sql["pit_boundary_ties"] = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+changed AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM ordered WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev),
+dim AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to,
+         (row_number() OVER w)::INT AS version
+  FROM changed
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+bounds AS (
+  SELECT o_custkey, valid_from AS ts, version AS src_version FROM dim),
+facts AS (
+  SELECT *, 1 AS copy FROM bounds
+  UNION ALL SELECT *, 2 AS copy FROM bounds),
+j AS (
+  SELECT d.o_orderpriority, d.valid_from, d.version,
+         f.ts, f.src_version
+  FROM facts f JOIN dim d
+    ON f.o_custkey = d.o_custkey
+   AND f.ts >= d.valid_from
+   AND (d.valid_to IS NULL OR f.ts < d.valid_to))
+SELECT o_orderpriority AS priority_at_ts,
+       count(*)::BIGINT AS n_facts,
+       SUM(version)::BIGINT AS sum_matched_versions,
+       SUM(src_version)::BIGINT AS sum_src_versions,
+       SUM(CASE WHEN ts = valid_from THEN 1 ELSE 0 END)::BIGINT AS n_at_start,
+       SUM(CASE WHEN src_version >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_end_tied
+FROM j GROUP BY priority_at_ts
+"""
+
     # robust MAD outliers: medians rounded at 6 BEFORE scoring in both
     # engines, so the score arithmetic starts from identical numbers
     sql["anomaly_mad"] = f"""

@@ -3887,6 +3887,65 @@ def outer_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pit_boundary_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial boundary-tied PIT join (r12, VERDICT r11 item 4):
+    the fact timestamps are EXACTLY the SCD2 dimension's own version
+    boundaries — every version's ``valid_from`` instant, duplicated
+    (two fact copies per boundary). By the abutting-interval invariant
+    (``valid_to`` of version N == ``valid_from`` of version N+1), a
+    fact from version >= 2 sits simultaneously AT its own version's
+    start AND AT the previous version's end, and every fact is an
+    AS-OF probe at a tied instant — the three tie shapes the
+    hypothesis property suite covers randomly (tests/test_pit.py) but
+    no registered oracle row provably contained (the r11
+    scd2_null_transitions precedent, applied to the PIT family).
+
+    The digest DISCRIMINATES the off-by-one kernel classes: a strict
+    ``> valid_from`` match drops every fact at its start instant
+    (n_at_start collapses to 0 and version-1 facts vanish); a closed
+    ``<= valid_to`` match double-joins every abutting-boundary fact to
+    versions N-1 AND N (n_facts inflates by exactly the end-tie
+    count); sum_matched_versions vs sum_src_versions shifts under
+    either. Measured adversarial-shape counts + wrong-kernel deltas
+    are pinned by tests/test_pit.py::test_pit_boundary_ties_query_is_adversarial.
+
+    Scale shape: identical to pit_priority_revenue — equi-join on the
+    key with the half-open interval residual in the probe; the fact
+    side here is the dim's own boundary set (bounded by version
+    count), so the join is broadcast-able on either side."""
+    from .operators.rangejoin import pit_join
+    from .operators.upsert import scd2_from_changelog
+
+    orders = read_table(spark, sf_dir, "orders")
+    dim = scd2_from_changelog(
+        orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+        key="o_custkey",
+        attr="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        valid_col="o_orderdate",
+    )
+    bounds = dim.select(
+        "o_custkey",
+        F.col("valid_from").alias("ts"),
+        F.col("version").alias("src_version"),
+    )
+    facts = bounds.withColumn("copy", F.lit(1)).unionByName(
+        bounds.withColumn("copy", F.lit(2))
+    )
+    j = pit_join(facts, dim, key="o_custkey", time_col="ts")
+    return j.groupBy(F.col("o_orderpriority").alias("priority_at_ts")).agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum("version").alias("sum_matched_versions"),
+        F.sum("src_version").alias("sum_src_versions"),
+        F.sum(
+            F.when(F.col("ts") == F.col("valid_from"), 1).otherwise(0)
+        ).alias("n_at_start"),
+        F.sum(F.when(F.col("src_version") >= 2, 1).otherwise(0)).alias(
+            "n_end_tied"
+        ),
+    )
+
+
 PR_ITERS = 5
 PR_DAMPING = 0.85
 
@@ -5228,92 +5287,37 @@ def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ceil(147/50) = 3 rounds - three consecutive CORRECTNESS files
 # jointly cover the whole registry.
 #
-# Round-11 front (executes VERDICT r10 items 1, 3 and 4): the three
-# NEW rows — scd2_null_transitions + upsert_dup_versions (item 3: the
-# adversarial-shape oracle rows) and right_outer_range_join (item 4) —
-# then full_outer_range_join (NEW r10, out of that front's slots,
-# tri-scale-receipted in NOTES_r10.md + judge-oracled, the prescribed
-# first owed slot), then the first 46 round-8-certified rows = exactly
-# 50. The three round-8 rows the new rows displace
-# (impute_event_values, q3_ann_append, rolling_distinct_users) carry
-# tri-scale oracle receipts in NOTES_r11.md — the r9-equidepth /
-# r10-full_outer precedent — and take the FIRST slots of the round-12
-# front, ahead of the round-9 block. Growth arithmetic: at 153
-# queries / 50 slots the pure-rotation bound is ceil(153/50) = 4
-# rounds; the (at most) three over-bound rows per round are exactly
+# Round-12 front (executes VERDICT r11 items 1 and 4): the NEW
+# boundary-tied PIT row (item 4) first, then the three r8 rows the
+# r11 front displaced (impute_event_values, q3_ann_append,
+# rolling_distinct_users — tri-scale receipts in NOTES_r11.md, the
+# verdict-prescribed first owed slots), then the first 46
+# round-9-certified rows = exactly 50. The four r9 rows the front
+# can no longer hold (funnel_conversion, retention_cohorts,
+# scd2_customer_priority, anomaly_mad) carry tri-scale oracle
+# receipts in NOTES_r12.md — the r9-equidepth / r10-full_outer /
+# r11-displaced precedent — and take the FIRST slots of the round-13
+# front, ahead of the round-10 block. Growth arithmetic: at 154
+# queries / 50 slots the pure-rotation bound is ceil(154/50) = 4
+# rounds; the (at most) four over-bound rows per round are exactly
 # the receipt-covered ones, so every row is either driver-certified
 # within 3 rounds or receipt-certified in the round it slipped — the
 # NOTES ledger shows which.
 QUERIES = {
-    # --- new in round 11 (VERDICT r10 items 3 & 4): the adversarial
-    # NULL-transition SCD2 and duplicate-version upsert rows (shapes
-    # the r10 proactive-review bugs proved the fixtures never
-    # exercised) and the RIGHT banded range join (completing the
-    # outer-variant matrix) ---
-    "scd2_null_transitions": scd2_null_transitions,
-    "upsert_dup_versions": upsert_dup_versions,
-    "right_outer_range_join": right_outer_range_join,
-    # --- new round 10 but out of that front's slots (tri-scale
-    # receipts in NOTES_r10.md + an independent judge oracle PASS);
-    # the prescribed first owed slot of this front ---
-    "full_outer_range_join": full_outer_range_join,
-    # --- driver-green round 8 (the rest of the round-11 front:
-    # 3 + 1 + 46 = exactly 50) ---
-    "neardup_ppjoin": neardup_ppjoin,
-    "lsh_exact_audit": lsh_exact_audit,
-    "q3_ann_lsh_join": q3_ann_lsh_join,
-    "dedup_pipeline": dedup_pipeline,
-    "flagship_e1": flagship,
-    "store_consistency_gate": store_consistency_gate,
-    "acctbal_window_stats": acctbal_window_stats,
-    "min_cost_supplier": min_cost_supplier,
-    "priority_order_counts": priority_order_counts,
-    "nation_pair_volume": nation_pair_volume,
-    "market_share": market_share,
-    "product_profit": product_profit,
-    "important_parts": important_parts,
-    "shipmode_priority": shipmode_priority,
-    "promo_revenue_pct": promo_revenue_pct,
-    "supplier_part_counts": supplier_part_counts,
-    "small_qty_revenue": small_qty_revenue,
-    "disjunctive_revenue": disjunctive_revenue,
-    "excess_volume_suppliers": excess_volume_suppliers,
-    "waiting_suppliers": waiting_suppliers,
-    "idle_rich_customers": idle_rich_customers,
-    "bpe_merges": bpe_merges,
-    "dsir_select": dsir_select,
-    "datasketch_gates": datasketch_gates,
-    "stream_upsert_store": stream_upsert_store,
-    "events_gapfill": events_gapfill,
-    "profile_lineitem": profile_lineitem,
-    "quality_gates": quality_gates,
-    "dataset_split": dataset_split,
-    "split_leakage": split_leakage,
-    "bpe_encode": bpe_encode,
-    "retrieval_eval": retrieval_eval,
-    "store_compaction": store_compaction,
-    "mv_incremental_refresh": mv_incremental_refresh,
-    "store_clustering": store_clustering,
-    "supplier_pagerank": supplier_pagerank,
-    "pit_priority_revenue": pit_priority_revenue,
-    "mmr_diversified_topk": mmr_diversified_topk,
-    "stream_mv_refresh": stream_mv_refresh,
-    "store_zorder": store_zorder,
-    "entity_resolution": entity_resolution,
-    "weighted_sample": weighted_sample,
-    "rag_pipeline": rag_pipeline,
-    "heavy_hitters_events": heavy_hitters_events,
-    "lineitem_skew_report": lineitem_skew_report,
-    "value_histogram": value_histogram,
-    # --- driver-green round 8, displaced from the round-11 front by
-    # the three NEW rows: tri-scale oracle receipts in NOTES_r11.md
-    # (the r9-equidepth / r10-full_outer precedent) and the FIRST
-    # slots of the round-12 front ---
+    # --- new in round 12 (VERDICT r11 item 4): the boundary-tied PIT
+    # join — fact timestamps exactly AT interval starts/ends and at
+    # the AS-OF instant, duplicated per boundary ---
+    "pit_boundary_ties": pit_boundary_ties,
+    # --- round-12 front, as the r11 verdict prescribes: the three
+    # r8 rows displaced by the r11 front (tri-scale receipts in
+    # NOTES_r11.md), then the round-9 block below to fill 50 ---
     "impute_event_values": impute_event_values,
     "q3_ann_append": q3_ann_append,
     "rolling_distinct_users": rolling_distinct_users,
-    # --- driver-green round 9 (with the three displaced rows above,
-    # the round-12 front) ---
+    # --- driver-green round 9 (with the NEW row and the three
+    # displaced r8 rows above, the round-12 front: 1 + 3 + 46 =
+    # exactly 50; the last four r9 rows slip out with tri-scale
+    # receipts in NOTES_r12.md and lead the round-13 front) ---
     "outer_range_join": outer_range_join,
     "approx_percentiles_gate": approx_percentiles_gate,
     "clicks_in_purchase_window": clicks_in_purchase_window,
@@ -5416,6 +5420,58 @@ QUERIES = {
     "segment_dedup": segment_dedup,
     "rolling_distinct_users_sketch": rolling_distinct_users_sketch,
     "order_count_distribution": order_count_distribution,
+    # --- driver-green round 11 (newest certifications; after the
+    # r10 block in rotation order) ---
+    "scd2_null_transitions": scd2_null_transitions,
+    "upsert_dup_versions": upsert_dup_versions,
+    "right_outer_range_join": right_outer_range_join,
+    "full_outer_range_join": full_outer_range_join,
+    "neardup_ppjoin": neardup_ppjoin,
+    "lsh_exact_audit": lsh_exact_audit,
+    "q3_ann_lsh_join": q3_ann_lsh_join,
+    "dedup_pipeline": dedup_pipeline,
+    "flagship_e1": flagship,
+    "store_consistency_gate": store_consistency_gate,
+    "acctbal_window_stats": acctbal_window_stats,
+    "min_cost_supplier": min_cost_supplier,
+    "priority_order_counts": priority_order_counts,
+    "nation_pair_volume": nation_pair_volume,
+    "market_share": market_share,
+    "product_profit": product_profit,
+    "important_parts": important_parts,
+    "shipmode_priority": shipmode_priority,
+    "promo_revenue_pct": promo_revenue_pct,
+    "supplier_part_counts": supplier_part_counts,
+    "small_qty_revenue": small_qty_revenue,
+    "disjunctive_revenue": disjunctive_revenue,
+    "excess_volume_suppliers": excess_volume_suppliers,
+    "waiting_suppliers": waiting_suppliers,
+    "idle_rich_customers": idle_rich_customers,
+    "bpe_merges": bpe_merges,
+    "dsir_select": dsir_select,
+    "datasketch_gates": datasketch_gates,
+    "stream_upsert_store": stream_upsert_store,
+    "events_gapfill": events_gapfill,
+    "profile_lineitem": profile_lineitem,
+    "quality_gates": quality_gates,
+    "dataset_split": dataset_split,
+    "split_leakage": split_leakage,
+    "bpe_encode": bpe_encode,
+    "retrieval_eval": retrieval_eval,
+    "store_compaction": store_compaction,
+    "mv_incremental_refresh": mv_incremental_refresh,
+    "store_clustering": store_clustering,
+    "supplier_pagerank": supplier_pagerank,
+    "pit_priority_revenue": pit_priority_revenue,
+    "mmr_diversified_topk": mmr_diversified_topk,
+    "stream_mv_refresh": stream_mv_refresh,
+    "store_zorder": store_zorder,
+    "entity_resolution": entity_resolution,
+    "weighted_sample": weighted_sample,
+    "rag_pipeline": rag_pipeline,
+    "heavy_hitters_events": heavy_hitters_events,
+    "lineitem_skew_report": lineitem_skew_report,
+    "value_histogram": value_histogram,
 }
 
 

@@ -496,3 +496,77 @@ def test_range_join_property_all_variants(spark):
             release_caches()
 
     run()
+
+
+def test_pit_boundary_ties_query_is_adversarial(spark, sf_dir):
+    """r12 (VERDICT r11 item 4): the registered pit_boundary_ties row's
+    input PROVABLY contains the boundary-tie shapes — every fact ts is
+    exactly a version's valid_from (an AS-OF probe AT the instant),
+    duplicated x2, and every version>=2 fact is simultaneously AT the
+    previous version's valid_to — and the digest DISCRIMINATES both
+    off-by-one kernel classes: strict `> valid_from` loses every
+    at-start match; closed `<= valid_to` double-matches every abutting
+    boundary fact."""
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        scd2_from_changelog,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        pit_boundary_ties,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    dim = scd2_from_changelog(
+        orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+        key="o_custkey",
+        attr="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"],
+        valid_col="o_orderdate",
+    )
+    n_versions = dim.count()
+    n_multi = dim.filter(F.col("version") >= 2).count()
+    assert n_versions > 0 and n_multi > 0  # end-ties exist in the input
+
+    rows = pit_boundary_ties(spark, sf_dir).collect()
+    tot = {c: sum(r[c] for r in rows) for c in
+           ("n_facts", "n_at_start", "n_end_tied",
+            "sum_matched_versions", "sum_src_versions")}
+    # every boundary fact (x2 copies) matches exactly once...
+    assert tot["n_facts"] == 2 * n_versions
+    # ...AT the matched version's start instant (half-open semantics:
+    # zero-length intervals from same-date changes may defer a fact to
+    # the next version starting at the same instant — still at-start)
+    assert tot["n_at_start"] == tot["n_facts"]
+    # both copies of every version>=2 fact sit exactly at the previous
+    # version's valid_to (abutting intervals)
+    assert tot["n_end_tied"] == 2 * n_multi
+
+    # discrimination, wrong kernel #1: strict `> valid_from` — every
+    # at-start fact now matches the PREVIOUS version (or drops).
+    bounds = dim.select(
+        "o_custkey", F.col("valid_from").alias("ts"),
+        F.col("version").alias("src_version"),
+    )
+    facts = bounds.withColumn("copy", F.lit(1)).unionByName(
+        bounds.withColumn("copy", F.lit(2))
+    )
+    strict = facts.join(
+        dim,
+        (facts["o_custkey"] == dim["o_custkey"])
+        & (facts["ts"] > dim["valid_from"])
+        & (dim["valid_to"].isNull() | (facts["ts"] < dim["valid_to"])),
+    )
+    n_strict = strict.count()
+    assert n_strict < tot["n_facts"]  # at minimum all version-1 facts drop
+    assert strict.filter(F.col("ts") == F.col("valid_from")).count() == 0
+
+    # discrimination, wrong kernel #2: closed `<= valid_to` — every
+    # abutting-boundary fact ALSO matches the version it terminates.
+    closed = facts.join(
+        dim,
+        (facts["o_custkey"] == dim["o_custkey"])
+        & (facts["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (facts["ts"] <= dim["valid_to"])),
+    )
+    n_closed = closed.count()
+    assert n_closed > tot["n_facts"]
