@@ -2512,6 +2512,27 @@ SELECT o_orderpriority AS priority_at_ts,
 FROM j GROUP BY priority_at_ts
 """
 
+    # same-instant as-of ties (r12, VERDICT r11 item 4): the same
+    # augmented click set (injected AT purchase instants), matched by
+    # DuckDB's native ASOF LEFT JOIN (>= semantics — a tied click
+    # matches) — independent of the Spark union+last_value kernel
+    sql["asof_boundary_ties"] = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+  UNION ALL SELECT user_id, ts FROM purchases WHERE event_id % 3 = 0
+  UNION ALL SELECT user_id, ts FROM purchases WHERE event_id % 6 = 0
+  UNION ALL SELECT user_id + 1 AS user_id, ts FROM purchases
+            WHERE event_id % 7 = 0)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+       coalesce(p.ts = c.ts, false) AS matched_at_instant
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
     # robust MAD outliers: medians rounded at 6 BEFORE scoring in both
     # engines, so the score arithmetic starts from identical numbers
     sql["anomaly_mad"] = f"""

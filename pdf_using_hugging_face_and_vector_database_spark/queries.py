@@ -3946,6 +3946,66 @@ def pit_boundary_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_boundary_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial event-stream as-of join with SAME-INSTANT ties
+    (r12, VERDICT r11 item 4 — the fixture carries ZERO exact-ts
+    purchase/click pairs, measured, so asof_join_events' documented
+    at-or-before tie semantics was certified only on untied input):
+    synthetic clicks are injected EXACTLY at purchase instants —
+    one for every event_id % 3 == 0 purchase, a DUPLICATE same-instant
+    click for % 6 == 0, and a wrong-user click at the same instant for
+    % 7 == 0 (per-key isolation under tied timestamps). The kernel is
+    the same union + last_value(ignorenulls) as asof_join_events
+    (clicks sort before purchases at equal ts — ASOF >= semantics);
+    ``matched_at_instant`` discriminates the strict-before kernel
+    class, which misses every injected tie. Oracle: DuckDB native
+    ASOF LEFT JOIN over the same augmented click set.
+
+    Scale shape: identical to asof_join_events — one shuffle on
+    user_id, a single WindowExec, no range-join blowup; the synthetic
+    side is a projection of purchases, not a second scan shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    real_clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    at3 = purchases.filter(F.col("event_id") % 3 == 0).select("user_id", "ts")
+    at6 = purchases.filter(F.col("event_id") % 6 == 0).select("user_id", "ts")
+    wrong7 = purchases.filter(F.col("event_id") % 7 == 0).select(
+        (F.col("user_id") + 1).alias("user_id"), "ts"
+    )
+    clicks = (
+        real_clicks.unionByName(at3).unionByName(at6).unionByName(wrong7)
+    )
+    tagged = purchases.withColumn(
+        "__click_ts", F.lit(None).cast("timestamp")
+    ).unionByName(
+        clicks.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.col("ts").alias("__click_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("__click_ts").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = tagged.withColumn(
+        "click_ts", F.last("__click_ts", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+        F.coalesce(F.col("ts") == F.col("click_ts"), F.lit(False)).alias(
+            "matched_at_instant"
+        ),
+    )
+
+
 PR_ITERS = 5
 PR_DAMPING = 0.85
 
@@ -5304,10 +5364,12 @@ def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within 3 rounds or receipt-certified in the round it slipped — the
 # NOTES ledger shows which.
 QUERIES = {
-    # --- new in round 12 (VERDICT r11 item 4): the boundary-tied PIT
-    # join — fact timestamps exactly AT interval starts/ends and at
-    # the AS-OF instant, duplicated per boundary ---
+    # --- new in round 12 (VERDICT r11 item 4): boundary-tied
+    # timestamps in the PIT/as-of family — fact timestamps exactly AT
+    # interval starts/ends (duplicated per boundary), and same-instant
+    # click/purchase ties in the event-stream as-of join ---
     "pit_boundary_ties": pit_boundary_ties,
+    "asof_boundary_ties": asof_boundary_ties,
     # --- round-12 front, as the r11 verdict prescribes: the three
     # r8 rows displaced by the r11 front (tri-scale receipts in
     # NOTES_r11.md), then the round-9 block below to fill 50 ---

@@ -570,3 +570,71 @@ def test_pit_boundary_ties_query_is_adversarial(spark, sf_dir):
     )
     n_closed = closed.count()
     assert n_closed > tot["n_facts"]
+
+
+def test_asof_boundary_ties_query_is_adversarial(spark, sf_dir):
+    """r12 (VERDICT r11 item 4, as-of leg): the fixture has ZERO
+    exact-ts purchase/click pairs (measured below), so the registered
+    asof_boundary_ties row INJECTS them — and its output discriminates
+    the strict-before kernel class: flipping the tie sort so purchases
+    order BEFORE clicks at equal ts (the '<' semantics) loses every
+    injected same-instant match."""
+    from pyspark.sql import Window
+
+    from pdf_using_hugging_face_and_vector_database_spark.io import read_table
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        asof_boundary_ties,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    native_ties = purchases.join(clicks, ["user_id", "ts"]).count()
+    assert native_ties == 0  # the shape the fixture never carries
+    n3 = purchases.filter(F.col("event_id") % 3 == 0).count()
+    n6 = purchases.filter(F.col("event_id") % 6 == 0).count()
+    assert n3 > 0 and n6 > 0  # injected ties + duplicate-instant ties
+
+    rows = asof_boundary_ties(spark, sf_dir).collect()
+    tied = {r.event_id for r in rows if r.matched_at_instant}
+    # every %3 purchase matches AT its own instant; nothing else can
+    # (native ties are zero and the wrong-user click has a different key)
+    assert tied == {r.event_id for r in rows if r.event_id % 3 == 0}
+    assert len(tied) == n3
+
+    # discrimination: the strict-before kernel (purchases sort FIRST at
+    # equal ts -> a same-instant click is not yet visible) loses every
+    # injected tie
+    at3 = purchases.filter(F.col("event_id") % 3 == 0).select("user_id", "ts")
+    at6 = purchases.filter(F.col("event_id") % 6 == 0).select("user_id", "ts")
+    wrong7 = purchases.filter(F.col("event_id") % 7 == 0).select(
+        (F.col("user_id") + 1).alias("user_id"), "ts"
+    )
+    aug = clicks.unionByName(at3).unionByName(at6).unionByName(wrong7)
+    tagged = purchases.withColumn(
+        "__click_ts", F.lit(None).cast("timestamp")
+    ).unionByName(
+        aug.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.col("ts").alias("__click_ts"),
+        )
+    )
+    w_strict = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("__click_ts").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    strict = (
+        tagged.withColumn(
+            "click_ts", F.last("__click_ts", ignorenulls=True).over(w_strict)
+        )
+        .filter(F.col("event_id").isNotNull())
+        .withColumn(
+            "tied", F.coalesce(F.col("ts") == F.col("click_ts"), F.lit(False))
+        )
+    )
+    assert strict.filter(F.col("tied")).count() == 0
