@@ -5351,15 +5351,16 @@ def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary-tied PIT row (item 4) first, then the three r8 rows the
 # r11 front displaced (impute_event_values, q3_ann_append,
 # rolling_distinct_users — tri-scale receipts in NOTES_r11.md, the
-# verdict-prescribed first owed slots), then the first 46
-# round-9-certified rows = exactly 50. The four r9 rows the front
-# can no longer hold (funnel_conversion, retention_cohorts,
-# scd2_customer_priority, anomaly_mad) carry tri-scale oracle
-# receipts in NOTES_r12.md — the r9-equidepth / r10-full_outer /
-# r11-displaced precedent — and take the FIRST slots of the round-13
-# front, ahead of the round-10 block. Growth arithmetic: at 154
-# queries / 50 slots the pure-rotation bound is ceil(154/50) = 4
-# rounds; the (at most) four over-bound rows per round are exactly
+# verdict-prescribed first owed slots), then the first 45
+# round-9-certified rows = exactly 50. The five r9 rows the front
+# can no longer hold (lm_bigram_quality, funnel_conversion,
+# retention_cohorts, scd2_customer_priority, anomaly_mad) carry
+# tri-scale oracle receipts in NOTES_r12.md — the r9-equidepth /
+# r10-full_outer / r11-displaced precedent — and take the FIRST slots
+# of the round-13 front, ahead of the round-10 block. Growth
+# arithmetic: at 155 queries / 50 slots the pure-rotation bound is
+# ceil(155/50) = 4 rounds; the (at most) five over-bound rows per
+# round are exactly
 # the receipt-covered ones, so every row is either driver-certified
 # within 3 rounds or receipt-certified in the round it slipped — the
 # NOTES ledger shows which.
@@ -5376,9 +5377,9 @@ QUERIES = {
     "impute_event_values": impute_event_values,
     "q3_ann_append": q3_ann_append,
     "rolling_distinct_users": rolling_distinct_users,
-    # --- driver-green round 9 (with the NEW row and the three
-    # displaced r8 rows above, the round-12 front: 1 + 3 + 46 =
-    # exactly 50; the last four r9 rows slip out with tri-scale
+    # --- driver-green round 9 (with the TWO new rows and the three
+    # displaced r8 rows above, the round-12 front: 2 + 3 + 45 =
+    # exactly 50; the last five r9 rows slip out with tri-scale
     # receipts in NOTES_r12.md and lead the round-13 front) ---
     "outer_range_join": outer_range_join,
     "approx_percentiles_gate": approx_percentiles_gate,
