@@ -45,8 +45,18 @@ def occurrence_count(text: Column, needle: str) -> Column:
 
 
 def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
-    """Count of marker-word occurrences (space-delimited match)."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    """Count of marker-word occurrences (space-delimited match).
+
+    Spaces are DOUBLED before matching (r12 review): adjacent repeats
+    ("the the") share their delimiter space, so the replace-based
+    count saw only the first occurrence (" the the " contains two
+    overlapping " the " matches but replace consumes one). With every
+    single space expanded to two, consecutive word matches never
+    overlap and each occurrence counts. The DuckDB oracle mirrors the
+    same padding (oracle._stopword_score)."""
+    padded = F.concat(
+        F.lit(" "), F.replace(text, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
     out = F.lit(0)
     for w in words:
         out = out + occurrence_count(padded, f" {w} ")
@@ -102,7 +112,16 @@ def word_ngrams(text: Column, n: int) -> Column:
 
 def char_ngrams(text: Column, n: int) -> Column:
     """All character n-grams of a string as an array (for Jaccard /
-    MinHash shingling). Pure SQL: transform over a position sequence."""
+    MinHash shingling). Pure SQL: transform over a position sequence.
+
+    NULL-text contract (r12 review adjudication): a NULL text yields a
+    NULL array — the doc then DROPS from explode-based dedup paths
+    (vs the word path, where concat_ws folds NULL to the '' gram).
+    Dedup inputs are non-null by the ingest contract (P1 null_guard,
+    mirroring the reference's empty-text fallback,
+    streamlit_app.py:65-69); callers outside that contract must
+    null-guard first. Documented rather than papered over so the
+    word/char asymmetry is a visible boundary, not a silent one."""
     return F.when(
         F.length(text) < n, F.array(text)
     ).otherwise(

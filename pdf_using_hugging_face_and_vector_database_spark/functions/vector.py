@@ -39,10 +39,24 @@ def l2_normalize(a: Column | str) -> Column:
     On the unit sphere ‖a−b‖² = 2−2·cos(a,b), so Euclidean-LSH bucket
     order is cosine order — this is the precondition for the ANN path
     (SURVEY.md §2.4 Q3).
+
+    The zero vector maps to the zero vector (r12 review): Spark's
+    non-ANSI x/0.0 is NULL, so normalizing an all-zero embedding
+    silently produced an all-NULL array that poisons every downstream
+    dot/LSH hash — and DuckDB's x/0.0 is inf, so the two engines
+    would not even diverge the same way. A zero embedding is a real
+    upstream failure mode (an empty doc through a mean-pooled
+    encoder); keeping it at zero makes cosine against it NULL-free
+    and deterministic in both engines.
     """
     a = F.col(a) if isinstance(a, str) else a
     norm = l2_norm(a)
-    return F.transform(a, lambda x: x.cast("double") / norm)
+    return F.transform(
+        a,
+        lambda x: F.when(norm == 0.0, F.lit(0.0)).otherwise(
+            x.cast("double") / norm
+        ),
+    )
 
 
 def int8_quantize(vec: Column | str, scale: Column) -> Column:

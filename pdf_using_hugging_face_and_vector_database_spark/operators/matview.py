@@ -43,7 +43,17 @@ def refresh_changed_partitions(
     partition keys; ``agg_fn`` maps a base slice to MV rows and MUST
     group by ``part_col`` (a partition's rows never mix with another
     partition's, which is what makes the splice sound).
+
+    Both splice joins are NULL-SAFE (r12 review): groupBy treats NULL
+    as a real partition key, but the plain-equality anti/semi joins
+    never match NULL — so when the batch touched the NULL partition,
+    the semi side skipped its recompute AND the anti side kept the
+    stale NULL-partition MV row: the splice silently diverged from the
+    from-scratch recompute exactly on that partition. Pinned by
+    tests/test_matview.py::test_refresh_null_partition_key.
     """
-    keep = mv.join(F.broadcast(changed), [part_col], "left_anti")
-    recomputed = agg_fn(base.join(F.broadcast(changed), [part_col], "left_semi"))
+    cond_keep = mv[part_col].eqNullSafe(changed[part_col])
+    keep = mv.join(F.broadcast(changed), cond_keep, "left_anti")
+    cond_re = base[part_col].eqNullSafe(changed[part_col])
+    recomputed = agg_fn(base.join(F.broadcast(changed), cond_re, "left_semi"))
     return keep.unionByName(recomputed)

@@ -51,7 +51,21 @@ def salted_join(
     """Equi-join ``big ⋈ small`` on ``on``, resistant to hot keys in
     ``big``. Semantically identical to ``big.join(small, on, how)`` for
     inner/left joins (small-side rows replicate; each big row matches
-    exactly its own salt's replica)."""
+    exactly its own salt's replica).
+
+    ``how`` is REFUSED outside inner/left (r12 review): the small side
+    is physically replicated ``n_salt`` times, so under right/full a
+    never-matched small row would null-extend once PER REPLICA —
+    n_salt duplicate rows where the plain join emits one. The rewrite
+    is only result-invariant when unmatched small rows are dropped
+    (inner) or irrelevant (left); an outer-small salted join needs the
+    dedup-by-identity recovery range_join uses, not this shape."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not result-invariant under "
+            "small-side replication (unmatched small rows would emit "
+            "once per salt replica); use inner or left"
+        )
     b = with_salt(big, spread_col, n_salt)
     s = explode_salt(small, n_salt)
     return b.join(s, [on, SALT_COL], how).drop(SALT_COL)

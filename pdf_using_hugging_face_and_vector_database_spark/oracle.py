@@ -1008,7 +1008,11 @@ FROM derived
 WITH s AS (
   SELECT doc_id, lang,
          {scores}
-  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents))
+  -- doubled spaces (r12 review): adjacent stopword repeats share a
+  -- delimiter; expanding ' '->'  ' makes every occurrence countable
+  -- by non-overlapping replace (mirrors functions.text.stopword_hits)
+  FROM (SELECT doc_id, lang, ' ' || replace(text, ' ', '  ') || ' ' AS p
+        FROM documents))
 SELECT doc_id, lang AS lang_labeled, {_lang_case()} AS lang_guess FROM s
 """
 

@@ -57,3 +57,36 @@ def test_refresh_plan_broadcasts_partition_list(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
     assert "LeftSemi" in plan
+
+
+def test_refresh_null_partition_key(spark):
+    """r12 review: groupBy treats NULL as a real partition key, but
+    the splice's plain-equality anti/semi joins never match NULL — a
+    batch touching the NULL partition left its stale MV row in place
+    and skipped the recompute. Null-safe joins make the splice equal
+    the full recompute again. Fails on the pre-r12 code (stale NULL
+    row survives, fresh one never computed)."""
+    base = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 10), ("b", 20)], "p string, v int"
+    )
+
+    def agg(df):
+        return df.groupBy("p").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    # stale MV built before the second NULL-partition row and one 'a'
+    # row landed
+    stale = agg(
+        spark.createDataFrame([(None, 1), ("a", 3), ("b", 20)], "p string, v int")
+    )
+    changed = spark.createDataFrame([(None,), ("a",)], "p string").select("p")
+    got = {
+        r.p: (r.s, r.n)
+        for r in refresh_changed_partitions(
+            base, stale, "p", changed, agg
+        ).collect()
+    }
+    want = {r.p: (r.s, r.n) for r in agg(base).collect()}
+    assert got == want
+    assert got[None] == (3, 2)  # the NULL partition was recomputed

@@ -209,3 +209,41 @@ def test_skew_report_detects_planted_skew(spark):
     assert rows[0].share == round(rows[0].cnt / 10_000, 6)
     assert rows[0].skew_factor == round(rows[0].cnt / (10_000 / 100), 6)
     assert all(r.n_keys == 100 and r.n_rows == 10_000 for r in rows)
+
+
+def test_salted_join_refuses_outer_small_side(spark):
+    """r12 review: salted_join silently accepted how='right'/'full',
+    but the small side is replicated n_salt times — an unmatched small
+    row null-extends once PER REPLICA (measured below: n_salt copies),
+    so the rewrite is NOT the plain join there. The guard must refuse;
+    fails on the pre-r12 code (no raise, duplicated rows)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.skew import (
+        SALT_COL,
+        explode_salt,
+        salted_join,
+        with_salt,
+    )
+
+    big = spark.createDataFrame([(1, 10), (1, 11)], "k int, payload int")
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    for how in ("right", "full", "left_outer_x"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, on="k", spread_col="payload",
+                        n_salt=4, how=how)
+    # the defect the guard prevents: the raw replicated build under
+    # 'full' emits the never-matched small key once per salt replica
+    raw = with_salt(big, "payload", 4).join(
+        explode_salt(small, 4), ["k", SALT_COL], "full"
+    )
+    assert raw.filter(F.col("k") == 2).count() == 4  # not 1
+    # the supported modes still equal the plain join
+    for how in ("inner", "left"):
+        got = salted_join(big, small, on="k", spread_col="payload",
+                          n_salt=4, how=how)
+        want = big.join(small, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )

@@ -216,3 +216,24 @@ def test_gopher_oracle_judges_null_text_docs(spark):
     assert duck_rows == spark_rows
     # the NULL-text doc specifically: judged (0-token) and failed
     assert duck_rows[2] == (0, 0.0, 0.0, 0.0, False)
+
+
+def test_stopword_hits_counts_adjacent_repeats(spark):
+    """r12 review: adjacent repeated stopwords share their delimiter
+    space, so the replace-based count missed every second occurrence
+    in a run ('the the' scored 1). Fails on the pre-r12 kernel."""
+    from pdf_using_hugging_face_and_vector_database_spark.functions.text import (
+        stopword_hits,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the the and x"), (2, "the the the end"), (3, "the cat the")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", stopword_hits(F.col("text"), ("the", "and")).alias("n")
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 2}

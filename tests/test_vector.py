@@ -202,3 +202,60 @@ def test_binary_candidates_rejects_same_word_count_mismatch(spark, tmp_path):
         stored, query, cand_k=5, extra_cols=(), dim=32, word_bits=16
     ).collect()
     assert len(rows) == 5
+
+
+def test_median_udaf_null_only_group_is_null(spark):
+    """r12 review adjudication: NULLs are skipped (SQL semantics) and
+    a NULL-only group comes back NULL. The NaN->NULL step previously
+    happened implicitly in the pandas->Arrow return conversion
+    (measured: the old code also returns NULL); the UDAF now states it
+    explicitly, and this test pins the SQL contract either way."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pdf_using_hugging_face_and_vector_database_spark.functions.udafs import (
+        median_udaf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, 3.0), (2, None), (2, None)],
+        "k int, v double",
+    )
+    got = {
+        r.k: r.m
+        for r in df.groupBy("k").agg(median_udaf("v").alias("m")).collect()
+    }
+    assert got[1] == 2.0  # NULLs skipped, interpolated median
+    assert got[2] is None and not (
+        isinstance(got[2], float) and math.isnan(got[2])
+    )
+
+
+def test_l2_normalize_zero_vector_stays_zero(spark):
+    """r12 review: Spark's non-ANSI 0.0/0.0 is NULL, so a zero
+    embedding normalized to an all-NULL array — poisoning every
+    downstream dot product and LSH hash with NULLs. normalize(0) = 0
+    now; fails on the pre-r12 kernel (NULL components)."""
+    from pyspark.sql import functions as F
+
+    from pdf_using_hugging_face_and_vector_database_spark.functions.vector import (
+        dot,
+        l2_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [3.0, 0.0, 4.0])],
+        "vid int, v array<double>",
+    )
+    out = {
+        r.vid: (r.nv, r.d)
+        for r in df.select(
+            "vid",
+            l2_normalize("v").alias("nv"),
+            dot(l2_normalize("v"), l2_normalize("v")).alias("d"),
+        ).collect()
+    }
+    assert out[1] == ([0.0, 0.0, 0.0], 0.0)  # not [None, None, None]
+    assert out[2][0] == [0.6, 0.0, 0.8]
+    assert abs(out[2][1] - 1.0) < 1e-12
