@@ -210,6 +210,7 @@ def mmr_select(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     simq_col: str = "simq",
+    carry_cols: tuple[str, ...] = (),
 ) -> list[tuple]:
     """Maximal Marginal Relevance re-ranking over a candidate pool:
     greedily pick k items maximizing
@@ -244,7 +245,13 @@ def mmr_select(
     overhead over a <=pool-size table, ~0.5 s/round at local scale,
     for arithmetic identical to this.)
 
-    Returns [(rank, id, simq), ...] — driver-side, pool-scale.
+    Returns [(rank, id, simq, *carry), ...] — driver-side,
+    pool-scale. ``carry_cols`` (r12): extra pool columns returned per
+    selected row, riding the SAME pool collect — a caller needing
+    result metadata (rag_pipeline's doc_id/chunk_index/source) avoids
+    a whole extra Spark join action on the 10-row output (~1s of pure
+    scheduling overhead at local scale; at serving scale it is one
+    fewer cluster round-trip on the query path).
     """
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -268,10 +275,9 @@ def mmr_select(
         )
         .collect()
     )
-    pool = [
-        (r[id_col], r[simq_col])
-        for r in cand.select(id_col, simq_col).collect()
-    ]
+    pool_rows = cand.select(id_col, simq_col, *carry_cols).collect()
+    pool = [(r[id_col], r[simq_col]) for r in pool_rows]
+    carry = {r[id_col]: tuple(r[c] for c in carry_cols) for r in pool_rows}
     sim = {(r["ia"], r["ib"]): r["sim"] for r in pair_rows}
     q9 = Decimal("0.000000001")
 
@@ -308,6 +314,6 @@ def mmr_select(
                 best = (key, cid, simq)
         if best is None:
             break
-        selected.append((rank, best[1], best[2]))
+        selected.append((rank, best[1], best[2], *carry[best[1]]))
         del remaining[best[1]]
     return selected
