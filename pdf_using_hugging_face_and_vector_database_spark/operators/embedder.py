@@ -34,12 +34,22 @@ from ..schemas import FIXTURE_DIM
 def normalize_expr(arr: Column) -> Column:
     """Divide an (already materialized) array column by its L2 norm in
     one aggregate pass — the finish lambda sees the summed squares, so
-    the norm is computed once per row, not once per element."""
+    the norm is computed once per row, not once per element.
+
+    Zero vectors stay zero (r12 review, the functions.vector
+    .l2_normalize contract): non-ANSI 0.0/0.0 is NULL, which would
+    poison every downstream dot/LSH hash. Unreachable from the
+    deterministic md5 embedder (a component is exactly 0 only at an
+    impossible half-integer hash), but the codec-gated real-model
+    path can emit zero vectors for degenerate inputs."""
     return F.aggregate(
         arr,
         F.lit(0.0),
         lambda acc, x: acc + x * x,
-        lambda sq: F.transform(arr, lambda x: x / F.sqrt(sq)),
+        lambda sq: F.transform(
+            arr,
+            lambda x: F.when(sq == 0.0, F.lit(0.0)).otherwise(x / F.sqrt(sq)),
+        ),
     )
 
 

@@ -259,3 +259,21 @@ def test_l2_normalize_zero_vector_stays_zero(spark):
     assert out[1] == ([0.0, 0.0, 0.0], 0.0)  # not [None, None, None]
     assert out[2][0] == [0.6, 0.0, 0.8]
     assert abs(out[2][1] - 1.0) < 1e-12
+
+
+def test_normalize_expr_zero_vector_stays_zero(spark):
+    """r12 review: same zero-guard contract as l2_normalize, on the
+    embedder's hot-path normalize (reachable from the codec-gated
+    real-model embedder). Fails on the pre-r12 kernel (NULLs)."""
+    from pyspark.sql import functions as F
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.embedder import (
+        normalize_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])], "vid int, v array<double>"
+    )
+    out = {r.vid: r.nv for r in df.select("vid", normalize_expr(F.col("v")).alias("nv")).collect()}
+    assert out[1] == [0.0, 0.0]
+    assert out[2] == [0.6, 0.8]
