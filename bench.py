@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "right_outer_range_join",
     "scd2_null_transitions",
     "upsert_dup_versions",
+    # round 12
+    "pit_boundary_ties",
+    "asof_boundary_ties",
 ]
 
 

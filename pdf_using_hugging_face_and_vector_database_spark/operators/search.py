@@ -248,7 +248,7 @@ def mmr_select(
     Returns [(rank, id, simq, *carry), ...] — driver-side,
     pool-scale. ``carry_cols`` (r12): extra pool columns returned per
     selected row, riding the SAME pool collect — a caller needing
-    result metadata (rag_pipeline's doc_id/chunk_index/source) avoids
+    result metadata (the RAG capstone's doc_id/chunk_index/source) avoids
     a whole extra Spark join action on the 10-row output (~1s of pure
     scheduling overhead at local scale; at serving scale it is one
     fewer cluster round-trip on the query path).
