@@ -319,6 +319,219 @@ def audit_hybrid_rrf():
     check("hybrid_search_rrf", ok, f"top {len(got)}")
 
 
+
+
+# --- mixture_sample: dict-based hash buckets + cap + epochs ----------
+def audit_mixture():
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        MIX_CAP,
+        MIX_DEFAULT_RATE,
+        MIX_RATES,
+        MIX_REPEATS,
+        MIX_SALT,
+    )
+
+    docs = load("documents")
+    base = []
+    for d in docs:
+        b = md5_int(f"{MIX_SALT}{d['doc_id']}") % 100
+        rate = MIX_RATES.get(d["source"], MIX_DEFAULT_RATE)
+        if b < rate:
+            base.append((d["source"], b, d["doc_id"]))
+    base.sort()
+    got = set()
+    rank_in_source = Counter()
+    for src, b, did in base:
+        rank_in_source[src] += 1
+        r = rank_in_source[src]
+        if r <= MIX_CAP:
+            for epoch in range(1, MIX_REPEATS.get(src, 1) + 1):
+                got.add((did, src, b, r, epoch))
+    want = {
+        (r["doc_id"], r["source"], r["sample_bucket"], r["rank_in_source"], r["epoch"])
+        for r in duck("mixture_sample")
+    }
+    check("mixture_sample", got == want, f"{len(got)} rows")
+
+
+# --- pack_sequences: running-total split-fill ------------------------
+def audit_pack():
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        PACK_BUDGET,
+        PACK_GROUPS,
+    )
+
+    docs = sorted(load("documents"), key=lambda d: d["doc_id"])
+    before = Counter()
+    got = {}
+    for d in docs:
+        g = d["doc_id"] % PACK_GROUPS
+        n = len(tokens(d["text"]))
+        b = before[g]
+        got[d["doc_id"]] = (g, n, b // PACK_BUDGET, (b % PACK_BUDGET) + n > PACK_BUDGET)
+        before[g] += n
+    want = {
+        r["doc_id"]: (r["pack_group"], r["n_tokens"], r["pack_id"], r["overflowed"])
+        for r in duck("pack_sequences")
+    }
+    check("pack_sequences", got == want, f"{len(got)} docs")
+
+
+# --- weighted_sample: Efraimidis-Spirakis draws ----------------------
+def audit_weighted_sample():
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        WRS_PER_SOURCE,
+    )
+
+    docs = load("documents")
+    scored = []
+    for d in docs:
+        w = len(tokens(d["text"]))
+        if w <= 0:
+            continue
+        u = (md5_int(f"wrs:{d['doc_id']}") + 1) / float((1 << 24) + 1)
+        k = round(-math.log(u) / w, 9)
+        scored.append((d["source"], k, d["doc_id"], w))
+    scored.sort()
+    got = set()
+    rank = Counter()
+    for src, k, did, w in scored:
+        rank[src] += 1
+        if rank[src] <= WRS_PER_SOURCE:
+            got.add((src, did, w, rank[src]))
+    want = {
+        (r["source"], r["doc_id"], r["weight"], r["rank"])
+        for r in duck("weighted_sample")
+    }
+    check("weighted_sample", got == want, f"{len(got)} rows")
+
+
+# --- gopher_quality: Counter-based n-gram repetition fractions -------
+def audit_gopher():
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        GOPHER_DUP_N,
+        GOPHER_MAX_DUP3,
+        GOPHER_MAX_TOP2,
+        GOPHER_MIN_UNIQUE,
+        GOPHER_TOP_N,
+    )
+
+    docs = load("documents")
+    got = {}
+    for d in docs:
+        tk = tokens(d["text"])
+        n_chars = len(d["text"] or "")
+        n_words = len(tk)
+        uniq = len(set(tk)) / max(n_words, 1)
+
+        def grams(n):
+            if n_words == 0:
+                return Counter()
+            if n_words < n:
+                return Counter({" ".join(tk): 1})
+            return Counter(
+                " ".join(tk[i : i + n]) for i in range(n_words - n + 1)
+            )
+
+        ctop = grams(GOPHER_TOP_N)
+        top_chars = max((c * len(g) for g, c in ctop.items()), default=0)
+        cdup = grams(GOPHER_DUP_N)
+        dup_chars = sum(c * len(g) for g, c in cdup.items() if c >= 2)
+        denom = max(n_chars, 1)
+        topf = top_chars / denom
+        dupf = dup_chars / denom
+        got[d["doc_id"]] = (
+            n_words,
+            round(uniq, 6),
+            round(topf, 6),
+            round(dupf, 6),
+            uniq >= GOPHER_MIN_UNIQUE
+            and topf <= GOPHER_MAX_TOP2
+            and dupf <= GOPHER_MAX_DUP3,
+        )
+    want = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["unique_word_frac"],
+            r[f"top{GOPHER_TOP_N}gram_char_frac"],
+            r[f"dup{GOPHER_DUP_N}gram_char_frac"],
+            r["passes_repetition"],
+        )
+        for r in duck("gopher_quality")
+    }
+    # 2e-6: the fixture contains EXACT dyadic ties (18/256 chars =
+    # 0.0703125) where Python's banker's rounding differs from the
+    # engines' HALF_UP by exactly one 6dp ulp — the documented
+    # rounding-mode caveat, not a formula divergence (the unrounded
+    # fractions and the pass gate match exactly)
+    ok = set(got) == set(want) and all(
+        got[k][0] == want[k][0]
+        and all(close(got[k][i], want[k][i], 2e-6) for i in (1, 2, 3))
+        and got[k][4] == want[k][4]
+        for k in got
+    )
+    check("gopher_quality", ok, f"{len(got)} docs")
+
+
+# --- dsir_select: dict-based hashed-unigram importance weights -------
+def audit_dsir():
+    import decimal
+
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        DSIR_ALPHA,
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCE,
+    )
+
+    docs = load("documents")
+    raw = Counter()
+    tgt = Counter()
+    doc_buckets = {}
+    for d in docs:
+        bs = [md5_int(t) % DSIR_BUCKETS for t in tokens(d["text"])]
+        doc_buckets[d["doc_id"]] = bs
+        raw.update(bs)
+        if d["source"] == DSIR_TARGET_SOURCE:
+            tgt.update(bs)
+    raw_total = sum(raw.values())
+    tgt_total = sum(tgt.values())
+    lr = {
+        b: round(
+            math.log(
+                ((tgt[b] + DSIR_ALPHA) / (tgt_total + DSIR_ALPHA * DSIR_BUCKETS))
+                / ((raw[b] + DSIR_ALPHA) / (raw_total + DSIR_ALPHA * DSIR_BUCKETS))
+            ),
+            9,
+        )
+        for b in raw
+    }
+    weights = {}
+    for did, bs in doc_buckets.items():
+        if bs:
+            s = sum(decimal.Decimal(str(lr[b])) for b in bs)
+            weights[did] = (len(bs), round(float(s) / len(bs), 6))
+        else:
+            weights[did] = (0, 0.0)
+    mean = float(
+        sum(decimal.Decimal(str(w)) for _n, w in weights.values())
+    ) / len(weights)
+    mean = round(mean, 6)
+    got = {
+        did: (n, w, w > mean) for did, (n, w) in weights.items()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["dsir_weight"], r["selected"])
+        for r in duck("dsir_select")
+    }
+    ok = set(got) == set(want) and all(
+        got[k][0] == want[k][0]
+        and close(got[k][1], want[k][1], 2e-6)
+        and got[k][2] == want[k][2]
+        for k in got
+    )
+    check("dsir_select", ok, f"{len(got)} docs")
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -326,5 +539,10 @@ if __name__ == "__main__":
     audit_doc_fingerprints()
     audit_retention()
     audit_hybrid_rrf()
+    audit_mixture()
+    audit_pack()
+    audit_weighted_sample()
+    audit_gopher()
+    audit_dsir()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
