@@ -532,6 +532,48 @@ def audit_dsir():
     check("dsir_select", ok, f"{len(got)} docs")
 
 
+# --- supplier_pagerank: loop-based 5-round rounded power method ------
+def audit_pagerank():
+    import decimal
+
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        PR_DAMPING,
+        PR_ITERS,
+    )
+
+    orders = {r["o_orderkey"]: r["o_custkey"] for r in load("orders")}
+    pairs = set()
+    for li in load("lineitem"):
+        ck = orders.get(li["l_orderkey"])
+        if ck is not None:
+            pairs.add((f"c{ck}", f"s{li['l_suppkey']}"))
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out_deg = Counter(src for src, _dst in edges)
+    rank = {nd: round(1.0 / n, 9) for nd in nodes}
+    tn = 1.0 - PR_DAMPING
+    for _ in range(PR_ITERS):
+        inflow = defaultdict(decimal.Decimal)
+        for src, dst in edges:
+            inflow[dst] += decimal.Decimal(
+                str(round(rank[src] / out_deg[src], 9))
+            )
+        rank = {
+            nd: round(tn / n + PR_DAMPING * float(inflow.get(nd, 0)), 9)
+            for nd in nodes
+        }
+    got = {nd: round(r, 6) for nd, r in rank.items()}
+    want = {r["node"]: r["rank"] for r in duck("supplier_pagerank")}
+    ok = set(got) == set(want) and all(
+        close(got[k], want[k], 2e-6) for k in got
+    )
+    check("supplier_pagerank", ok, f"{n} nodes, {len(edges)} edges")
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -544,5 +586,6 @@ if __name__ == "__main__":
     audit_weighted_sample()
     audit_gopher()
     audit_dsir()
+    audit_pagerank()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
