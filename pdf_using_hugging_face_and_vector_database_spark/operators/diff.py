@@ -32,6 +32,16 @@ def table_diff(
 
     ``changed_cols`` is name-sorted so downstream consumers and the
     cross-engine oracle see a canonical order.
+
+    NULL-key contract (r12 review adjudication): the key join is
+    PLAIN equality, so a row with a NULL key component matches
+    nothing — it reports as ``delete`` (old side) or ``insert`` (new
+    side), never ``update``/``same``. That is deliberate: a NULL key
+    is not an identity (the rangejoin interval_id precedent), and the
+    null-safe alternative would cross-match EVERY NULL-key old row
+    with every NULL-key new row. Callers diffing tables whose keys
+    can be NULL must filter or repair keys first. Pinned by
+    tests/test_diff.py::test_table_diff_null_key_contract.
     """
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in key_cols],

@@ -163,3 +163,26 @@ def test_property_random_snapshots_match_reference(spark):
         for r in table_diff(old, new, ["k"], ["a", "b"]).collect()
     }
     assert got == expect
+
+
+def test_table_diff_null_key_contract(spark):
+    """r12 review adjudication: a NULL key is not an identity — the
+    plain-equality key join reports a NULL-keyed row as delete (old)
+    or insert (new), never update/same, and two NULL-keyed rows never
+    cross-match. Behavior pin for the documented contract."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.diff import (
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(None, "a"), (1, "x")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "a"), (1, "x")], "k int, v string"
+    )
+    rows = table_diff(old, new, ["k"], ["v"]).collect()
+    got = sorted((r.k, r.change_type) for r in rows)
+    # identical tables, but the NULL-keyed row surfaces as BOTH a
+    # delete and an insert (unidentifiable); the keyed row is 'same'
+    # and dropped
+    assert got == [(None, "delete"), (None, "insert")]
