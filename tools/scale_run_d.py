@@ -76,17 +76,25 @@ def expanded_embeddings_full(spark, sf_dir: str, factor: int):
 
 
 def expanded_customer(spark, sf_dir: str, factor: int):
-    """customer x factor: rekeyed custkey, rep-suffixed name (so the
-    ER fixture's corrupted twins stay uniquely resolvable), all other
-    columns preserved."""
+    """customer x factor: rekeyed custkey, names re-derived in the
+    FIXTURE's own format from the new unique key
+    (``Customer#%09d`` % new_key) — operator-aware replication (r12):
+    the previous ``-{rep}`` name suffix collapsed the ER query's
+    ``right(c_name, 3)`` blocking key onto the rep digits (at K=20
+    half the corpus shared TEN suffix values), so the measured
+    exponent quantified the replica scheme's block skew, not the
+    operator. Deriving names from the extended key space preserves
+    the real fixture's property that suffix-block density stays
+    near-constant as the table grows."""
     cust = read_table(spark, sf_dir, "customer")
     reps = spark.range(factor).select(F.col("id").alias("rep"))
     others = [c for c in cust.columns if c not in ("c_custkey", "c_name")]
+    new_key = F.col("c_custkey") * factor + F.col("rep")
     return cust.crossJoin(reps).select(
-        (F.col("c_custkey") * factor + F.col("rep")).alias("c_custkey"),
-        F.concat(F.col("c_name"), F.lit("-"), F.col("rep").cast("string")).alias(
-            "c_name"
-        ),
+        new_key.alias("c_custkey"),
+        F.concat(
+            F.lit("Customer#"), F.lpad(new_key.cast("string"), 9, "0")
+        ).alias("c_name"),
         *others,
     )
 
