@@ -574,6 +574,158 @@ def audit_pagerank():
     check("supplier_pagerank", ok, f"{n} nodes, {len(edges)} edges")
 
 
+# --- dataset_split: md5 bucket + cumulative cuts ---------------------
+def audit_split():
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        SPLIT_BUCKETS,
+        SPLIT_FRACTIONS,
+    )
+
+    names = list(SPLIT_FRACTIONS)
+    cuts = []
+    cum = 0.0
+    for n in names[:-1]:
+        cum += SPLIT_FRACTIONS[n]
+        cuts.append((n, int(cum * SPLIT_BUCKETS + 1e-9)))
+    got = {}
+    for d in load("documents"):
+        b = md5_int(f"split:{d['doc_id']}") % SPLIT_BUCKETS
+        split = names[-1]
+        for n, c in cuts:
+            if b < c:
+                split = n
+                break
+        got[d["doc_id"]] = (d["source"], b, split)
+    want = {
+        r["doc_id"]: (r["source"], r["bucket"], r["split"])
+        for r in duck("dataset_split")
+    }
+    check("dataset_split", got == want, f"{len(got)} docs")
+
+
+# --- crossdoc_spans: gram -> distinct-doc counts ---------------------
+def audit_crossdoc():
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        CROSSDOC_FLAG_FRAC,
+        CROSSDOC_MIN_DOCS,
+        CROSSDOC_NGRAM,
+    )
+
+    docs = load("documents")
+    occ = Counter()   # (doc, gram) -> n
+    gram_docs = defaultdict(set)
+    for d in docs:
+        tk = tokens(d["text"])
+        n = len(tk)
+        if n == 0:
+            grams = []
+        elif n < CROSSDOC_NGRAM:
+            grams = [" ".join(tk)]
+        else:
+            grams = [
+                " ".join(tk[i : i + CROSSDOC_NGRAM])
+                for i in range(n - CROSSDOC_NGRAM + 1)
+            ]
+        grams = [g for g in grams if g != ""]
+        for g in grams:
+            occ[(d["doc_id"], g)] += 1
+            gram_docs[g].add(d["doc_id"])
+    per = defaultdict(lambda: [0, 0])  # doc -> [n_grams, dup_grams]
+    for (did, g), n in occ.items():
+        per[did][0] += n
+        if len(gram_docs[g]) >= CROSSDOC_MIN_DOCS:
+            per[did][1] += n
+    got = {
+        did: (
+            ng,
+            dg,
+            round(dg / ng, 6),
+            (dg / ng) >= CROSSDOC_FLAG_FRAC,
+        )
+        for did, (ng, dg) in per.items()
+    }
+    want = {
+        r["doc_id"]: (
+            r["n_grams"],
+            r["dup_grams"],
+            r["dup_span_frac"],
+            r["is_boilerplate"],
+        )
+        for r in duck("crossdoc_spans")
+    }
+    ok = set(got) == set(want) and all(
+        got[k][:2] == want[k][:2]
+        and close(got[k][2], want[k][2], 2e-6)
+        and got[k][3] == want[k][3]
+        for k in got
+    )
+    check("crossdoc_spans", ok, f"{len(got)} docs")
+
+
+# --- segment_dedup: global keep-first segment rewrite ----------------
+def audit_segment_dedup():
+    from pdf_using_hugging_face_and_vector_database_spark.queries import SEG_N
+
+    docs = sorted(load("documents"), key=lambda d: d["doc_id"])
+    seen = set()
+    got = {}
+    for d in docs:
+        tk = tokens(d["text"])
+        n_seg = max((len(tk) + SEG_N - 1) // SEG_N, 1)
+        kept_texts = []
+        kept = 0
+        for i in range(n_seg):
+            seg = " ".join(tk[i * SEG_N : (i + 1) * SEG_N])
+            if seg not in seen:
+                seen.add(seg)
+                kept += 1
+                kept_texts.append(seg)
+        clean = " ".join(kept_texts)
+        got[d["doc_id"]] = (
+            n_seg,
+            kept,
+            hashlib.md5(clean.encode()).hexdigest(),
+            len(clean),
+        )
+    want = {
+        r["doc_id"]: (r["n_segments"], r["kept_segments"], r["clean_md5"], r["clean_chars"])
+        for r in duck("segment_dedup")
+    }
+    check("segment_dedup", got == want, f"{len(got)} docs")
+
+
+# --- minhash_signatures: loop-based char-shingle MinHash -------------
+def audit_minhash():
+    from pdf_using_hugging_face_and_vector_database_spark.functions.hashing import (
+        P_MINHASH,
+        minhash_params,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        MINHASH_HASHES,
+        NGRAM,
+    )
+
+    params = minhash_params(MINHASH_HASHES)
+    got = {}
+    for d in load("documents"):
+        t = d["text"]
+        if len(t) < NGRAM:
+            shingles = [t]
+        else:
+            shingles = [t[i : i + NGRAM] for i in range(len(t) - NGRAM + 1)]
+        hs = [md5_int(sh) for sh in shingles]
+        got[d["doc_id"]] = tuple(
+            min((h * a + b) % P_MINHASH for h in hs) for a, b in params
+        )
+    want = {
+        r["doc_id"]: tuple(
+            r[f"mh{k:02d}"] for k in range(MINHASH_HASHES)
+        )
+        for r in duck("minhash_signatures")
+    }
+    check("minhash_signatures", got == want, f"{len(got)} docs")
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -587,5 +739,9 @@ if __name__ == "__main__":
     audit_gopher()
     audit_dsir()
     audit_pagerank()
+    audit_split()
+    audit_crossdoc()
+    audit_segment_dedup()
+    audit_minhash()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
