@@ -638,3 +638,82 @@ def test_asof_boundary_ties_query_is_adversarial(spark, sf_dir):
         )
     )
     assert strict.filter(F.col("tied")).count() == 0
+
+
+def test_asof_kernel_property_random_ties(spark):
+    """Hypothesis property pin for the union+last_value as-of kernel
+    (asof_join_events / asof_boundary_ties): random event sets with
+    DELIBERATE same-instant collisions (timestamps drawn from a tiny
+    domain) must match a brute-force at-or-before reference — ties at
+    the probe instant match (>= semantics), per-user isolation holds,
+    and purchases with no prior click null-extend."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+
+    purchases_s = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6)),  # (user, t)
+        min_size=0, max_size=5,
+    )
+    clicks_s = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6)),
+        min_size=0, max_size=6,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(purchases_s, clicks_s)
+    def run(ps, cs):
+        p_rows = [
+            (i, u, base + dt.timedelta(seconds=t)) for i, (u, t) in enumerate(ps)
+        ]
+        c_rows = [(u, base + dt.timedelta(seconds=t)) for u, t in cs]
+        pdf = (
+            spark.createDataFrame(p_rows, "event_id long, user_id long, ts timestamp")
+            if p_rows
+            else spark.createDataFrame([], "event_id long, user_id long, ts timestamp")
+        )
+        cdf = (
+            spark.createDataFrame(c_rows, "user_id long, ts timestamp")
+            if c_rows
+            else spark.createDataFrame([], "user_id long, ts timestamp")
+        )
+        tagged = pdf.withColumn(
+            "__click_ts", F.lit(None).cast("timestamp")
+        ).unionByName(
+            cdf.select(
+                F.lit(None).cast("long").alias("event_id"),
+                "user_id",
+                "ts",
+                F.col("ts").alias("__click_ts"),
+            )
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts"), F.col("__click_ts").asc_nulls_last())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = (
+            tagged.withColumn(
+                "click_ts", F.last("__click_ts", ignorenulls=True).over(w)
+            )
+            .filter(F.col("event_id").isNotNull())
+            .collect()
+        )
+        got = {r.event_id: r.click_ts for r in out}
+        want = {}
+        for i, (u, t) in enumerate(ps):
+            cands = [ct for cu, ct in cs if cu == u and ct <= t]
+            want[i] = (
+                base + dt.timedelta(seconds=max(cands)) if cands else None
+            )
+        assert got == want, (ps, cs)
+
+    run()
