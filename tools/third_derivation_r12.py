@@ -726,6 +726,91 @@ def audit_minhash():
     check("minhash_signatures", got == want, f"{len(got)} docs")
 
 
+# --- bpe_merges / bpe_encode: loop-based merge induction + apply -----
+def _bpe_learn_and_apply():
+    from pdf_using_hugging_face_and_vector_database_spark.operators.text_analysis import (
+        BPE_EOW,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        BPE_N_MERGES,
+    )
+
+    docs = load("documents")
+    doc_words = {}
+    hist = Counter()
+    for d in docs:
+        ws = [
+            t.replace("[", "").replace("]", "")
+            for t in (d["text"] or "").split(" ")
+        ]
+        ws = [w for w in ws if w]
+        doc_words[d["doc_id"]] = ws
+        hist.update(ws)
+    # seq as a list of symbols: chars + EOW
+    seqs = {w: [*w, BPE_EOW] for w in hist}
+    merges = []
+    for _ in range(BPE_N_MERGES):
+        pc = Counter()
+        for w, syms in seqs.items():
+            cnt = hist[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += cnt
+        (lhs, rhs), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((lhs, rhs, n))
+        # left-to-right non-overlapping merge (== the bracket replace)
+        for w, syms in seqs.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return doc_words, hist, seqs, merges
+
+
+def audit_bpe_merges():
+    _dw, _h, _s, merges = _bpe_learn_and_apply()
+    got = {
+        r + 1: (lhs, rhs, lhs + rhs, n)
+        for r, (lhs, rhs, n) in enumerate(merges)
+    }
+    want = {
+        r["merge_rank"]: (r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in duck("bpe_merges")
+    }
+    check("bpe_merges", got == want, f"{len(got)} merges: {list(got.values())}")
+
+
+def audit_bpe_encode():
+    doc_words, _hist, seqs, _merges = _bpe_learn_and_apply()
+    got = {}
+    for did, ws in doc_words.items():
+        if not ws:
+            continue
+        n_tok = sum(len(seqs[w]) for w in ws)
+        n_base = sum(len(w) + 1 for w in ws)
+        got[did] = (len(ws), n_tok, n_base, round(n_base / n_tok, 6))
+    want = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_base_symbols"], r["compression"])
+        for r in duck("bpe_encode")
+    }
+    ok = set(got) == set(want) and all(
+        got[k][:3] == want[k][:3] and close(got[k][3], want[k][3], 2e-6)
+        for k in got
+    )
+    check("bpe_encode", ok, f"{len(got)} docs")
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -743,5 +828,7 @@ if __name__ == "__main__":
     audit_crossdoc()
     audit_segment_dedup()
     audit_minhash()
+    audit_bpe_merges()
+    audit_bpe_encode()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
