@@ -811,6 +811,95 @@ def audit_bpe_encode():
     check("bpe_encode", ok, f"{len(got)} docs")
 
 
+# --- impute_event_values: python interpolated median + repair --------
+def audit_impute():
+    import decimal
+
+    events = load("events")
+    holed = defaultdict(list)
+    rows = []
+    for e in events:
+        v = None if e["event_id"] % 9 == 0 else e["value"]
+        rows.append((e["event_type"], v))
+        if v is not None:
+            holed[e["event_type"]].append(v)
+
+    def interp_median(vals):
+        vs = sorted(vals)
+        n = len(vs)
+        mid = (n - 1) / 2.0
+        lo = vs[int(mid)]
+        hi = vs[int(mid + 0.5)]
+        return round(lo + (hi - lo) * (mid - int(mid)), 6)
+
+    med = {t: interp_median(vs) for t, vs in holed.items()}
+    agg = defaultdict(lambda: [0, 0, decimal.Decimal(0), decimal.Decimal(0)])
+    for t, v in rows:
+        a = agg[t]
+        a[0] += 1
+        if v is None:
+            a[1] += 1
+            a[3] += decimal.Decimal(str(med[t]))
+        else:
+            a[2] += decimal.Decimal(str(v))
+            a[3] += decimal.Decimal(str(v))
+    got = {
+        t: (a[0], a[1], med[t], float(a[2]), float(a[3]))
+        for t, a in agg.items()
+    }
+    want = {
+        r["event_type"]: (
+            r["n_rows"], r["n_imputed"], r["imputation_value"],
+            r["sum_before"], r["sum_after"],
+        )
+        for r in duck("impute_event_values")
+    }
+    ok = set(got) == set(want) and all(
+        got[k][:2] == want[k][:2]
+        and close(got[k][2], want[k][2], 2e-6)
+        and close(got[k][3], want[k][3], 1e-6)
+        and close(got[k][4], want[k][4], 1e-6)
+        for k in got
+    )
+    check("impute_event_values", ok, f"{len(got)} event types")
+
+
+# --- value_histogram: python ntile under the same total order --------
+def audit_value_histogram():
+    import decimal
+
+    from pdf_using_hugging_face_and_vector_database_spark.queries import HIST_BINS
+
+    events = sorted(load("events"), key=lambda e: (e["value"], e["event_id"]))
+    n = len(events)
+    base, extra = divmod(n, HIST_BINS)
+    got = {}
+    idx = 0
+    for b in range(1, HIST_BINS + 1):
+        size = base + (1 if b <= extra else 0)
+        chunk = events[idx : idx + size]
+        idx += size
+        vals = [e["value"] for e in chunk]
+        got[b] = (
+            len(chunk),
+            round(min(vals), 6),
+            round(max(vals), 6),
+            float(sum(decimal.Decimal(str(v)) for v in vals)),
+        )
+    want = {
+        r["bin"]: (r["n"], r["lo"], r["hi"], r["sum_value"])
+        for r in duck("value_histogram")
+    }
+    ok = set(got) == set(want) and all(
+        got[k][0] == want[k][0]
+        and close(got[k][1], want[k][1], 2e-6)
+        and close(got[k][2], want[k][2], 2e-6)
+        and close(got[k][3], want[k][3], 1e-6)
+        for k in got
+    )
+    check("value_histogram", ok, f"{n} rows over {HIST_BINS} bins")
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -830,5 +919,7 @@ if __name__ == "__main__":
     audit_minhash()
     audit_bpe_merges()
     audit_bpe_encode()
+    audit_impute()
+    audit_value_histogram()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
