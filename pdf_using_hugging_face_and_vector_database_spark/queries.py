@@ -5381,74 +5381,17 @@ def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within 3 rounds or receipt-certified in the round it slipped — the
 # NOTES ledger shows which.
 QUERIES = {
-    # --- new in round 12 (VERDICT r11 item 4): boundary-tied
-    # timestamps in the PIT/as-of family — fact timestamps exactly AT
-    # interval starts/ends (duplicated per boundary), and same-instant
-    # click/purchase ties in the event-stream as-of join ---
-    "pit_boundary_ties": pit_boundary_ties,
-    "asof_boundary_ties": asof_boundary_ties,
-    # --- round-12 front, as the r11 verdict prescribes: the three
-    # r8 rows displaced by the r11 front (tri-scale receipts in
-    # NOTES_r11.md), then the round-9 block below to fill 50 ---
-    "impute_event_values": impute_event_values,
-    "q3_ann_append": q3_ann_append,
-    "rolling_distinct_users": rolling_distinct_users,
-    # --- driver-green round 9 (with the TWO new rows and the three
-    # displaced r8 rows above, the round-12 front: 2 + 3 + 45 =
-    # exactly 50; the last five r9 rows slip out with tri-scale
-    # receipts in NOTES_r12.md and lead the round-13 front) ---
-    "outer_range_join": outer_range_join,
-    "approx_percentiles_gate": approx_percentiles_gate,
-    "clicks_in_purchase_window": clicks_in_purchase_window,
-    "snapshot_diff": snapshot_diff,
-    "rolling_fingerprint": rolling_fingerprint,
-    "chunker_separator": chunker_separator,
-    "q3_ann_recall": q3_ann_recall,
-    "media_pipeline": media_pipeline,
-    "video_frame_sample": video_frame_sample,
-    "clicks_before_purchase": clicks_before_purchase,
-    "cube_pricing": cube_pricing,
-    "session_windows_native": session_windows_native,
-    "pii_scrub": pii_scrub,
-    "pack_sequences": pack_sequences_q,
-    "contamination_check": contamination_check,
-    "stream_session_windows": stream_session_windows,
-    "embed_quantize": embed_quantize,
-    "stream_clicks_purchases": stream_clicks_purchases,
-    "chunker_udtf": chunker_udtf,
-    "udaf_median_acctbal": udaf_median_acctbal,
-    "q1_cosine_topk": q1_cosine_topk,
-    "q2_knn_join": q2_knn_join,
-    "q4_filtered_topk": q4_filtered_topk,
-    "q5_fetch_by_ids": q5_fetch_by_ids,
-    "q5_delete_by_ids": q5_delete_by_ids,
-    "chunker_stride": chunker_stride,
-    "chunk_metadata": chunk_metadata,
-    "pipeline_vectors": pipeline_vectors,
-    "text_stats": text_stats,
-    "lang_id": lang_id,
-    "corpus_stats": corpus_stats,
-    "doc_fingerprints": doc_fingerprints,
-    "dedup_exact": dedup_exact,
-    "minhash_signatures": minhash_signatures,
-    "neardup_minhash": neardup_minhash,
-    "neardup_groups": neardup_groups,
-    "neardup_simhash": neardup_simhash,
-    "neardup_jaccard": neardup_jaccard,
-    "token_counts": token_counts,
-    "vocab_top_tokens": vocab_top_tokens,
-    "tfidf_top_terms": tfidf_top_terms,
-    "sample_docs_hash": sample_docs_hash,
-    "approx_distinct_parts": approx_distinct_parts,
-    "tpch_q1_pricing": tpch_q1_pricing,
-    "revenue_by_nation": revenue_by_nation,
+    # --- round-13 front, as the r12 verdict item 1 prescribes: the
+    # five r9 rows the r12 front displaced (tri-scale receipts in
+    # NOTES_r12.md) take the FIRST slots ---
     "lm_bigram_quality": lm_bigram_quality,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
     "scd2_customer_priority": scd2_customer_priority,
     "anomaly_mad": anomaly_mad,
-    # --- driver-green round 10 (newest certifications; the round-13
-    # front) ---
+    # --- driver-green round 10 (oldest-certified block; fills the
+    # round-13 front to exactly 50 after the five rows above and any
+    # NEW round-13 rows inserted here) ---
     "outer_pit_join": outer_pit_join,
     "stream_outer_interval_join": stream_outer_interval_join,
     "equidepth_by_range": equidepth_by_range,
@@ -5551,6 +5494,59 @@ QUERIES = {
     "heavy_hitters_events": heavy_hitters_events,
     "lineitem_skew_report": lineitem_skew_report,
     "value_histogram": value_histogram,
+    # --- driver-green round 12 (newest certifications: the two
+    # boundary-tie rows and the three displaced-r8 rows led the r12
+    # front; the 45 r9 rows below filled it) ---
+    "pit_boundary_ties": pit_boundary_ties,
+    "asof_boundary_ties": asof_boundary_ties,
+    "impute_event_values": impute_event_values,
+    "q3_ann_append": q3_ann_append,
+    "rolling_distinct_users": rolling_distinct_users,
+    "outer_range_join": outer_range_join,
+    "approx_percentiles_gate": approx_percentiles_gate,
+    "clicks_in_purchase_window": clicks_in_purchase_window,
+    "snapshot_diff": snapshot_diff,
+    "rolling_fingerprint": rolling_fingerprint,
+    "chunker_separator": chunker_separator,
+    "q3_ann_recall": q3_ann_recall,
+    "media_pipeline": media_pipeline,
+    "video_frame_sample": video_frame_sample,
+    "clicks_before_purchase": clicks_before_purchase,
+    "cube_pricing": cube_pricing,
+    "session_windows_native": session_windows_native,
+    "pii_scrub": pii_scrub,
+    "pack_sequences": pack_sequences_q,
+    "contamination_check": contamination_check,
+    "stream_session_windows": stream_session_windows,
+    "embed_quantize": embed_quantize,
+    "stream_clicks_purchases": stream_clicks_purchases,
+    "chunker_udtf": chunker_udtf,
+    "udaf_median_acctbal": udaf_median_acctbal,
+    "q1_cosine_topk": q1_cosine_topk,
+    "q2_knn_join": q2_knn_join,
+    "q4_filtered_topk": q4_filtered_topk,
+    "q5_fetch_by_ids": q5_fetch_by_ids,
+    "q5_delete_by_ids": q5_delete_by_ids,
+    "chunker_stride": chunker_stride,
+    "chunk_metadata": chunk_metadata,
+    "pipeline_vectors": pipeline_vectors,
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "corpus_stats": corpus_stats,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "neardup_minhash": neardup_minhash,
+    "neardup_groups": neardup_groups,
+    "neardup_simhash": neardup_simhash,
+    "neardup_jaccard": neardup_jaccard,
+    "token_counts": token_counts,
+    "vocab_top_tokens": vocab_top_tokens,
+    "tfidf_top_terms": tfidf_top_terms,
+    "sample_docs_hash": sample_docs_hash,
+    "approx_distinct_parts": approx_distinct_parts,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "revenue_by_nation": revenue_by_nation,
 }
 
 
