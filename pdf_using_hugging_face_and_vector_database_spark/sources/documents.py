@@ -21,6 +21,16 @@ from ..schemas import DOCUMENTS
 
 CORRUPT_COL = "_corrupt_record"
 
+# CSV cannot distinguish NULL from '' without an explicit marker: with
+# the default options BOTH serialize to an empty field and read back as
+# NULL, silently conflating the empty-text document — the reference's
+# OCR-error sentinel (errors -> "", streamlit_app.py:84-86) — with a
+# missing one (r13 review wave 5; the NULL/empty bug class). The
+# Hive/MySQL \N convention keeps them distinct both ways. Documented
+# boundary: a text whose ENTIRE value is the two characters \N still
+# conflates with NULL (the marker-collision case inherent to CSV).
+CSV_NULL_MARKER = "\\N"
+
 
 def _schema_with_quarantine() -> T.StructType:
     return T.StructType(
@@ -49,8 +59,12 @@ def read_documents(
     )
     if format == "csv":
         # multiline text fields need quoting; header matches schema names
-        reader = reader.option("header", "true").option("multiLine", "true").option(
-            "escape", '"'
+        reader = (
+            reader.option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .option("nullValue", CSV_NULL_MARKER)
+            .option("emptyValue", "")
         )
     df = reader.load(path)
     if keep_corrupt:
@@ -64,7 +78,10 @@ def write_documents(
     """Round-trip writer (test support + landing-zone export)."""
     writer = df.write.mode(mode).format(format)
     if format == "csv":
-        writer = writer.option("header", "true").option("escape", '"').option(
-            "quoteAll", "true"
+        writer = (
+            writer.option("header", "true")
+            .option("escape", '"')
+            .option("quoteAll", "true")
+            .option("nullValue", CSV_NULL_MARKER)
         )
     writer.save(path)

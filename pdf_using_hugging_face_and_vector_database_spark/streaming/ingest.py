@@ -71,7 +71,11 @@ def pdf_landing_dir(spark, sf_dir: str) -> str:
         for stale in os.listdir(landing):
             os.remove(os.path.join(landing, stale))
         for r in docs:
-            text = r["text"]
+            # NULL-text docs (the fixture is NULL-free today, but the
+            # gopher/oracle NULL-text work proves the shape is in-model)
+            # degrade to one empty page instead of a TypeError slice —
+            # the same errors->"" posture as the parse kernel
+            text = r["text"] or ""
             pages = [
                 text[i : i + PDF_PAGE_CHARS]
                 for i in range(0, max(len(text), 1), PDF_PAGE_CHARS)

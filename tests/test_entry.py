@@ -279,6 +279,46 @@ def test_bench_covers_every_registered_query():
     assert len(BENCH_QUERIES) == len(QUERIES)  # no duplicates either
 
 
+def test_compare_oracle_rejects_unknown_query_names():
+    """r13 review wave 5 (measurement-harness class): a typo'd name in
+    the sweep filter previously matched nothing, printed '0 pass,
+    0 fail' and exited 0 — a green receipt that verified NOTHING. The
+    guard must fail fast (exit 2, before the JVM spins up); fails on
+    the pre-r13 code (exit 0)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "tools", "compare_oracle.py"),
+            "/root/testdata/sf0.001",
+            "definitely_not_a_registered_query",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert "unknown query name" in proc.stdout
+
+
+def test_compare_oracle_canon_normalizes_binary_cells():
+    """r13 review wave 5: Spark hands binary cells back as bytearray,
+    which is unhashable — canon() must normalize bytes/bytearray/
+    memoryview to one hashable value or the gate's Counter compare
+    crashes instead of comparing. Fails on the pre-r13 code
+    (TypeError: unhashable type)."""
+    from tools.compare_oracle import canon
+
+    assert canon(b"\x01\x02") == canon(bytearray(b"\x01\x02"))
+    assert canon(memoryview(b"ab")) == canon(b"ab")
+    hash(canon(bytearray(b"\x01\x02")))  # must be Counter-able
+    assert canon((bytearray(b"ab"),)) == (canon(b"ab"),)
+
+
 def test_read_table_on_bare_session_with_unset_tz():
     """r11 review regression pin: read_table pins session tz UTC, and
     on a session where the key is UNSET (the driver's vanilla session)

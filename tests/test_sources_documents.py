@@ -30,6 +30,27 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
         assert _fingerprint(back) == expected, fmt
 
 
+def test_csv_roundtrip_distinguishes_null_from_empty_text(spark, tmp_path):
+    """r13 review wave 5 (NULL/empty class): with default CSV options
+    both NULL and '' serialize to an empty field and read back as NULL,
+    silently conflating the empty-text document — the reference's
+    OCR-error sentinel (errors -> '') — with a missing one. The \\N
+    marker keeps them distinct both ways; fails on the pre-r13 code
+    (doc 2's '' came back as None)."""
+    df = spark.createDataFrame(
+        [
+            (1, "hello world", "en", "web", 11),
+            (2, "", "en", "web", 0),
+            (3, None, "en", "web", None),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "null_vs_empty_csv")
+    write_documents(df, path, format="csv")
+    back = {r["doc_id"]: r["text"] for r in read_documents(spark, path, format="csv").collect()}
+    assert back == {1: "hello world", 2: "", 3: None}
+
+
 def test_malformed_json_quarantines(spark, tmp_path):
     p = tmp_path / "bad"
     p.mkdir()

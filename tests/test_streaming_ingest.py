@@ -97,3 +97,41 @@ def test_streaming_ingest_end_to_end(spark, tmp_path):
     for r in out:
         s = sum(x * x for x in r["embedding"])
         assert abs(s - 1.0) < 1e-9
+
+
+def test_pdf_landing_dir_handles_null_text_doc(spark, tmp_path, monkeypatch):
+    """r13 review wave 5 (NULL class): the landing builder sliced
+    r['text'] directly, so a NULL-text document among the first
+    PDF_INGEST_DOCS crashed the fixture build with a TypeError. The
+    fixture is NULL-free today, but the shape is in-model (the gopher
+    NULL-text oracle work); a NULL text must degrade to one empty page
+    — the parse kernel's errors->'' posture. Fails on the pre-r13
+    code."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators import ann
+    from pdf_using_hugging_face_and_vector_database_spark.streaming.ingest import (
+        pdf_landing_dir,
+    )
+
+    monkeypatch.setattr(ann, "INDEX_ROOT", str(tmp_path / "idx"))
+    docs = spark.createDataFrame(
+        [
+            (0, "real text " * 30, "en", "web", 300),
+            (1, None, "en", "web", None),
+            (2, "more text", "en", "web", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    landing = pdf_landing_dir(spark, sf)
+    names = sorted(f for f in os.listdir(landing) if f.endswith(".pdf"))
+    assert names == ["doc_000000.pdf", "doc_000001.pdf", "doc_000002.pdf"]
+    # the NULL-text doc parses to exactly one empty page
+    pages = parse_pdf_pages(
+        read_pdf_dir(spark, landing).withColumn(
+            "doc_id",
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.pdf$", 1).cast("long"),
+        )
+    )
+    null_doc = pages.filter("doc_id = 1").select("page_no", "page_text").collect()
+    assert [(r["page_no"], r["page_text"]) for r in null_doc] == [(0, "")]

@@ -42,6 +42,14 @@ def canon(v):
         return repr(v)
     if isinstance(v, int):
         return v
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        # Spark hands binary cells back as bytearray, which is
+        # UNHASHABLE — without this branch a binary output column
+        # crashes the Counter compare with a TypeError instead of
+        # comparing (r13 review wave 5; latent — no registered query
+        # outputs binary today, but the gate must not be the thing
+        # that breaks first when one does)
+        return bytes(v).hex()
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -87,6 +95,17 @@ def main():
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     twice = "--twice" in args and (args.remove("--twice") or True)
     only = set(args)
+
+    # fail fast on names the registry does not know — BEFORE the JVM
+    # spins up. Previously a typo'd sweep (`compare_oracle.py sfdir
+    # pit_boundry_ties`) matched nothing, printed "0 pass, 0 fail" and
+    # exited 0: a green receipt that verified NOTHING (r13 review
+    # wave 5 — the measurement-harness class the r12 replica-fidelity
+    # finding pointed at).
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
 
     if os.environ.get("SPARK_GRAFT_VANILLA"):
         # replicate the DRIVER's session exactly: a vanilla builder
