@@ -278,6 +278,15 @@ def mmr_select(
     pool_rows = cand.select(id_col, simq_col, *carry_cols).collect()
     pool = [(r[id_col], r[simq_col]) for r in pool_rows]
     carry = {r[id_col]: tuple(r[c] for c in carry_cols) for r in pool_rows}
+    # unique-id precondition (ADVICE r12): duplicate pool ids would
+    # silently keep the LAST row's carry metadata (and collapse the
+    # greedy `remaining` dict) while pair similarities keyed (ia, ib)
+    # conflate the duplicates — refuse rather than misattribute
+    if len(carry) != len(pool_rows):
+        raise ValueError(
+            f"mmr_select: candidate pool ids must be unique "
+            f"({len(pool_rows)} rows, {len(carry)} distinct {id_col})"
+        )
     sim = {(r["ia"], r["ib"]): r["sim"] for r in pair_rows}
     q9 = Decimal("0.000000001")
 

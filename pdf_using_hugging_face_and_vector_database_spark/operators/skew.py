@@ -60,6 +60,10 @@ def salted_join(
     is only result-invariant when unmatched small rows are dropped
     (inner) or irrelevant (left); an outer-small salted join needs the
     dedup-by-identity recovery range_join uses, not this shape."""
+    # Spark's join aliases for the safe modes stay accepted (ADVICE
+    # r12: the r12 guard rejected 'left_outer'/'leftouter', which had
+    # worked with identical semantics before it)
+    how = {"left_outer": "left", "leftouter": "left"}.get(how, how)
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join: how={how!r} is not result-invariant under "

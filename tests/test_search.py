@@ -383,6 +383,63 @@ def test_round9_matches_spark_round(spark):
     assert not mism, f"{len(mism)} parity breaks, first: {mism[:3]}"
 
 
+def test_round6_matches_spark_round(spark):
+    """Oracle-parity pin for rag_pipeline's driver-side 6 dp round
+    (ADVICE r12): Decimal(repr(x)).quantize(1e-6, HALF_UP) must equal
+    Spark's F.round(x, 6) — same JDK-dependent shortest-repr contract
+    the round9 pin makes executable, at the digit position rag actually
+    emits. Cases: .5-at-the-7th-digit HALF_UP boundaries (x.xxxxxx5
+    ties), magnitude spread, negatives, and a deterministic sweep of
+    cosine-range values."""
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+
+    def round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    cases = []
+    for k in range(0, 2000, 7):
+        for scale in (1.0, 1e-3, 1e3):
+            v = (k * 1e-6 + 5e-7) * scale
+            cases.extend([v, -v])
+    s = 0x9E3779B97F4A7C15
+    for _ in range(2000):
+        s ^= (s << 13) & 0xFFFFFFFFFFFFFFFF
+        s ^= s >> 7
+        s ^= (s << 17) & 0xFFFFFFFFFFFFFFFF
+        cases.append((s % (2**53)) / float(2**52) - 1.0)
+    cases.extend([struct.unpack("<d", struct.pack("<q", b))[0]
+                  for b in range(4607182418800017408, 4607182418800017408 + 64)])
+
+    df = spark.createDataFrame([(float(v),) for v in cases], "x double")
+    got = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    want = [round6(v) for v in cases]
+    mism = [(cases[i], want[i], got[i]) for i in range(len(cases))
+            if want[i] != got[i]]
+    assert not mism, f"{len(mism)} parity breaks, first: {mism[:3]}"
+
+
+def test_mmr_select_refuses_duplicate_pool_ids(spark):
+    """ADVICE r12: a duplicate candidate id silently kept the LAST
+    row's carry metadata while the pool list kept both entries — the
+    selected tuple's metadata could belong to the losing row. The
+    unique-id precondition must refuse; fails on the pre-r13 code
+    (no raise)."""
+    import pytest as _pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.search import mmr_select
+
+    dup = spark.createDataFrame(
+        [("a", [1.0, 0.0], 0.9, 7), ("a", [0.0, 1.0], 0.8, 8),
+         ("b", [1.0, 1.0], 0.5, 9)],
+        "vec_id string, embedding array<double>, simq double, meta int",
+    )
+    with _pytest.raises(ValueError, match="unique"):
+        mmr_select(dup, k=2, carry_cols=("meta",))
+
+
 def test_mmr_select_skips_nan_candidates(spark):
     """A NaN query-similarity (e.g. a degenerate upstream score — the
     ANSI-mode cosine itself raises on a zero vector before reaching

@@ -233,6 +233,20 @@ def test_salted_join_refuses_outer_small_side(spark):
         with _pytest.raises(ValueError, match="salted_join"):
             salted_join(big, small, on="k", spread_col="payload",
                         n_salt=4, how=how)
+    # Spark's aliases for the SAFE mode stay accepted (ADVICE r12: the
+    # first guard rejected them, a regression for legitimate callers)
+    plain = sorted(
+        (r["k"], r["payload"], r["v"])
+        for r in big.join(small, "k", "left").collect()
+    )
+    for how in ("left_outer", "leftouter"):
+        got = sorted(
+            (r["k"], r["payload"], r["v"])
+            for r in salted_join(
+                big, small, on="k", spread_col="payload", n_salt=4, how=how
+            ).collect()
+        )
+        assert got == plain, how
     # the defect the guard prevents: the raw replicated build under
     # 'full' emits the never-matched small key once per salt replica
     raw = with_salt(big, "payload", 4).join(
