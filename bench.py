@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     # round 12
     "pit_boundary_ties",
     "asof_boundary_ties",
+    # round 13
+    "hostile_text_tokens",
 ]
 
 

@@ -1016,6 +1016,61 @@ WITH s AS (
 SELECT doc_id, lang AS lang_labeled, {_lang_case()} AS lang_guess FROM s
 """
 
+    # hostile-text adversarial row (r13, VERDICT r12 item 4): rebuild
+    # the SAME augmented input from the same template constants, then
+    # recompute every kernel in DuckDB's own idiom. Templates carry
+    # real tabs/newlines/multibyte inside standard SQL string literals.
+    from .queries import (
+        HOSTILE_DOCS,
+        HOSTILE_PREFIX_CHARS,
+        HOSTILE_TEMPLATES,
+    )
+    from .functions.text import BPE_TOKEN_RE
+
+    def _sql_lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    tmpl_case = (
+        f"CASE (doc_id % {len(HOSTILE_TEMPLATES)}) "
+        + " ".join(
+            f"WHEN {i} THEN {_sql_lit(t)}"
+            for i, t in enumerate(HOSTILE_TEMPLATES[:-1])
+        )
+        + f" ELSE {_sql_lit(HOSTILE_TEMPLATES[-1])} END"
+    )
+    _strip = "text"
+    for ch in ".,;:!?":
+        _strip = f"replace({_strip}, '{ch}', '')"
+    _char3 = (
+        "CASE WHEN length(text) < 3 THEN [text] ELSE "
+        "list_transform(range(1, length(text) - 2 + 1), "
+        "i -> substr(text, i::INT, 3)) END"
+    )
+    _grams2 = (
+        f"list_transform(range(1, greatest(len({toks}) - 1, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))"
+    )
+    sql["hostile_text_tokens"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         substr(text, 1, {HOSTILE_PREFIX_CHARS}) || ' ' || {tmpl_case} AS text
+  FROM documents WHERE doc_id < {HOSTILE_DOCS}),
+padded AS (
+  SELECT doc_id, text, ' ' || replace(text, ' ', '  ') || ' ' AS p FROM aug)
+SELECT doc_id,
+       len({toks})::INT AS n_tok,
+       md5(array_to_string({toks}, '|')) AS tok_digest,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::INT AS n_bpe,
+       {_stopword_score('en')} AS hits_en,
+       {_stopword_score('de')} AS hits_de,
+       round((length(text) - length({_strip}))::DOUBLE
+             / greatest(length(text), 1)::DOUBLE, 6) AS punct_r,
+       len({_char3})::INT AS n_char3,
+       md5(array_to_string({_char3}, '|')) AS char3_digest,
+       md5(array_to_string({_grams2}, '|')) AS gram2_digest
+FROM padded
+"""
+
     sql["corpus_stats"] = f"""
 SELECT lang, source, count(*) AS n_docs,
        SUM(len({toks})::INT)::BIGINT AS total_tokens,

@@ -408,6 +408,78 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs)
 
 
+# --- hostile-text adversarial row (r12 verdict item 4): the text
+# kernels' delimiter contract is SINGLE-SPACE — multi-space runs,
+# tabs/newlines (NOT delimiters), punctuation-adjacent stopwords (NOT
+# space-delimited matches) and multibyte code points must all flow
+# through tokenize/stopword/BPE-pretoken/char-gram identically in both
+# engines. The fixture is single-space ASCII throughout (measured in
+# the pin), so none of these shapes had ever been certified.
+HOSTILE_DOCS = 120
+HOSTILE_PREFIX_CHARS = 120
+HOSTILE_TEMPLATES = (
+    # multi-space runs between words
+    "the   and  of is lone",
+    # tabs / CR / LF inside what the kernel sees as ONE token
+    "the\tand\nof is\r\nwith tabbed",
+    # punctuation-adjacent stopwords (no space delimiter -> no hit)
+    "the, and. of; is! with? (the) punct",
+    # multibyte UTF-8: accents, CJK, an astral-plane emoji
+    "naïve café 中文 \U0001f600 der und die ist multi",
+)
+
+
+def hostile_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-kernel metrics over a hostile-shape augmentation of
+    the documents fixture: each of the first HOSTILE_DOCS docs gets one
+    HOSTILE_TEMPLATES entry (cycled by doc_id) appended to its prefix,
+    then the whole lang_id/ngram/BPE kernel family runs over it —
+    token count + exact token digest, BPE pre-token count, en/de
+    stopword hits, punct ratio, char-3-gram count + digest, word-2-gram
+    digest. The DuckDB oracle rebuilds the SAME augmented input from
+    the same constants and recomputes every metric in its own idiom
+    (string_split / regexp_extract_all / substr), so any divergence in
+    delimiter or code-point semantics between the engines surfaces as
+    a hash mismatch."""
+    from .functions.text import (
+        LANG_MARKERS,
+        bpe_token_count,
+        char_ngrams,
+        punct_ratio,
+        stopword_hits,
+        token_count,
+        tokens,
+        word_ngrams,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < HOSTILE_DOCS
+    )
+    tmpl = F.element_at(
+        F.array(*[F.lit(t) for t in HOSTILE_TEMPLATES]),
+        (F.col("doc_id") % len(HOSTILE_TEMPLATES) + 1).cast("int"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, HOSTILE_PREFIX_CHARS), F.lit(" "), tmpl
+        ).alias("text"),
+    )
+    t = F.col("text")
+    return aug.select(
+        "doc_id",
+        token_count(t).alias("n_tok"),
+        F.md5(F.array_join(tokens(t), "|")).alias("tok_digest"),
+        bpe_token_count(t).alias("n_bpe"),
+        stopword_hits(t, LANG_MARKERS["en"]).alias("hits_en"),
+        stopword_hits(t, LANG_MARKERS["de"]).alias("hits_de"),
+        F.round(punct_ratio(t), 6).alias("punct_r"),
+        F.size(char_ngrams(t, 3)).alias("n_char3"),
+        F.md5(F.array_join(char_ngrams(t, 3), "|")).alias("char3_digest"),
+        F.md5(F.array_join(word_ngrams(t, 2), "|")).alias("gram2_digest"),
+    )
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return corpus_rollup(docs)
@@ -5389,9 +5461,12 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "scd2_customer_priority": scd2_customer_priority,
     "anomaly_mad": anomaly_mad,
+    # --- new in round 13 (VERDICT r12 item 4): hostile text shapes —
+    # multi-space runs, tabs/newlines, punctuation-adjacent stopwords,
+    # multibyte UTF-8 — through the tokenize/stopword/BPE/ngram family
+    "hostile_text_tokens": hostile_text_tokens,
     # --- driver-green round 10 (oldest-certified block; fills the
-    # round-13 front to exactly 50 after the five rows above and any
-    # NEW round-13 rows inserted here) ---
+    # round-13 front to exactly 50 after the rows above) ---
     "outer_pit_join": outer_pit_join,
     "stream_outer_interval_join": stream_outer_interval_join,
     "equidepth_by_range": equidepth_by_range,

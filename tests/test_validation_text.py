@@ -237,3 +237,91 @@ def test_stopword_hits_counts_adjacent_repeats(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 3, 3: 2}
+
+
+def test_hostile_text_query_is_adversarial(spark, sf_dir):
+    """r13 (VERDICT r12 item 4). Two claims, both measured:
+
+    (1) the RAW fixture contains ZERO of the hostile shapes (multi-space
+    runs, tabs, newlines, multibyte, punctuation-adjacent stopwords) —
+    so the single-space-delimiter contract of the text kernels had
+    never been certified on shaped input before this row — while the
+    augmented input provably contains every shape;
+
+    (2) the row DISCRIMINATES the wrong-kernel classes: a
+    whitespace-class (\\s+) tokenizer, a word-boundary-regex stopword
+    counter, and a byte-length char-gram kernel each give a different
+    answer on every doc carrying the shape aimed at them."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        HOSTILE_DOCS,
+        HOSTILE_PREFIX_CHARS,
+        HOSTILE_TEMPLATES,
+        hostile_text_tokens,
+    )
+
+    # (1a) the raw fixture is shape-free
+    docs = read_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.sum(F.col("text").rlike("   ").cast("int")).alias("multispace"),
+        F.sum(F.col("text").contains("\t").cast("int")).alias("tabs"),
+        F.sum(F.col("text").contains("\n").cast("int")).alias("newlines"),
+        F.sum(F.col("text").rlike("[^\\x00-\\x7F]").cast("int")).alias("multibyte"),
+        F.sum(
+            F.col("text").rlike("(^|[ ])(the|and|of|is|with)[,.;:!?]").cast("int")
+        ).alias("punct_adj"),
+    ).collect()[0]
+    assert all(raw[c] == 0 for c in raw.asDict()), raw.asDict()
+
+    # (1b) the augmented input (the query's own construction) carries
+    # every shape, one template class per doc_id % 4
+    tmpl = F.element_at(
+        F.array(*[F.lit(t) for t in HOSTILE_TEMPLATES]),
+        (F.col("doc_id") % len(HOSTILE_TEMPLATES) + 1).cast("int"),
+    )
+    aug = (
+        docs.filter(F.col("doc_id") < HOSTILE_DOCS)
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, HOSTILE_PREFIX_CHARS), F.lit(" "), tmpl
+            ).alias("text"),
+        )
+    )
+    per_class = HOSTILE_DOCS // len(HOSTILE_TEMPLATES)
+    shapes = aug.select(
+        F.sum(F.col("text").rlike("   ").cast("int")).alias("multispace"),
+        F.sum(F.col("text").contains("\t").cast("int")).alias("tabs"),
+        F.sum(F.col("text").contains("\n").cast("int")).alias("newlines"),
+        F.sum(F.col("text").rlike("[^\\x00-\\x7F]").cast("int")).alias("multibyte"),
+        F.sum(
+            F.col("text").rlike("(^|[ ])(the|and|of|is|with)[,.;:!?]").cast("int")
+        ).alias("punct_adj"),
+    ).collect()[0]
+    assert shapes["multispace"] == per_class
+    assert shapes["tabs"] == per_class
+    assert shapes["newlines"] == per_class
+    assert shapes["multibyte"] == per_class
+    assert shapes["punct_adj"] == per_class
+
+    # (2) wrong-kernel discrimination, per shaped doc
+    t = F.col("text")
+    ws_tok = F.size(F.filter(F.split(t, "\\s+"), lambda x: x != ""))
+    wb_hits = F.lit(0)
+    for w in ("the", "and", "of", "is", "with"):
+        wb_hits = wb_hits + F.size(
+            F.regexp_extract_all(t, F.lit(rf"\b{w}\b"), F.lit(0))
+        )
+    byte3 = F.greatest(F.octet_length(t) - F.lit(2), F.lit(1))
+    rivals = aug.select("doc_id", ws_tok.alias("ws_tok"),
+                        wb_hits.alias("wb_hits"), byte3.alias("byte3"))
+    real = hostile_text_tokens(spark, sf_dir)
+    j = {r["doc_id"]: r for r in real.join(rivals, "doc_id").collect()}
+    assert len(j) == HOSTILE_DOCS
+    for doc_id, r in j.items():
+        cls = doc_id % len(HOSTILE_TEMPLATES)
+        if cls == 1:  # tab/newline docs: \s+ tokenizer splits MORE
+            assert r["ws_tok"] != r["n_tok"], doc_id
+        if cls == 2:  # punct-adjacent docs: boundary regex counts MORE
+            assert r["wb_hits"] != r["hits_en"], doc_id
+        if cls == 3:  # multibyte docs: byte-length grams differ
+            assert r["byte3"] != r["n_char3"], doc_id
