@@ -1,4 +1,4 @@
-"""Round-12 correlated-error audit (VERDICT r11 item 3): PURE-PYTHON
+"""Correlated-error audit (r12 wave 1, r13 wave 2): PURE-PYTHON
 third derivations of the most mechanics-like oracle replays.
 
 The oracle gate proves Spark == DuckDB; a correlated error — both
@@ -14,7 +14,7 @@ output rather than exactly — Python's round() is banker's while
 DuckDB/Spark round half-away-from-zero, and the audit must not hinge
 on tie-rounding of irrational doubles.
 
-Usage: python tools/third_derivation_r12.py [sf_dir]
+Usage: python tools/third_derivation.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -900,6 +900,217 @@ def audit_value_histogram():
     check("value_histogram", ok, f"{n} rows over {HIST_BINS} bins")
 
 
+# ====================== wave 2 (round 13) ===========================
+# The r12 verdict's remaining replay-heavy rows: the quantization
+# twins, the SimHash signature arithmetic, and the streaming
+# batch-twin digests.
+
+
+def _round_half_away(y: float) -> float:
+    """Half-away-from-zero round to integer — the engines' contract
+    (Spark BigDecimal HALF_UP on doubles, DuckDB round()); Python's
+    built-in round is banker's and must not be used here."""
+    return math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)
+
+
+def _int8_codes(vec):
+    """Per-vector symmetric int8 quantization: scale = max|x|/127
+    (floored at 1e-12), codes = clamp(round(x/scale), -127, 127)."""
+    v = [float(x) for x in vec]
+    scale = max(max(abs(x) for x in v), 1e-12) / 127.0
+    codes = [
+        int(min(max(_round_half_away(x / scale), -127.0), 127.0)) for x in v
+    ]
+    return v, scale, codes
+
+
+def _fold_dot(a, b):
+    """Sequential left-to-right IEEE double fold — the engines' explicit
+    range()-based sum order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def audit_embed_quantize():
+    got = {}
+    for e in load("embeddings"):
+        v, scale, codes = _int8_codes(e["embedding"])
+        err = max(abs(x - c * scale) for x, c in zip(v, codes))
+        got[e["vec_id"]] = (
+            round(scale, 9),
+            sum(codes),
+            min(codes),
+            max(codes),
+            round(err, 9),
+        )
+    want = {
+        r["vec_id"]: (r["scale"], r["q_sum"], r["q_min"], r["q_max"], r["max_abs_err"])
+        for r in duck("embed_quantize")
+    }
+    ok = set(got) == set(want) and all(
+        close(got[k][0], want[k][0], 2e-9)
+        and got[k][1:4] == tuple(want[k][1:4])
+        and close(got[k][4], want[k][4], 2e-9)
+        for k in got
+    )
+    check("embed_quantize", ok, f"{len(got)} vectors")
+
+
+def audit_quantized_rerank():
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        ANN_RERANK_CAND,
+    )
+
+    rows = []
+    qv = qcodes = None
+    for e in load("embeddings"):
+        v, _scale, codes = _int8_codes(e["embedding"])
+        rows.append((e["vec_id"], e["label"], v, codes))
+        if e["vec_id"] == 0:
+            qv, qcodes = v, codes
+    scored = [
+        (vid, lab, v, sum(c * qc for c, qc in zip(codes, qcodes)))
+        for vid, lab, v, codes in rows
+    ]
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    cands = scored[:ANN_RERANK_CAND]
+    qq = math.sqrt(_fold_dot(qv, qv))
+    rer = [
+        (vid, lab, qd, _fold_dot(v, qv) / (math.sqrt(_fold_dot(v, v)) * qq))
+        for vid, lab, v, qd in cands
+    ]
+    rer.sort(key=lambda t: (-t[3], t[0]))
+    got = [(vid, lab, qd, round(s, 6)) for vid, lab, qd, s in rer[:10]]
+    want = [
+        (r["vec_id"], r["label"], r["q_dot"], r["score"])
+        for r in duck("q3_ann_quantized_rerank")
+    ]
+    ok = len(got) == len(want) and all(
+        g[:3] == tuple(w[:3]) and close(g[3], w[3], 2e-6)
+        for g, w in zip(got, want)
+    )
+    check("q3_ann_quantized_rerank", ok, f"top-{len(got)} of {len(cands)} cands")
+
+
+def audit_simhash_hamming():
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        NEARDUP_TRUNC,
+        SIMHASH_BITS,
+        SIMHASH_CHUNKS,
+        SIMHASH_MAXH,
+    )
+
+    nhex = max(6, (SIMHASH_BITS + 3) // 4)
+    docs = load("documents")
+    corpus = [(d["doc_id"], d["text"]) for d in docs] + [
+        (d["doc_id"] + 100000, d["text"][: len(d["text"]) - NEARDUP_TRUNC])
+        for d in docs
+    ]
+    hash_cache: dict[str, int] = {}
+    fps = {}
+    for did, text in corpus:
+        cnt = [0] * SIMHASH_BITS
+        for tok, c in Counter(tokens(text)).items():
+            h = hash_cache.get(tok)
+            if h is None:
+                h = hash_cache[tok] = md5_int(tok, nhex)
+            for b in range(SIMHASH_BITS):
+                cnt[b] += c if (h >> b) & 1 else -c
+        fp = 0
+        for b in range(SIMHASH_BITS):
+            if cnt[b] > 0:
+                fp |= 1 << b
+        fps[did] = fp
+    width = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << width) - 1
+    buckets = defaultdict(list)
+    for did, fp in fps.items():
+        for c in range(SIMHASH_CHUNKS):
+            buckets[(c, (fp >> (c * width)) & mask)].append(did)
+    got = {}
+    for ids in buckets.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b2 in ids[i + 1 :]:
+                if (a, b2) not in got:
+                    h = bin(fps[a] ^ fps[b2]).count("1")
+                    if h <= SIMHASH_MAXH:
+                        got[(a, b2)] = h
+    got = {k: v for k, v in got.items() if v <= SIMHASH_MAXH}
+    want = {(r["id_a"], r["id_b"]): r["hamming"] for r in duck("neardup_simhash")}
+    check("neardup_simhash", got == want, f"{len(got)} pairs <= H{SIMHASH_MAXH}")
+
+
+def audit_stream_events_hourly():
+    import decimal
+
+    got = defaultdict(lambda: [0, decimal.Decimal(0)])
+    for e in load("events"):
+        ws = e["ts"].replace(minute=0, second=0, microsecond=0)
+        k = (ws.strftime("%Y-%m-%d %H:%M:%S"), e["event_type"])
+        got[k][0] += 1
+        got[k][1] += decimal.Decimal(str(e["value"]))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in duck("stream_events_hourly")
+    }
+    ok = set(got) == set(want) and all(
+        got[k][0] == want[k][0] and close(float(got[k][1]), want[k][1], 1e-6)
+        for k in got
+    )
+    check("stream_events_hourly", ok, f"{len(got)} (hour, type) windows")
+
+
+def audit_stream_session_windows():
+    import datetime as dt
+    import decimal
+
+    gap = dt.timedelta(minutes=30)
+    per_user = defaultdict(list)
+    for e in load("events"):
+        per_user[e["user_id"]].append((e["ts"], e["value"]))
+    got = {}
+    for u, evs in per_user.items():
+        evs.sort(key=lambda t: t[0])
+        cur = None
+        for ts, val in evs:
+            # session-window contract: a gap of EXACTLY 30 min starts a
+            # NEW session (>=; the explicit-lag sessionizer uses >)
+            if cur is None or ts - cur[1] >= gap:
+                if cur is not None:
+                    got[(u, cur[0].strftime("%Y-%m-%d %H:%M:%S"))] = cur[2:]
+                cur = [ts, ts, None, 0, decimal.Decimal(0)]
+            cur[1] = ts
+            cur[2] = (cur[1] + gap).strftime("%Y-%m-%d %H:%M:%S")
+            cur[3] += 1
+            cur[4] += decimal.Decimal(str(val))
+        if cur is not None:
+            got[(u, cur[0].strftime("%Y-%m-%d %H:%M:%S"))] = cur[2:]
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in duck("stream_session_windows")
+    }
+    ok = set(got) == set(want) and all(
+        got[k][0] == want[k][0]
+        and got[k][1] == want[k][1]
+        and close(float(got[k][2]), want[k][2], 1e-6)
+        for k in got
+    )
+    check("stream_session_windows", ok, f"{len(got)} sessions")
+
+
+def audit_stream_dedup_keys():
+    got = {(e["user_id"], e["event_type"]) for e in load("events")}
+    want = {(r["user_id"], r["event_type"]) for r in duck("stream_dedup_keys")}
+    check("stream_dedup_keys", got == want, f"{len(got)} distinct keys")
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -921,5 +1132,12 @@ if __name__ == "__main__":
     audit_bpe_encode()
     audit_impute()
     audit_value_histogram()
+    # wave 2 (round 13)
+    audit_embed_quantize()
+    audit_quantized_rerank()
+    audit_simhash_hamming()
+    audit_stream_events_hourly()
+    audit_stream_session_windows()
+    audit_stream_dedup_keys()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
