@@ -4754,7 +4754,11 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves the last 15 characters intact, so ANY suffix width <= 15 is
     equally corruption-invariant; 4 keeps blocks plural at test scale
     while cutting the saturated pair count 10x (re-measured curves in
-    SCALE_r13_er_*.json). The oracle deliberately stays nation-only —
+    SCALE_r13_er_*.json: 50x exponent 0.99 -> 0.66; the residual slope
+    is the 4-digit space itself re-densifying, and the next notch —
+    width 5, or crossing in a second corruption-invariant name
+    feature — is the same knob when the corpus grows another order).
+    The oracle deliberately stays nation-only —
     the UNBLOCKED-within-nation truth — so the gate also proves the
     finer blocking drops no pair that changes any argmin. Levenshtein
     is a built-in with identical semantics in Spark SQL and DuckDB."""
