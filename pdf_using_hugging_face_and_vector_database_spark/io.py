@@ -92,11 +92,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql use."""
+    """Register every fixture table as a temp view for spark.sql use
+    (S5 catalog surface). Views go through :func:`read_table` — NOT a
+    raw parquet read — so they inherit the same tz pin and
+    nanos-timestamp normalization as every DataFrame consumer (r13
+    review wave 6: the raw-read version surfaced `events.ts` as a
+    nanosecond LONG — or threw on a session without nanosAsLong —
+    diverging from what the identically-named DataFrame tables
+    contain)."""
     for name in TESTDATA_TABLES:
-        path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+        if os.path.exists(table_path(sf_dir, name)):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def write_vectors(

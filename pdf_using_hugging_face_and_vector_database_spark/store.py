@@ -245,7 +245,15 @@ def ensure_store_dir(base_dir: str, fingerprint: str, build) -> str:
     meta = read_marker(marker)
     if meta.get("fingerprint") == fingerprint:
         # "data" is the pre-versioning layout — old stores keep serving
-        return os.path.join(base_dir, meta.get("data", "data"))
+        cur = os.path.join(base_dir, meta.get("data", "data"))
+        if os.path.isdir(cur):
+            return cur
+        # r13 review wave 6: a matching marker over a MISSING payload
+        # dir (manual deletion, partial wipe — unreachable by a crash,
+        # which always writes data before the marker flips) previously
+        # returned the dead path and the consumer's parquet read threw;
+        # every other corruption class already falls through to
+        # rebuild, so this one must too
     vdir = (
         "data_"
         + _hashlib.sha256(fingerprint.encode()).hexdigest()[:10]

@@ -99,3 +99,31 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_register_views_normalizes_events_timestamps(spark, sf_dir):
+    """r13 review wave 6: the S5 view surface previously raw-read the
+    parquet, so an `events` view carried ts as a nanosecond LONG (or
+    threw on a session without nanosAsLong) while every DataFrame
+    consumer saw a normalized TIMESTAMP — two different schemas for
+    the same table name. Views must route through read_table; fails on
+    the pre-r13 code (LongType ts)."""
+    from pyspark.sql import types as T
+
+    from pdf_using_hugging_face_and_vector_database_spark.io import (
+        read_table,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    try:
+        view_ts = spark.table("events").schema["ts"].dataType
+        assert isinstance(view_ts, T.TimestampType), view_ts
+        assert (
+            spark.sql("SELECT count(*) c FROM events").collect()[0]["c"]
+            == read_table(spark, sf_dir, "events").count()
+        )
+    finally:
+        for name in ("region nation customer supplier part orders "
+                     "lineitem events documents embeddings").split():
+            spark.catalog.dropTempView(name)

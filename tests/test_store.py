@@ -481,3 +481,33 @@ print(st.code_token(fn))
         return out.stdout.strip()
 
     assert token(1) == token(2) == token(12345)
+
+
+def test_matching_marker_over_missing_payload_rebuilds(tmp_path):
+    """r13 review wave 6: a marker whose fingerprint matches but whose
+    payload dir is GONE (manual deletion / partial wipe — a crash
+    cannot produce this state, data always lands before the marker
+    flips) previously returned the dead path and the consumer's read
+    threw; every other corruption class falls through to rebuild, so
+    this one must too. Fails on the pre-r13 code (one build call,
+    missing dir returned)."""
+    from pdf_using_hugging_face_and_vector_database_spark.store import (
+        ensure_store_dir,
+    )
+
+    calls: list[str] = []
+
+    def build(d: str) -> None:
+        calls.append(d)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "payload"), "w") as f:
+            f.write("x")
+
+    base = str(tmp_path / "store")
+    d1 = ensure_store_dir(base, "fp-alpha", build)
+    assert len(calls) == 1 and os.path.isdir(d1)
+    shutil.rmtree(d1)  # marker stays, payload gone
+    d2 = ensure_store_dir(base, "fp-alpha", build)
+    assert len(calls) == 2, "missing payload must force a rebuild"
+    assert os.path.isdir(d2)
+    assert os.path.exists(os.path.join(d2, "payload"))
