@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "asof_boundary_ties",
     # round 13
     "hostile_text_tokens",
+    "empty_relation_contracts",
 ]
 
 

@@ -1016,6 +1016,37 @@ WITH s AS (
 SELECT doc_id, lang AS lang_labeled, {_lang_case()} AS lang_guess FROM s
 """
 
+    # empty-relation contracts (r13): the same provably-empty subsets,
+    # each leg deriving its count/probe from the empty relation in
+    # DuckDB's own idiom. The load-bearing rows: global_agg emits ONE
+    # row (count 0, NULL sum -> '<null>'); grouped/session/window legs
+    # emit ZERO rows into their count.
+    sql["empty_relation_contracts"] = """
+WITH d0 AS (SELECT * FROM documents WHERE doc_id < 0),
+     e0 AS (SELECT * FROM events WHERE user_id < 0)
+SELECT 'doc_stats' AS kernel, count(*)::BIGINT AS n_rows, '<none>' AS probe FROM d0
+UNION ALL
+SELECT 'language_id', count(*)::BIGINT, '<none>' FROM d0
+UNION ALL
+SELECT 'gram_explode', count(*)::BIGINT, '<none>'
+FROM (SELECT unnest(string_split(text, ' ')) FROM d0)
+UNION ALL
+SELECT 'grouped_agg', count(*)::BIGINT, '<none>'
+FROM (SELECT event_type, count(*) FROM e0 GROUP BY event_type)
+UNION ALL
+SELECT 'session_groups', count(*)::BIGINT, '<none>'
+FROM (SELECT user_id, count(*) FROM e0 GROUP BY user_id)
+UNION ALL
+SELECT 'window_fn', count(*)::BIGINT, '<none>'
+FROM (SELECT sum(value) OVER (PARTITION BY user_id ORDER BY ts) FROM e0)
+UNION ALL
+SELECT 'join_back', count(*)::BIGINT, '<none>'
+FROM d0 JOIN documents USING (doc_id)
+UNION ALL
+SELECT 'global_agg', count(*)::BIGINT,
+       coalesce(CAST(sum(value) AS VARCHAR), '<null>') FROM e0
+"""
+
     # hostile-text adversarial row (r13, VERDICT r12 item 4): rebuild
     # the SAME augmented input from the same template constants, then
     # recompute every kernel in DuckDB's own idiom. Templates carry

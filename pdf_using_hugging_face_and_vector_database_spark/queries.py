@@ -429,6 +429,72 @@ HOSTILE_TEMPLATES = (
 )
 
 
+def empty_relation_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-input contracts as a driver row (r13, extending the
+    adversarial-fixture program one class past hostile text): every
+    fixture table is non-empty, so the 0-row code paths — the
+    bug-class ledger's 'empty' family — had only pytest coverage.
+    Drives provably-empty subsets (doc_id/user_id < 0: the generators
+    emit non-negative keys only) through per-doc kernels, gram
+    explode, grouped/global/windowed/session aggregation, and a join
+    back to the full table, emitting one (kernel, n_rows, probe) row
+    per contract. The load-bearing distinctions: a GLOBAL aggregate
+    over an empty relation yields exactly ONE row with count 0 and a
+    NULL sum, while grouped/session/window aggregation yields ZERO
+    rows — identically in both engines."""
+    from .operators.text_analysis import doc_stats, language_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    docs0 = docs.filter(F.col("doc_id") < 0)
+    events0 = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 0)
+
+    def leg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.lit("<none>").alias("probe"),
+        )
+
+    from .functions.text import word_ngrams
+
+    parts = [
+        leg("doc_stats", doc_stats(docs0)),
+        leg("language_id", language_id(docs0)),
+        leg(
+            "gram_explode",
+            docs0.select(F.explode(word_ngrams(F.col("text"), 2)).alias("g")),
+        ),
+        leg("grouped_agg", events0.groupBy("event_type").agg(F.count(F.lit(1)))),
+        leg(
+            "session_groups",
+            events0.groupBy(
+                F.session_window("ts", "30 minutes"), "user_id"
+            ).agg(F.count(F.lit(1))),
+        ),
+        leg(
+            "window_fn",
+            events0.select(
+                F.sum("value")
+                .over(Window.partitionBy("user_id").orderBy("ts"))
+                .alias("r")
+            ),
+        ),
+        leg("join_back", docs0.select("doc_id").join(docs, "doc_id")),
+        # the one-row global-aggregate contract, with the NULL-sum probe
+        events0.agg(
+            F.lit("global_agg").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum("value").cast("string"), F.lit("<null>")
+            ).alias("probe"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def hostile_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text-kernel metrics over a hostile-shape augmentation of
     the documents fixture: each of the first HOSTILE_DOCS docs gets one
@@ -5481,6 +5547,10 @@ QUERIES = {
     # multi-space runs, tabs/newlines, punctuation-adjacent stopwords,
     # multibyte UTF-8 — through the tokenize/stopword/BPE/ngram family
     "hostile_text_tokens": hostile_text_tokens,
+    # --- new in round 13 (adversarial program, one class further):
+    # empty-relation contracts — 0-row inputs through per-doc kernels,
+    # gram explode, grouped/global/window/session aggregation
+    "empty_relation_contracts": empty_relation_contracts,
     # --- changed in round 13 (VERDICT r12 item 5): ER blocking suffix
     # widened 3 -> 4 chars — results identical (nation-only oracle
     # proves no argmin changes), re-certified as a changed kernel ---

@@ -325,3 +325,39 @@ def test_hostile_text_query_is_adversarial(spark, sf_dir):
             assert r["wb_hits"] != r["hits_en"], doc_id
         if cls == 3:  # multibyte docs: byte-length grams differ
             assert r["byte3"] != r["n_char3"], doc_id
+
+
+def test_empty_relation_contracts_row_is_adversarial(spark, sf_dir):
+    """r13 (adversarial program, empty class). Measured claims:
+
+    (1) the subsets are PROVABLY empty — the fixture generators emit
+    only non-negative doc_id/user_id, so the < 0 filters select zero
+    rows (and the raw tables are non-empty, so the 0-row paths are
+    otherwise never exercised by the gate);
+
+    (2) the row discriminates the wrong-kernel classes: a
+    zero-defaulting sum (coalesce(sum, 0) — the classic 'empty sum is
+    0' conflation) flips the global_agg probe, and dropping the
+    global-aggregate row (treating global like grouped aggregation)
+    changes the row count."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        empty_relation_contracts,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    events = read_table(spark, sf_dir, "events")
+    assert docs.count() > 0 and events.count() > 0
+    assert docs.filter(F.col("doc_id") < 0).count() == 0
+    assert events.filter(F.col("user_id") < 0).count() == 0
+
+    rows = {r["kernel"]: r for r in empty_relation_contracts(spark, sf_dir).collect()}
+    assert len(rows) == 8  # a grouped-style global agg would drop one
+    assert all(r["n_rows"] == 0 for r in rows.values())
+    # NULL-sum contract: the empty global aggregate's sum is NULL, not 0
+    assert rows["global_agg"]["probe"] == "<null>"
+    wrong = (
+        events.filter(F.col("user_id") < 0)
+        .agg(F.coalesce(F.sum("value"), F.lit(0.0)).cast("string").alias("p"))
+        .collect()[0]["p"]
+    )
+    assert wrong != "<null>"  # the zero-defaulting kernel class diverges
