@@ -1111,6 +1111,82 @@ def audit_stream_dedup_keys():
     check("stream_dedup_keys", got == want, f"{len(got)} distinct keys")
 
 
+def audit_binary_rerank():
+    """Sign-bit (32x-compressed) prefilter + exact re-rank: pack
+    x>0 bits into 32-bit words, Hamming via xor popcount, cut at
+    BIN_CAND by (hamming, id), exact sequential-fold cosine top-10."""
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        BIN_CAND,
+        BIN_QUERY_ID,
+    )
+
+    rows = []
+    qwords = qv = None
+    for e in load("embeddings"):
+        v = [float(x) for x in e["embedding"]]
+        words = []
+        for j in range(len(v) // 32):
+            w = 0
+            for i in range(32):
+                if v[j * 32 + i] > 0:
+                    w |= 1 << i
+            words.append(w)
+        rows.append((e["vec_id"], e["label"], v, words))
+        if e["vec_id"] == BIN_QUERY_ID:
+            qwords, qv = words, v
+    scored = [
+        (
+            vid,
+            lab,
+            v,
+            sum(bin(w ^ qw).count("1") for w, qw in zip(words, qwords)),
+        )
+        for vid, lab, v, words in rows
+    ]
+    scored.sort(key=lambda t: (t[3], t[0]))
+    cands = scored[:BIN_CAND]
+    qq = math.sqrt(_fold_dot(qv, qv))
+    rer = [
+        (vid, lab, ham, _fold_dot(v, qv) / (math.sqrt(_fold_dot(v, v)) * qq))
+        for vid, lab, v, ham in cands
+    ]
+    rer.sort(key=lambda t: (-t[3], t[0]))
+    got = [(vid, lab, ham, round(s, 6)) for vid, lab, ham, s in rer[:10]]
+    want = [
+        (r["vec_id"], r["label"], r["hamming"], r["score"])
+        for r in duck("q3_ann_binary_rerank")
+    ]
+    ok = len(got) == len(want) and all(
+        g[:3] == tuple(w[:3]) and close(g[3], w[3], 2e-6)
+        for g, w in zip(got, want)
+    )
+    check("q3_ann_binary_rerank", ok, f"top-{len(got)} of {len(cands)} cands")
+
+
+def audit_rolling_distinct_users():
+    import datetime as dt
+
+    epoch0 = dt.datetime(1970, 1, 1)
+    daily = set()
+    for e in load("events"):
+        day = int(math.floor((e["ts"] - epoch0).total_seconds())) // 86400
+        daily.add((e["event_type"], day, e["user_id"]))
+    by_et = defaultdict(set)
+    for et, day, u in daily:
+        by_et[et].add((day, u))
+    got = {}
+    for et, pairs in by_et.items():
+        days = {d for d, _u in pairs}
+        for d in days:
+            users = {u for dd, u in pairs if d - 2 <= dd <= d}
+            got[(et, d)] = len(users)
+    want = {
+        (r["event_type"], r["day"]): r["distinct_users_3d"]
+        for r in duck("rolling_distinct_users")
+    }
+    check("rolling_distinct_users", got == want, f"{len(got)} (type, day) rows")
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -1139,5 +1215,7 @@ if __name__ == "__main__":
     audit_stream_events_hourly()
     audit_stream_session_windows()
     audit_stream_dedup_keys()
+    audit_binary_rerank()
+    audit_rolling_distinct_users()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
