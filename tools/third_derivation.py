@@ -1111,6 +1111,88 @@ def audit_stream_dedup_keys():
     check("stream_dedup_keys", got == want, f"{len(got)} distinct keys")
 
 
+def audit_hostile_text():
+    """The r13 hostile-shape row, re-derived with Python's own string
+    machinery — code-point slicing, the sre regex engine (a third
+    engine beside Java regex and RE2, exactly where multibyte/emoji
+    semantics could diverge), and str.count on the doubled-space
+    padding."""
+    import re
+
+    from pdf_using_hugging_face_and_vector_database_spark.functions.text import (
+        BPE_TOKEN_RE,
+        LANG_MARKERS,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        HOSTILE_DOCS,
+        HOSTILE_PREFIX_CHARS,
+        HOSTILE_TEMPLATES,
+    )
+
+    def md5_hex(s):
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    bpe_re = re.compile(BPE_TOKEN_RE)
+    got = {}
+    for d in load("documents"):
+        if d["doc_id"] >= HOSTILE_DOCS:
+            continue
+        text = (
+            d["text"][:HOSTILE_PREFIX_CHARS]
+            + " "
+            + HOSTILE_TEMPLATES[d["doc_id"] % len(HOSTILE_TEMPLATES)]
+        )
+        toks = tokens(text)
+        padded = " " + text.replace(" ", "  ") + " "
+        hits = {
+            lang: sum(padded.count(f" {w} ") for w in ws)
+            for lang, ws in LANG_MARKERS.items()
+        }
+        stripped = text
+        for ch in ".,;:!?":
+            stripped = stripped.replace(ch, "")
+        pr = (len(text) - len(stripped)) / max(len(text), 1)
+        char3 = (
+            [text]
+            if len(text) < 3
+            else [text[i : i + 3] for i in range(len(text) - 2)]
+        )
+        n2 = max(len(toks) - 1, 1)
+        grams2 = [" ".join(toks[i - 1 : i + 1]) for i in range(1, n2 + 1)]
+        got[d["doc_id"]] = (
+            len(toks),
+            md5_hex("|".join(toks)),
+            len(bpe_re.findall(text)),
+            hits["en"],
+            hits["de"],
+            round(pr, 6),
+            len(char3),
+            md5_hex("|".join(char3)),
+            md5_hex("|".join(grams2)),
+        )
+    want = {
+        r["doc_id"]: (
+            r["n_tok"],
+            r["tok_digest"],
+            r["n_bpe"],
+            r["hits_en"],
+            r["hits_de"],
+            r["punct_r"],
+            r["n_char3"],
+            r["char3_digest"],
+            r["gram2_digest"],
+        )
+        for r in duck("hostile_text_tokens")
+    }
+    ok = set(got) == set(want) and all(
+        got[k][:5] == tuple(want[k][:5])
+        and close(got[k][5], want[k][5], 2e-6)
+        and got[k][6:] == tuple(want[k][6:])
+        for k in got
+    )
+    check("hostile_text_tokens", ok, f"{len(got)} augmented docs")
+
+
 def audit_binary_rerank():
     """Sign-bit (32x-compressed) prefilter + exact re-rank: pack
     x>0 bits into 32-bit words, Hamming via xor popcount, cut at
@@ -1217,5 +1299,6 @@ if __name__ == "__main__":
     audit_stream_dedup_keys()
     audit_binary_rerank()
     audit_rolling_distinct_users()
+    audit_hostile_text()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
