@@ -120,11 +120,21 @@ def element_hashes(elements: Column, hash_fn: str = "md5", nhex: int = 6) -> Col
     hash_fn='xxhash64' — native Spark hash, ~5x cheaper; same 24-bit
     range. Use for production-scale dedup where cross-engine
     reproducibility is not required (measured: the md5 dominates
-    signature cost at 500k docs)."""
+    signature cost at 500k docs).
+
+    The 24-bit fold is a BITMASK of the raw hash's low bits, not
+    abs()+modulo (r14, queued r13 nit): ``abs(h) % 2^24`` could never
+    actually emit a negative — ``abs(Long.MIN_VALUE)`` overflows to
+    itself but 2^24 divides 2^63 so the remainder is exactly 0 — but
+    it folds ``h`` and ``-h`` onto the same bucket (halving the
+    effective space for sign-symmetric pairs) and burns an abs+mod
+    where an AND does. The mask keeps the raw low 24 bits uniform.
+    Pin: tests/test_dedup.py::test_element_hashes_xxhash64_is_low_bit_mask.
+    """
     if hash_fn == "md5":
         return F.transform(elements, lambda s: md5_int(s, nhex))
     if hash_fn == "xxhash64":
-        return F.transform(elements, lambda s: F.abs(F.xxhash64(s)) % F.lit(0x1000000))
+        return F.transform(elements, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFF)))
     raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 

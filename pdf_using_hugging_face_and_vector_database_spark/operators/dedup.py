@@ -123,7 +123,9 @@ def minhash_signatures_agg(
     if hash_fn == "md5":
         h = md5_int(shingle_col)
     elif hash_fn == "xxhash64":
-        h = F.abs(F.xxhash64(shingle_col)) % F.lit(0x1000000)
+        # low-24-bit mask, same fold as functions.hashing.element_hashes
+        # (r14: bitmask, not abs+mod — see the docstring there)
+        h = F.xxhash64(shingle_col).bitwiseAND(F.lit(0xFFFFFF))
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn}")
 

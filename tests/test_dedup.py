@@ -559,3 +559,62 @@ def test_banding_guards_are_uniform(spark):
     fps = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_candidate_pairs(fps, chunks=3, max_hamming=3)
+
+
+def test_element_hashes_xxhash64_is_low_bit_mask(spark):
+    """The production (non-oracle) 24-bit fold must be the raw
+    xxhash64's LOW BITS (r14, the queued r13 nit): the old abs()+modulo
+    fold could never actually emit a negative — abs(Long.MIN_VALUE)
+    overflows to itself but 2^24 divides 2^63 so the remainder was
+    exactly 0 — yet it folded h and -h onto the same bucket and
+    diverged from the low-bit mask on every negative raw hash. The
+    expectation is derived from the raw xxhash64 primitive directly,
+    and the sample provably contains negative raws — exactly where the
+    two folds differ."""
+    from pdf_using_hugging_face_and_vector_database_spark.functions.hashing import (
+        element_hashes,
+    )
+
+    words = [f"w{i}" for i in range(64)]
+    df = spark.createDataFrame([(words,)], "arr: array<string>")
+    got = df.select(
+        element_hashes(F.col("arr"), hash_fn="xxhash64").alias("h")
+    ).head()["h"]
+    raw = df.select(
+        F.transform("arr", lambda s: F.xxhash64(s)).alias("r")
+    ).head()["r"]
+    assert any(r < 0 for r in raw), "sample must contain negative raw hashes"
+    assert got == [r & 0xFFFFFF for r in raw]
+    assert all(0 <= h < (1 << 24) for h in got)
+
+
+def test_signatures_agg_xxhash64_matches_python_reference(spark):
+    """The agg-shaped xxhash64 signature path (the second fold site)
+    must equal a plain-Python reference: collect the raw xxhash64 of
+    each word-3 shingle, mask the low 24 bits, run the (a*h+b)%p
+    permutation mins in Python. Fails on the abs()+modulo fold for any
+    doc whose shingles draw a negative raw hash (this one does)."""
+    from pdf_using_hugging_face_and_vector_database_spark.functions.hashing import (
+        P_MINHASH,
+        minhash_params,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        minhash_signatures_agg,
+    )
+
+    df = _docs(spark, [BASE])
+    sig = minhash_signatures_agg(
+        df, num_hashes=8, ngram=3, shingle="word", hash_fn="xxhash64"
+    ).head()["minhash"]
+
+    toks = BASE.split(" ")
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    raw = (
+        spark.createDataFrame([(s,) for s in shingles], ["s"])
+        .select(F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    assert any(r["h"] < 0 for r in raw), "shingles must draw a negative raw hash"
+    hs = [r["h"] & 0xFFFFFF for r in raw]
+    want = [min((h * a + b) % P_MINHASH for h in hs) for a, b in minhash_params(8)]
+    assert sig == want
