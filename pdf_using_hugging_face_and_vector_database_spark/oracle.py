@@ -76,6 +76,19 @@ def _h24(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 6))::BIGINT"
 
 
+def _sql_lit(s: str) -> str:
+    """Python string -> DuckDB single-quoted literal. EVERY interpolated
+    constant routes through this (ADVICE r13: BPE_TOKEN_RE used to be
+    spliced raw — quote/backslash-free today, but a future edit adding
+    either would break or silently skew the oracle SQL). NOTE for regex
+    literals: DuckDB's regexp_* are RE2, Spark's are Java regex — keep
+    shared patterns inside the common dialect subset (character
+    classes, alternation, + * ?; no backrefs, no lookaround, no \\p
+    differences), or the two engines match different things even with
+    correct quoting."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _dot(a: str, b: str, dim: int) -> str:
     """Sequential double dot product (== functions.vector.dot)."""
     return (
@@ -1058,9 +1071,6 @@ SELECT 'global_agg', count(*)::BIGINT,
     )
     from .functions.text import BPE_TOKEN_RE
 
-    def _sql_lit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
     tmpl_case = (
         f"CASE (doc_id % {len(HOSTILE_TEMPLATES)}) "
         + " ".join(
@@ -1091,7 +1101,7 @@ padded AS (
 SELECT doc_id,
        len({toks})::INT AS n_tok,
        md5(array_to_string({toks}, '|')) AS tok_digest,
-       len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::INT AS n_bpe,
+       len(regexp_extract_all(text, {_sql_lit(BPE_TOKEN_RE)}))::INT AS n_bpe,
        {_stopword_score('en')} AS hits_en,
        {_stopword_score('de')} AS hits_de,
        round((length(text) - length({_strip}))::DOUBLE
@@ -1772,10 +1782,10 @@ FROM j WHERE i / u >= {PPJOIN_THRESHOLD}
     sql["token_counts"] = f"""
 SELECT doc_id,
        len({toks})::INT AS ws_tokens,
-       len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::INT AS bpe_tokens,
+       len(regexp_extract_all(text, {_sql_lit(BPE_TOKEN_RE)}))::INT AS bpe_tokens,
        length(text)::INT AS n_chars,
        round(length(text)::DOUBLE
-             / greatest(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')), 1)::DOUBLE,
+             / greatest(len(regexp_extract_all(text, {_sql_lit(BPE_TOKEN_RE)})), 1)::DOUBLE,
              6) AS chars_per_token
 FROM documents
 """

@@ -31,6 +31,18 @@ CORRUPT_COL = "_corrupt_record"
 # conflates with NULL (the marker-collision case inherent to CSV).
 CSV_NULL_MARKER = "\\N"
 
+# On-disk CSV landing format version (ADVICE r13: the \N markers were a
+# FORMAT CHANGE, not just a reader fix).
+#   v1 (pre-r13): NULL serialized as an empty field; empty-quoted
+#       fields read back as NULL (the conflation the markers fix).
+#   v2 (current): NULL writes \N, '' stays ''.
+# CSVs landed by the v1 writer — or external CSVs using the
+# empty-as-NULL convention — read DIFFERENTLY under the v2 reader:
+# their empty-quoted fields come back as '' instead of NULL. Re-read
+# such exports with read_documents(..., null_marker="") (the v1
+# convention), or re-land them.
+CSV_LANDING_FORMAT_VERSION = 2
+
 
 def _schema_with_quarantine() -> T.StructType:
     return T.StructType(
@@ -43,10 +55,14 @@ def read_documents(
     path: str,
     format: str = "parquet",
     keep_corrupt: bool = False,
+    null_marker: str = CSV_NULL_MARKER,
 ) -> DataFrame:
     """Read a documents table from ``path`` in ``format``
     (parquet | csv | json). Non-parquet reads enforce the DOCUMENTS
-    schema explicitly and quarantine malformed records."""
+    schema explicitly and quarantine malformed records.
+    ``null_marker`` selects the CSV NULL convention — the v2 landing
+    default is \\N; pass ``""`` for v1 / external empty-as-NULL
+    exports (see CSV_LANDING_FORMAT_VERSION)."""
     if format == "parquet":
         return spark.read.parquet(path)
     if format not in ("csv", "json"):
@@ -63,9 +79,10 @@ def read_documents(
             reader.option("header", "true")
             .option("multiLine", "true")
             .option("escape", '"')
-            .option("nullValue", CSV_NULL_MARKER)
-            .option("emptyValue", "")
+            .option("nullValue", null_marker)
         )
+        if null_marker:
+            reader = reader.option("emptyValue", "")
     df = reader.load(path)
     if keep_corrupt:
         return df

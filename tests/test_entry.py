@@ -279,12 +279,18 @@ def test_bench_covers_every_registered_query():
     assert len(BENCH_QUERIES) == len(QUERIES)  # no duplicates either
 
 
-def test_compare_oracle_rejects_unknown_query_names():
+def test_compare_oracle_rejects_unknown_query_names(tmp_path):
     """r13 review wave 5 (measurement-harness class): a typo'd name in
     the sweep filter previously matched nothing, printed '0 pass,
     0 fail' and exited 0 — a green receipt that verified NOTHING. The
     guard must fail fast (exit 2, before the JVM spins up); fails on
-    the pre-r13 code (exit 0)."""
+    the pre-r13 code (exit 0).
+
+    The sf dir is a tmp dir created here, NOT a fixture path (ADVICE
+    r13): the guard fires before any data read, and with a hardcoded
+    absent path the positional arg would fall through into the query
+    set and exit 2 for the WRONG reason, masking guard regressions on
+    machines without fixtures."""
     import os
     import subprocess
     import sys
@@ -294,7 +300,7 @@ def test_compare_oracle_rejects_unknown_query_names():
         [
             sys.executable,
             os.path.join(root, "tools", "compare_oracle.py"),
-            "/root/testdata/sf0.001",
+            str(tmp_path),
             "definitely_not_a_registered_query",
         ],
         capture_output=True,

@@ -124,6 +124,12 @@ def test_register_views_normalizes_events_timestamps(spark, sf_dir):
             == read_table(spark, sf_dir, "events").count()
         )
     finally:
-        for name in ("region nation customer supplier part orders "
-                     "lineitem events documents embeddings").split():
+        # iterate the schema registry, not a hardcoded list (ADVICE
+        # r13): a table added to the fixtures would otherwise leak a
+        # temp view into later tests in the same session
+        from pdf_using_hugging_face_and_vector_database_spark.schemas import (
+            TESTDATA_TABLES,
+        )
+
+        for name in TESTDATA_TABLES:
             spark.catalog.dropTempView(name)

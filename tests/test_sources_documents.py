@@ -69,3 +69,42 @@ def test_malformed_json_quarantines(spark, tmp_path):
         assert bad.count() == 1
     finally:
         kept.unpersist()
+
+
+def test_csv_v1_exports_read_back_with_empty_null_marker(spark, tmp_path):
+    """ADVICE r13: the \\N markers were an on-disk FORMAT change
+    (CSV_LANDING_FORMAT_VERSION 1 -> 2). In a v1 export NULL lands as
+    an UNQUOTED empty field and '' as a QUOTED one; the v1 reader
+    conflated both to NULL. Under the v2 default reader the
+    quoted-empty now reads back as '' — the documented drift for
+    previously landed exports — while ``null_marker=""`` restores the
+    exact v1 conflation for compatibility reads."""
+    df = spark.createDataFrame(
+        [
+            (1, "hello", "en", "web", 5),
+            (2, "", "en", "web", 0),
+            (3, None, "en", "web", None),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "v1_export")
+    # v1 writer: plain CSV, no markers — NULL -> empty unquoted,
+    # '' -> "" quoted
+    df.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(path)
+
+    v2_default = {
+        r["doc_id"]: r["text"]
+        for r in read_documents(spark, path, format="csv").collect()
+    }
+    # the drift the version note documents: v1's quoted-empty fields
+    # (read as NULL by the v1 reader) now come back as ''
+    assert v2_default == {1: "hello", 2: "", 3: None}
+    v1_compat = {
+        r["doc_id"]: r["text"]
+        for r in read_documents(
+            spark, path, format="csv", null_marker=""
+        ).collect()
+    }
+    assert v1_compat == {1: "hello", 2: None, 3: None}
