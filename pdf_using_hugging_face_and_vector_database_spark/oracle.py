@@ -1060,6 +1060,85 @@ SELECT 'global_agg', count(*)::BIGINT,
        coalesce(CAST(sum(value) AS VARCHAR), '<null>') FROM e0
 """
 
+    # NULL-bearing-keys adversarial row (r14, VERDICT r13 item 2):
+    # derive the SAME provably NULL-bearing keys from the same value
+    # classes, then recompute every contract in DuckDB's idiom with
+    # the placement EXPLICIT (ASC NULLS LAST / DESC NULLS FIRST — each
+    # the opposite of at least one engine's default). Digests are
+    # order-insensitive sums of 24-bit md5 ints over canonical row
+    # strings, NULL spelled NULLKEY_NULL_TAG.
+    from .queries import NULLKEY_CLASS, NULLKEY_NULL_TAG, NULLKEY_TS_MOD
+
+    _nk = _sql_lit(NULLKEY_NULL_TAG)
+
+    def _nkh(expr: str) -> str:
+        return f"CAST(sum({_h24(expr)}) AS BIGINT)"
+
+    sql["null_keys_contracts"] = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts,
+         nullif(event_type, {_sql_lit(NULLKEY_CLASS)}) AS k, event_type
+  FROM events),
+ranked_asc AS (
+  SELECT user_id, k, row_number() OVER (
+    PARTITION BY user_id ORDER BY k ASC NULLS LAST, event_id) AS rn
+  FROM ev),
+ranked_desc AS (
+  SELECT user_id, k, row_number() OVER (
+    PARTITION BY user_id ORDER BY k DESC NULLS FIRST, event_id) AS rn
+  FROM ev),
+dim AS (SELECT k AS kd, count(*) AS cnt FROM ev GROUP BY k),
+cd AS (
+  SELECT user_id, event_id, k, lag(k) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM ev),
+purchases AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % {NULLKEY_TS_MOD} = 0 THEN NULL ELSE ts END AS tsk
+  FROM ev WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts FROM ev WHERE event_type = {_sql_lit(NULLKEY_CLASS)}),
+asof_m AS (
+  SELECT p.event_id, p.tsk,
+         (SELECT max(c.ts) FROM clicks c
+           WHERE c.user_id = p.user_id AND c.ts <= p.tsk) AS match
+  FROM purchases p)
+SELECT 'window_rank_asc' AS kernel, count(*)::BIGINT AS n_rows,
+       {_nkh("user_id::VARCHAR || ':' || rn::VARCHAR || ':' || coalesce(k, " + _nk + ")")} AS digest,
+       count(*) FILTER (k IS NULL)::BIGINT AS nulls_touched
+FROM ranked_asc
+UNION ALL
+SELECT 'window_rank_desc', count(*)::BIGINT,
+       {_nkh("user_id::VARCHAR || ':' || rn::VARCHAR || ':' || coalesce(k, " + _nk + ")")},
+       count(*) FILTER (k IS NULL)::BIGINT
+FROM ranked_desc
+UNION ALL
+SELECT 'grouped_nulls', count(*)::BIGINT,
+       {_nkh("coalesce(kd, " + _nk + ") || ':' || cnt::VARCHAR")},
+       CAST(coalesce(sum(cnt) FILTER (kd IS NULL), 0) AS BIGINT)
+FROM dim
+UNION ALL
+SELECT 'join_drop', count(*)::BIGINT,
+       {_nkh("event_id::VARCHAR || ':' || cnt::VARCHAR")},
+       (SELECT count(*) FILTER (k IS NULL) FROM ev)::BIGINT
+FROM ev JOIN dim ON ev.k = dim.kd
+UNION ALL
+SELECT 'join_null_safe', count(*)::BIGINT,
+       {_nkh("event_id::VARCHAR || ':' || cnt::VARCHAR")},
+       count(*) FILTER (k IS NULL)::BIGINT
+FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.kd
+UNION ALL
+SELECT 'change_detect', count(*)::BIGINT,
+       {_nkh("user_id::VARCHAR || ':' || event_id::VARCHAR")},
+       count(*) FILTER (k IS NULL OR prev IS NULL)::BIGINT
+FROM cd WHERE k IS DISTINCT FROM prev
+UNION ALL
+SELECT 'asof_null_key', count(*)::BIGINT,
+       {_nkh("event_id::VARCHAR || ':' || coalesce(epoch_us(match::TIMESTAMP)::VARCHAR, " + _nk + ")")},
+       count(*) FILTER (tsk IS NULL)::BIGINT
+FROM asof_m
+"""
+
     # hostile-text adversarial row (r13, VERDICT r12 item 4): rebuild
     # the SAME augmented input from the same template constants, then
     # recompute every kernel in DuckDB's own idiom. Templates carry

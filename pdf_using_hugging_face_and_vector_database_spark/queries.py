@@ -546,6 +546,227 @@ def hostile_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- NULL-bearing-keys adversarial row (r14, VERDICT r13 item 2): the
+# fixtures are NULL-free, so the ledger's NULL family — Spark places
+# NULL sort keys FIRST on ascending order while DuckDB places them
+# LAST; `!=` change detection silently skips NULL transitions; NULL
+# join keys drop under `=` but match under null-safe equality — had
+# only pytest coverage. The row derives provably NULL-bearing keys
+# from measured value classes and pins an EXPLICIT placement contract
+# in both engines.
+NULLKEY_CLASS = "click"   # nullif'd event_type class (measured nonzero)
+NULLKEY_TS_MOD = 7        # event_id % 7 == 0 -> NULL as-of probe ts
+NULLKEY_NULL_TAG = "<null>"  # canonical NULL spelling inside digests
+
+
+def null_keys_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key contracts as one (kernel, n_rows, digest,
+    nulls_touched) row per kernel class, identically derivable in both
+    engines:
+
+    - ``window_rank_asc`` / ``window_rank_desc``: per-user row_number
+      over the nullable key with the placement PINNED — ASC NULLS
+      LAST / DESC NULLS FIRST in both engines (each is the opposite of
+      at least one engine's default, so the row certifies the explicit
+      contract, not a default).
+    - ``grouped_nulls``: GROUP BY collects NULL keys into ONE real
+      group in both engines.
+    - ``join_drop`` vs ``join_null_safe``: plain equality drops every
+      NULL-key row; null-safe equality (eqNullSafe / IS NOT DISTINCT
+      FROM) matches them to the NULL dim group — both counts and
+      digests certified.
+    - ``change_detect``: per-user transition count under IS DISTINCT
+      FROM lag(key) — counts NULL<->value transitions a naive ``!=``
+      silently skips (nulls_touched = the null-involved changes).
+    - ``asof_null_key``: the union+last_value as-of kernel with a
+      nullable probe time; NULL probe keys sort under the pinned
+      NULLS LAST contract and are masked to the no-match contract
+      (a NULL probe time matches nothing, as a comparison would
+      evaluate in SQL).
+
+    Every digest is an order-insensitive sum of 24-bit md5 ints over a
+    canonical row string (NULL spelled NULLKEY_NULL_TAG), so value
+    divergence — not just cardinality — turns the row red. The
+    discrimination pin measures the raw fixture is NULL-free, the
+    derived classes are non-empty, and each naive kernel variant
+    actually diverges."""
+    from .functions.hashing import md5_int
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.nullif(F.col("event_type"), F.lit(NULLKEY_CLASS)).alias("k"),
+            "event_type",
+        )
+    )
+    null_tag = F.lit(NULLKEY_NULL_TAG)
+
+    def _digest(*cols):
+        return F.sum(md5_int(F.concat_ws(":", *cols))).cast("long")
+
+    legs = []
+
+    # window placement contracts (asc nulls last / desc nulls first)
+    for name, order in (
+        ("window_rank_asc", [F.col("k").asc_nulls_last(), F.col("event_id")]),
+        ("window_rank_desc", [F.col("k").desc_nulls_first(), F.col("event_id")]),
+    ):
+        w = Window.partitionBy("user_id").orderBy(*order)
+        ranked = ev.select(
+            "user_id", "k", F.row_number().over(w).alias("rn")
+        )
+        legs.append(
+            ranked.agg(
+                F.lit(name).alias("kernel"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                _digest(
+                    F.col("user_id").cast("string"),
+                    F.col("rn").cast("string"),
+                    F.coalesce(F.col("k"), null_tag),
+                ).alias("digest"),
+                F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias(
+                    "nulls_touched"
+                ),
+            )
+        )
+
+    # GROUP BY: the NULL keys form one real group
+    dim = ev.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    legs.append(
+        dim.agg(
+            F.lit("grouped_nulls").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(
+                F.coalesce(F.col("k"), null_tag), F.col("cnt").cast("string")
+            ).alias("digest"),
+            F.sum(F.when(F.col("k").isNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("nulls_touched"),
+        )
+    )
+
+    # join contracts: = drops NULL keys, <=> matches them
+    null_count = ev.agg(
+        F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias(
+            "nulls_touched"
+        )
+    )
+    dimr = dim.select(F.col("k").alias("kd"), "cnt")
+    dropped = ev.select("event_id", "k").join(
+        dimr, ev["k"] == dimr["kd"], "inner"
+    )
+    legs.append(
+        dropped.agg(
+            F.lit("join_drop").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(
+                F.col("event_id").cast("string"), F.col("cnt").cast("string")
+            ).alias("digest"),
+        ).crossJoin(null_count)
+    )
+    safe = ev.select("event_id", "k").join(
+        dimr, ev["k"].eqNullSafe(dimr["kd"]), "inner"
+    )
+    legs.append(
+        safe.agg(
+            F.lit("join_null_safe").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(
+                F.col("event_id").cast("string"), F.col("cnt").cast("string")
+            ).alias("digest"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias(
+                "nulls_touched"
+            ),
+        )
+    )
+
+    # change detection: IS DISTINCT FROM lag(k), NULL transitions count
+    wcd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cd = ev.select(
+        "user_id", "event_id", "k", F.lag("k").over(wcd).alias("prev")
+    )
+    changes = cd.filter(~F.col("k").eqNullSafe(F.col("prev")))
+    legs.append(
+        changes.agg(
+            F.lit("change_detect").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(
+                F.col("user_id").cast("string"),
+                F.col("event_id").cast("string"),
+            ).alias("digest"),
+            F.count(
+                F.when(F.col("k").isNull() | F.col("prev").isNull(), 1)
+            )
+            .cast("long")
+            .alias("nulls_touched"),
+        )
+    )
+
+    # as-of with a nullable probe time: union + last_value(ignorenulls)
+    # under the pinned ASC NULLS LAST placement, then the no-match mask
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % NULLKEY_TS_MOD == 0, F.lit(None))
+        .otherwise(F.col("ts"))
+        .alias("tsk"),
+    )
+    clicks = ev.filter(F.col("event_type") == NULLKEY_CLASS).select(
+        "user_id", "ts"
+    )
+    tagged = purchases.withColumn(
+        "__click_ts", F.lit(None).cast("timestamp")
+    ).unionByName(
+        clicks.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            F.col("ts").alias("tsk"),
+            F.col("ts").alias("__click_ts"),
+        )
+    )
+    wa = (
+        Window.partitionBy("user_id")
+        # clicks (non-null __click_ts) sort before purchases at equal
+        # tsk -> same-instant clicks count as at-or-before; NULL-tsk
+        # probes sort LAST by the pinned contract and are masked below
+        .orderBy(F.col("tsk").asc_nulls_last(), F.col("__click_ts").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = tagged.withColumn(
+        "match", F.last("__click_ts", ignorenulls=True).over(wa)
+    ).filter(F.col("event_id").isNotNull())
+    asof = matched.select(
+        "event_id",
+        "tsk",
+        F.when(F.col("tsk").isNull(), F.lit(None))
+        .otherwise(F.col("match"))
+        .alias("match"),
+    )
+    legs.append(
+        asof.agg(
+            F.lit("asof_null_key").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(
+                F.col("event_id").cast("string"),
+                F.coalesce(
+                    F.unix_micros(F.col("match")).cast("string"), null_tag
+                ),
+            ).alias("digest"),
+            F.count(F.when(F.col("tsk").isNull(), 1)).cast("long").alias(
+                "nulls_touched"
+            ),
+        )
+    )
+
+    out = legs[0]
+    for p in legs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return corpus_rollup(docs)
@@ -5535,70 +5756,9 @@ def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within 3 rounds or receipt-certified in the round it slipped — the
 # NOTES ledger shows which.
 QUERIES = {
-    # --- round-13 front, as the r12 verdict item 1 prescribes: the
-    # five r9 rows the r12 front displaced (tri-scale receipts in
-    # NOTES_r12.md) take the FIRST slots ---
-    "lm_bigram_quality": lm_bigram_quality,
-    "funnel_conversion": funnel_conversion,
-    "retention_cohorts": retention_cohorts,
-    "scd2_customer_priority": scd2_customer_priority,
-    "anomaly_mad": anomaly_mad,
-    # --- new in round 13 (VERDICT r12 item 4): hostile text shapes —
-    # multi-space runs, tabs/newlines, punctuation-adjacent stopwords,
-    # multibyte UTF-8 — through the tokenize/stopword/BPE/ngram family
-    "hostile_text_tokens": hostile_text_tokens,
-    # --- new in round 13 (adversarial program, one class further):
-    # empty-relation contracts — 0-row inputs through per-doc kernels,
-    # gram explode, grouped/global/window/session aggregation
-    "empty_relation_contracts": empty_relation_contracts,
-    # --- changed in round 13 (VERDICT r12 item 5): ER blocking suffix
-    # widened 3 -> 4 chars — results identical (nation-only oracle
-    # proves no argmin changes), re-certified as a changed kernel ---
-    "entity_resolution": entity_resolution,
-    # --- driver-green round 10 (oldest-certified block; fills the
-    # round-13 front to exactly 50 after the rows above) ---
-    "outer_pit_join": outer_pit_join,
-    "stream_outer_interval_join": stream_outer_interval_join,
-    "equidepth_by_range": equidepth_by_range,
-    "semantic_dedup": semantic_dedup,
-    "large_order_customers": large_order_customers,
-    "top_supplier_revenue": top_supplier_revenue,
-    "returned_items_topk": returned_items_topk,
-    "rolling_revenue_7d": rolling_revenue_7d,
-    "gopher_quality": gopher_quality,
-    "crossdoc_spans": crossdoc_spans,
-    "mixture_sample": mixture_sample_q,
-    "hybrid_search_rrf": hybrid_search_rrf,
-    "q3_ann_binary_rerank": q3_ann_binary_rerank,
-    "dedup_incremental": dedup_incremental,
-    "stream_dedup_incremental": stream_dedup_incremental,
-    "q3_ann_quantized_rerank": q3_ann_quantized_rerank,
-    "curation_pipeline": curation_pipeline,
-    "stream_pdf_ingest": stream_pdf_ingest,
-    "q3_ann_build": q3_ann_build,
-    "q3_ann_ivf": q3_ann_ivf,
-    "q3_ann_lsh": q3_ann_lsh,
-    "neardup_embedding": neardup_embedding,
-    "merge_parts": merge_parts,
-    "top_unshipped_orders": top_unshipped_orders,
-    "local_supplier_volume": local_supplier_volume,
-    "top_parts_per_brand": top_parts_per_brand,
-    "customer_segments": customer_segments,
-    "events_hourly": events_hourly,
-    "stream_events_hourly": stream_events_hourly,
-    "stream_dedup_keys": stream_dedup_keys,
-    "rollup_pricing": rollup_pricing,
-    "grouping_sets_pricing": grouping_sets_pricing,
-    "above_avg_customers": above_avg_customers,
-    "semi_anti_customers": semi_anti_customers,
-    "salted_join_segments": salted_join_segments,
-    "asof_join_events": asof_join_events,
-    "pivot_order_status": pivot_order_status,
-    "sessionize_events": sessionize_events,
-    "distinct_parts_per_supplier": distinct_parts_per_supplier,
-    "pages_roundtrip": pages_roundtrip,
-    "upsert_compact": upsert_compact,
-    "upsert_bucketed": upsert_bucketed,
+    # --- round-14 front, as the r13 verdict item 1 prescribes: the
+    # EIGHT displaced r10-tail rows FIRST (tri-scale + harsh-config
+    # receipts in NOTES_r13.md; judge re-oracled 8/8) ---
     "setops_parts": setops_parts,
     "q6_revenue_band": q6_revenue_band,
     "orders_calendar": orders_calendar,
@@ -5607,8 +5767,13 @@ QUERIES = {
     "segment_dedup": segment_dedup,
     "rolling_distinct_users_sketch": rolling_distinct_users_sketch,
     "order_count_distribution": order_count_distribution,
-    # --- driver-green round 11 (newest certifications; after the
-    # r10 block in rotation order) ---
+    # --- new in round 14 (VERDICT r13 item 2): NULL-bearing keys —
+    # pinned NULLS placement through window/orderBy, NULL join keys
+    # under = vs null-safe equality, IS-DISTINCT-FROM change
+    # detection, as-of with a nullable probe time ---
+    "null_keys_contracts": null_keys_contracts,
+    # --- driver-green round 11 (oldest-certified block; fills the
+    # round-14 front to exactly 50 after the rows above) ---
     "scd2_null_transitions": scd2_null_transitions,
     "upsert_dup_versions": upsert_dup_versions,
     "right_outer_range_join": right_outer_range_join,
@@ -5650,6 +5815,10 @@ QUERIES = {
     "store_clustering": store_clustering,
     "supplier_pagerank": supplier_pagerank,
     "pit_priority_revenue": pit_priority_revenue,
+    # --- r11-certified rows past the 50-slot front: the first
+    # (mmr_diversified_topk) is the one row the new r14 slot displaced
+    # from the front — tri-scale receipt in NOTES_r14.md; it leads the
+    # round-15 front, followed by the rest of the r11 block ---
     "mmr_diversified_topk": mmr_diversified_topk,
     "stream_mv_refresh": stream_mv_refresh,
     "store_zorder": store_zorder,
@@ -5658,9 +5827,7 @@ QUERIES = {
     "heavy_hitters_events": heavy_hitters_events,
     "lineitem_skew_report": lineitem_skew_report,
     "value_histogram": value_histogram,
-    # --- driver-green round 12 (newest certifications: the two
-    # boundary-tie rows and the three displaced-r8 rows led the r12
-    # front; the 45 r9 rows below filled it) ---
+    # --- driver-green round 12 ---
     "pit_boundary_ties": pit_boundary_ties,
     "asof_boundary_ties": asof_boundary_ties,
     "impute_event_values": impute_event_values,
@@ -5711,6 +5878,59 @@ QUERIES = {
     "approx_distinct_parts": approx_distinct_parts,
     "tpch_q1_pricing": tpch_q1_pricing,
     "revenue_by_nation": revenue_by_nation,
+    # --- driver-green round 13 (newest certifications: the five
+    # slipped r9 rows, the two r13 adversarial rows and the changed
+    # ER row led the r13 front; the 42 r10-block rows filled it) ---
+    "lm_bigram_quality": lm_bigram_quality,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
+    "scd2_customer_priority": scd2_customer_priority,
+    "anomaly_mad": anomaly_mad,
+    "hostile_text_tokens": hostile_text_tokens,
+    "empty_relation_contracts": empty_relation_contracts,
+    "entity_resolution": entity_resolution,
+    "outer_pit_join": outer_pit_join,
+    "stream_outer_interval_join": stream_outer_interval_join,
+    "equidepth_by_range": equidepth_by_range,
+    "semantic_dedup": semantic_dedup,
+    "large_order_customers": large_order_customers,
+    "top_supplier_revenue": top_supplier_revenue,
+    "returned_items_topk": returned_items_topk,
+    "rolling_revenue_7d": rolling_revenue_7d,
+    "gopher_quality": gopher_quality,
+    "crossdoc_spans": crossdoc_spans,
+    "mixture_sample": mixture_sample_q,
+    "hybrid_search_rrf": hybrid_search_rrf,
+    "q3_ann_binary_rerank": q3_ann_binary_rerank,
+    "dedup_incremental": dedup_incremental,
+    "stream_dedup_incremental": stream_dedup_incremental,
+    "q3_ann_quantized_rerank": q3_ann_quantized_rerank,
+    "curation_pipeline": curation_pipeline,
+    "stream_pdf_ingest": stream_pdf_ingest,
+    "q3_ann_build": q3_ann_build,
+    "q3_ann_ivf": q3_ann_ivf,
+    "q3_ann_lsh": q3_ann_lsh,
+    "neardup_embedding": neardup_embedding,
+    "merge_parts": merge_parts,
+    "top_unshipped_orders": top_unshipped_orders,
+    "local_supplier_volume": local_supplier_volume,
+    "top_parts_per_brand": top_parts_per_brand,
+    "customer_segments": customer_segments,
+    "events_hourly": events_hourly,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_dedup_keys": stream_dedup_keys,
+    "rollup_pricing": rollup_pricing,
+    "grouping_sets_pricing": grouping_sets_pricing,
+    "above_avg_customers": above_avg_customers,
+    "semi_anti_customers": semi_anti_customers,
+    "salted_join_segments": salted_join_segments,
+    "asof_join_events": asof_join_events,
+    "pivot_order_status": pivot_order_status,
+    "sessionize_events": sessionize_events,
+    "distinct_parts_per_supplier": distinct_parts_per_supplier,
+    "pages_roundtrip": pages_roundtrip,
+    "upsert_compact": upsert_compact,
+    "upsert_bucketed": upsert_bucketed,
 }
 
 

@@ -1269,6 +1269,193 @@ def audit_rolling_distinct_users():
     check("rolling_distinct_users", got == want, f"{len(got)} (type, day) rows")
 
 
+# --- empty_relation_contracts: derive the 0-row contracts mechanically
+def audit_empty_contracts():
+    """ONE row with count 0 / NULL sum for a global aggregate vs ZERO
+    rows for grouped/session/window aggregation — derived from plain
+    list/dict mechanics over the (measured-empty) negative-key subsets,
+    not hardcoded."""
+    docs = [d for d in load("documents") if d["doc_id"] < 0]
+    events = [e for e in load("events") if e["user_id"] < 0]
+
+    def grams2(text):
+        tk = tokens(text)
+        return list(zip(tk, tk[1:]))
+
+    grouped = defaultdict(int)
+    for e in events:
+        grouped[e["event_type"]] += 1
+    sessions = defaultdict(list)
+    for e in events:
+        sessions[e["user_id"]].append(e["ts"])
+    vals = [e["value"] for e in events if e["value"] is not None]
+    total = sum(vals) if vals else None
+    got = {
+        "doc_stats": (len(docs), "<none>"),
+        "language_id": (len(docs), "<none>"),
+        "gram_explode": (sum(len(grams2(d["text"])) for d in docs), "<none>"),
+        "grouped_agg": (len(grouped), "<none>"),
+        "session_groups": (len(sessions), "<none>"),
+        # a window function emits one row per input row
+        "window_fn": (len(events), "<none>"),
+        "join_back": (len(docs), "<none>"),
+        # the global-aggregate contract: ALWAYS exactly one row
+        "global_agg": (len(events), "<null>" if total is None else str(total)),
+    }
+    want = {
+        r["kernel"]: (r["n_rows"], r["probe"])
+        for r in duck("empty_relation_contracts")
+    }
+    check("empty_relation_contracts", got == want, f"{len(got)} contracts")
+
+
+# --- null_keys_contracts: NULL-key semantics from list/dict mechanics -
+def audit_null_keys():
+    """Python's None-aware sorts/dicts are a genuinely third
+    implementation of the NULL contracts the r14 row pins: placement
+    is expressed as an explicit sort-key tuple (not an engine
+    default), IS DISTINCT FROM as an is-None-aware comparison, the
+    NULL join key as an explicit dict probe, the NULL as-of probe as
+    a no-match branch."""
+    import datetime as dt
+
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        NULLKEY_CLASS,
+        NULLKEY_NULL_TAG,
+        NULLKEY_TS_MOD,
+    )
+
+    events = load("events")
+    ev = [
+        {
+            "event_id": e["event_id"],
+            "user_id": e["user_id"],
+            "ts": e["ts"],
+            "k": None if e["event_type"] == NULLKEY_CLASS else e["event_type"],
+            "event_type": e["event_type"],
+        }
+        for e in events
+    ]
+    TAG = NULLKEY_NULL_TAG
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e["user_id"]].append(e)
+
+    got = {}
+
+    def rank_leg(name, order):
+        dig = 0
+        nulls = 0
+        for u, rows in per_user.items():
+            for rn, r in enumerate(order(rows), start=1):
+                k = r["k"] if r["k"] is not None else TAG
+                dig += md5_int(f"{u}:{rn}:{k}")
+                if r["k"] is None:
+                    nulls += 1
+        got[name] = (len(ev), dig, nulls)
+
+    # ASC NULLS LAST: non-null ascending, NULLs after everything
+    rank_leg(
+        "window_rank_asc",
+        lambda rows: sorted(
+            rows,
+            key=lambda r: (r["k"] is None, r["k"] or "", r["event_id"]),
+        ),
+    )
+
+    # DESC NULLS FIRST: stable two-pass — event_id asc, then k desc
+    # with NULLs pushed to the front
+    def desc_nulls_first(rows):
+        by_id = sorted(rows, key=lambda r: r["event_id"])
+        nulls = [r for r in by_id if r["k"] is None]
+        nonnull = sorted(
+            (r for r in by_id if r["k"] is not None),
+            key=lambda r: r["k"],
+            reverse=True,
+        )
+        return nulls + nonnull
+
+    rank_leg("window_rank_desc", desc_nulls_first)
+
+    cnt = defaultdict(int)
+    for e in ev:
+        cnt[e["k"]] += 1
+    got["grouped_nulls"] = (
+        len(cnt),
+        sum(
+            md5_int(f"{k if k is not None else TAG}:{c}")
+            for k, c in cnt.items()
+        ),
+        cnt.get(None, 0),
+    )
+
+    n_null = cnt.get(None, 0)
+    got["join_drop"] = (
+        len(ev) - n_null,
+        sum(
+            md5_int(f"{e['event_id']}:{cnt[e['k']]}")
+            for e in ev
+            if e["k"] is not None
+        ),
+        n_null,
+    )
+    got["join_null_safe"] = (
+        len(ev),
+        sum(md5_int(f"{e['event_id']}:{cnt[e['k']]}") for e in ev),
+        n_null,
+    )
+
+    def is_distinct(a, b):
+        if (a is None) != (b is None):
+            return True
+        return a is not None and a != b
+
+    n_chg = dig = nulls = 0
+    for u, rows in per_user.items():
+        prev = None
+        for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+            if is_distinct(r["k"], prev):
+                n_chg += 1
+                dig += md5_int(f"{u}:{r['event_id']}")
+                if r["k"] is None or prev is None:
+                    nulls += 1
+            prev = r["k"]
+    got["change_detect"] = (n_chg, dig, nulls)
+
+    clicks = defaultdict(list)
+    for e in ev:
+        if e["event_type"] == NULLKEY_CLASS:
+            clicks[e["user_id"]].append(e["ts"])
+    us = dt.timedelta(microseconds=1)
+    epoch0 = dt.datetime(1970, 1, 1)
+    n_p = dig = nulls = 0
+    for e in ev:
+        if e["event_type"] != "purchase":
+            continue
+        n_p += 1
+        tsk = None if e["event_id"] % NULLKEY_TS_MOD == 0 else e["ts"]
+        if tsk is None:
+            nulls += 1
+            match = None  # a NULL probe time matches nothing
+        else:
+            at_or_before = [c for c in clicks[e["user_id"]] if c <= tsk]
+            match = max(at_or_before) if at_or_before else None
+        m = (match - epoch0) // us if match is not None else None
+        dig += md5_int(f"{e['event_id']}:{m if m is not None else TAG}")
+    got["asof_null_key"] = (n_p, dig, nulls)
+
+    want = {
+        r["kernel"]: (r["n_rows"], r["digest"], r["nulls_touched"])
+        for r in duck("null_keys_contracts")
+    }
+    check(
+        "null_keys_contracts",
+        got == want,
+        f"{sum(v[0] for v in got.values())} leg rows, "
+        f"{got['grouped_nulls'][2]} null keys",
+    )
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -1300,5 +1487,8 @@ if __name__ == "__main__":
     audit_binary_rerank()
     audit_rolling_distinct_users()
     audit_hostile_text()
+    # wave 3 (round 14)
+    audit_empty_contracts()
+    audit_null_keys()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
