@@ -54,11 +54,28 @@ from pdf_using_hugging_face_and_vector_database_spark.session import get_spark
 from tools.scale_run import _min_of
 
 _ALPHA = "etaoinshr"  # high-frequency letters: translation perturbs most grams
+# second, disjoint high-frequency alphabet: composing two independent
+# rotations gives 9*9 = 81 DISTINCT translations (r14 review wave 7:
+# a single 9-letter rotation repeats every 9 reps, so rep 9/18/27 got
+# the IDENTITY map — at the shipped factors 10/20/50 whole replica
+# families were byte-identical to rep 0, the exact-duplicate blow-up
+# the translation scheme exists to prevent; the dedup/simhash match
+# counts inflated superlinearly and partly measured the replica
+# scheme. Pin: tests/test_scale_tools.py)
+_ALPHA2 = "ldcumwfgp"
 
 
 def _rep_translated_docs(spark, sf_dir: str, factor: int):
     """documents x factor with per-rep character translation (rep 0 =
-    identity) and rekeyed doc_id = doc_id * factor + rep."""
+    identity) and rekeyed doc_id = doc_id * factor + rep. The per-rep
+    map composes a rotation of _ALPHA (r mod 9) with a rotation of the
+    disjoint _ALPHA2 (r div 9): every rep in [0, 81) gets a distinct
+    translation and only rep 0 is the identity."""
+    if factor > len(_ALPHA) * len(_ALPHA2):
+        raise ValueError(
+            f"factor {factor} exceeds the {len(_ALPHA) * len(_ALPHA2)} "
+            "distinct per-rep translations — replicas would collide"
+        )
     docs = read_table(spark, sf_dir, "documents")
     reps = spark.range(factor).select(F.col("id").alias("rep"))
     text = F.col("text")
@@ -67,9 +84,13 @@ def _rep_translated_docs(spark, sf_dir: str, factor: int):
     # rep 0 falls through to the identity text.
     out_text = text
     for r in range(1, factor):
-        rot = _ALPHA[r % len(_ALPHA):] + _ALPHA[: r % len(_ALPHA)]
+        r1 = r % len(_ALPHA)
+        r2 = (r // len(_ALPHA)) % len(_ALPHA2)
+        rot1 = _ALPHA[r1:] + _ALPHA[:r1]
+        rot2 = _ALPHA2[r2:] + _ALPHA2[:r2]
         out_text = F.when(
-            F.col("rep") == r, F.translate(text, _ALPHA, rot)
+            F.col("rep") == r,
+            F.translate(F.translate(text, _ALPHA, rot1), _ALPHA2, rot2),
         ).otherwise(out_text)
     return docs.crossJoin(reps).select(
         (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),

@@ -169,10 +169,13 @@ def main() -> None:
     payload = {
         "sf_dir": sf_dir,
         "timed_region_note": (
-            "query build + noop-sink write, min-of-2, release_caches "
-            "outside the timed window; q3_ann_build removes the index "
-            "roots before every timed run so the cold BUILD is measured; "
-            "one untimed warm-up per query pays JIT + store builds"
+            "query build + noop-sink write, min-of-2; release_caches "
+            "runs in each timed run's preamble (millisecond bookkeeping, "
+            "uniform across factors — r14 wave-7 correction: this note "
+            "previously claimed it ran outside the window); q3_ann_build "
+            "removes the index roots before every timed run so the cold "
+            "BUILD is measured; one untimed warm-up per query pays JIT + "
+            "store builds"
         ),
         "pair_growth_note": (
             "simhash_pairs must grow ~linearly (translated replicas); "

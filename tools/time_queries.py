@@ -26,6 +26,14 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=3)
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
+    # fail fast on unregistered names BEFORE the JVM spins up (r14
+    # wave 7, the compare_oracle unknown-name precedent): a typo'd
+    # adjudication probe previously timed every name before it and
+    # then died mid-run on a KeyError
+    unknown = set(args.names) - set(QUERIES)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     spark = get_spark(app_name="time_queries")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     run_to_completion(QUERIES["q5_fetch_by_ids"](spark, args.sf))
