@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     # round 13
     "hostile_text_tokens",
     "empty_relation_contracts",
+    # round 14
+    "null_keys_contracts",
 ]
 
 
