@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "empty_relation_contracts",
     # round 14
     "null_keys_contracts",
+    "float_edge_contracts",
 ]
 
 

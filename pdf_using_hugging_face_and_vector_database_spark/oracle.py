@@ -1139,6 +1139,78 @@ SELECT 'asof_null_key', count(*)::BIGINT,
 FROM asof_m
 """
 
+    # float-edge adversarial row (r14): inject the SAME special values
+    # by the same event_id classes, recompute every contract in
+    # DuckDB's idiom. Specials stay internal — outputs are class
+    # digests and counts only. DuckDB agreements certified: NaN sorts
+    # greatest (after +Inf), NaN = NaN groups/joins as ONE key,
+    # -0.0 = +0.0 fold to one key, sum/avg/max go NaN with a NaN
+    # present while min is -Inf, and x/0.0 is NULL (the twin of
+    # Spark's ANSI try_divide) while x/NaN is NaN.
+    from .queries import FLOATEDGE_MOD
+
+    _fx = f"""CASE event_id % {FLOATEDGE_MOD}
+           WHEN 0 THEN 'nan'::DOUBLE
+           WHEN 1 THEN 'inf'::DOUBLE
+           WHEN 2 THEN '-inf'::DOUBLE
+           WHEN 3 THEN (-0.0)::DOUBLE
+           WHEN 4 THEN 0.0::DOUBLE
+           ELSE value END"""
+
+    def _fcls(c: str) -> str:
+        return (
+            f"CASE WHEN isnan({c}) THEN 'nan' "
+            f"WHEN {c} = 'inf'::DOUBLE THEN 'inf' "
+            f"WHEN {c} = '-inf'::DOUBLE THEN '-inf' ELSE 'fin' END"
+        )
+
+    _fspecial = "(isnan(x) OR x = 'inf'::DOUBLE OR x = '-inf'::DOUBLE)"
+
+    sql["float_edge_contracts"] = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, {_fx} AS x FROM events),
+ranked AS (
+  SELECT user_id, x, row_number() OVER (
+    PARTITION BY user_id ORDER BY x ASC, event_id) AS rn
+  FROM ev),
+grp AS (SELECT x, count(*) AS cnt FROM ev GROUP BY x),
+aggd AS (
+  SELECT event_type, sum(x) AS s, avg(x) AS a, max(x) AS mx, min(x) AS mn
+  FROM ev GROUP BY event_type),
+dim AS (
+  SELECT DISTINCT x AS xd FROM ev WHERE event_id % {FLOATEDGE_MOD} <= 4),
+divd AS (
+  SELECT event_id,
+         CASE WHEN x / (x - x) IS NULL THEN 'null'
+              WHEN isnan(x / (x - x)) THEN 'nan'
+              ELSE 'other' END AS qc
+  FROM ev)
+SELECT 'rank_total_order' AS kernel, count(*)::BIGINT AS n_rows,
+       {_nkh("user_id::VARCHAR || ':' || rn::VARCHAR || ':' || " + _fcls("x"))} AS digest,
+       count(*) FILTER ({_fspecial})::BIGINT AS specials_touched
+FROM ranked
+UNION ALL
+SELECT 'group_fold', count(*)::BIGINT,
+       {_nkh(_fcls("x") + " || ':' || cnt::VARCHAR")},
+       CAST(coalesce(sum(cnt) FILTER ({_fspecial}), 0) AS BIGINT)
+FROM grp
+UNION ALL
+SELECT 'agg_propagation', count(*)::BIGINT,
+       {_nkh("event_type || ':' || " + _fcls("s") + " || ':' || " + _fcls("a") + " || ':' || " + _fcls("mx") + " || ':' || " + _fcls("mn"))},
+       count(*) FILTER (isnan(s))::BIGINT
+FROM aggd
+UNION ALL
+SELECT 'join_special_keys', count(*)::BIGINT,
+       {_nkh("event_id::VARCHAR || ':' || " + _fcls("x"))},
+       count(*) FILTER ({_fspecial})::BIGINT
+FROM ev JOIN dim ON ev.x = dim.xd
+UNION ALL
+SELECT 'div_zero_null', count(*)::BIGINT,
+       {_nkh("event_id::VARCHAR || ':' || qc")},
+       count(*) FILTER (qc = 'nan')::BIGINT
+FROM divd
+"""
+
     # hostile-text adversarial row (r13, VERDICT r12 item 4): rebuild
     # the SAME augmented input from the same template constants, then
     # recompute every kernel in DuckDB's own idiom. Templates carry

@@ -767,6 +767,184 @@ def null_keys_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- float-edge adversarial row (r14, the adversarial program one
+# class further): the fixtures carry no NaN / ±Infinity / −0.0 (the
+# pin measures it), so the engines' special-value contracts — the
+# total sort order (−Inf < finite < +Inf < NaN), NaN folding to ONE
+# group/join key, ±0.0 folding to one key, NaN propagation through
+# sum/avg/max, and the divide-by-zero→NULL contract (Spark ANSI
+# try_divide ↔ DuckDB's /) — had zero oracle coverage. Specials are
+# INJECTED into events.value by event_id class, and every special
+# stays INTERNAL: output columns are class digests and counts, never
+# raw special floats (the driver's pandas-based comparator must never
+# see a NaN cell).
+FLOATEDGE_MOD = 11  # event_id % MOD: 0→NaN 1→+Inf 2→−Inf 3→−0.0 4→+0.0
+
+
+def float_edge_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special-float contracts as one (kernel, n_rows, digest,
+    specials_touched) row per kernel class, identically derivable in
+    both engines:
+
+    - ``rank_total_order``: per-user row_number over the injected
+      column — certifies the SHARED total order −Inf < finite < +Inf
+      < NaN (and −0.0/+0.0 ties broken by the id) position by
+      position.
+    - ``group_fold``: GROUP BY the value — all NaN rows form ONE
+      group and −0.0/+0.0 fold into ONE group in both engines (the
+      injected +0.0 class exists precisely so the fold is observable).
+    - ``agg_propagation``: per event_type, sum/avg/max go NaN when a
+      NaN is present while min is −Inf — classified, not emitted raw.
+    - ``join_special_keys``: joining ON the value matches NaN to NaN
+      and −0.0 to +0.0 (Spark normalizes NaN and −0.0 in keys; DuckDB
+      equality agrees).
+    - ``div_zero_null``: ``try_divide(x, x−x)`` — finite rows divide
+      by exact 0.0 and MUST yield NULL (the ANSI-safe contract,
+      matching DuckDB's x/0 → NULL), while NaN/Inf rows divide by NaN
+      and yield NaN — each result classified to 'null'/'nan'.
+
+    Digests are order-insensitive sums of 24-bit md5 ints over
+    canonical class strings, so a placement or folding divergence —
+    not just a count change — turns the row red. Discrimination pin:
+    tests/test_float_edges.py (the raw fixture is special-free; an
+    ``x = x`` NaN-dropping kernel and Python-naive NaN dict grouping
+    each diverge; the output schema carries no double column)."""
+    from .functions.hashing import md5_int
+
+    nan, inf, ninf = float("nan"), float("inf"), float("-inf")
+    m = F.col("event_id") % FLOATEDGE_MOD
+    x = (
+        F.when(m == 0, F.lit(nan))
+        .when(m == 1, F.lit(inf))
+        .when(m == 2, F.lit(ninf))
+        .when(m == 3, F.expr("CAST('-0.0' AS DOUBLE)"))
+        .when(m == 4, F.lit(0.0))
+        .otherwise(F.col("value"))
+    )
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", x.alias("x")
+    )
+
+    def cls(c):
+        return (
+            F.when(F.isnan(c), F.lit("nan"))
+            .when(c == F.lit(inf), F.lit("inf"))
+            .when(c == F.lit(ninf), F.lit("-inf"))
+            .otherwise(F.lit("fin"))
+        )
+
+    def _digest(*cols):
+        return F.sum(md5_int(F.concat_ws(":", *cols))).cast("long")
+
+    special = F.isnan(F.col("x")) | (F.col("x") == F.lit(inf)) | (
+        F.col("x") == F.lit(ninf)
+    )
+    legs = []
+
+    w = Window.partitionBy("user_id").orderBy(F.col("x").asc(), "event_id")
+    ranked = ev.select(
+        "user_id", "x", F.row_number().over(w).alias("rn")
+    )
+    legs.append(
+        ranked.agg(
+            F.lit("rank_total_order").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(
+                F.col("user_id").cast("string"),
+                F.col("rn").cast("string"),
+                cls(F.col("x")),
+            ).alias("digest"),
+            F.count(F.when(special, 1)).cast("long").alias(
+                "specials_touched"
+            ),
+        )
+    )
+
+    groups = ev.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    legs.append(
+        groups.agg(
+            F.lit("group_fold").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(cls(F.col("x")), F.col("cnt").cast("string")).alias(
+                "digest"
+            ),
+            F.sum(F.when(special, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("specials_touched"),
+        )
+    )
+
+    aggd = ev.groupBy("event_type").agg(
+        F.sum("x").alias("s"),
+        F.avg("x").alias("a"),
+        F.max("x").alias("mx"),
+        F.min("x").alias("mn"),
+    )
+    legs.append(
+        aggd.agg(
+            F.lit("agg_propagation").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(
+                F.col("event_type"),
+                cls(F.col("s")),
+                cls(F.col("a")),
+                cls(F.col("mx")),
+                cls(F.col("mn")),
+            ).alias("digest"),
+            F.count(F.when(F.isnan(F.col("s")), 1)).cast("long").alias(
+                "specials_touched"
+            ),
+        )
+    )
+
+    dim = (
+        ev.filter((F.col("event_id") % FLOATEDGE_MOD) <= 4)
+        .select(F.col("x").alias("xd"))
+        .distinct()
+    )
+    joined = ev.join(dim, ev["x"] == dim["xd"], "inner")
+    legs.append(
+        joined.agg(
+            F.lit("join_special_keys").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(
+                F.col("event_id").cast("string"), cls(F.col("x"))
+            ).alias("digest"),
+            F.count(F.when(special, 1)).cast("long").alias(
+                "specials_touched"
+            ),
+        )
+    )
+
+    divd = ev.select(
+        "event_id",
+        F.try_divide(F.col("x"), F.col("x") - F.col("x")).alias("q"),
+    ).select(
+        "event_id",
+        F.when(F.col("q").isNull(), F.lit("null"))
+        .when(F.isnan(F.col("q")), F.lit("nan"))
+        .otherwise(F.lit("other"))
+        .alias("qc"),
+    )
+    legs.append(
+        divd.agg(
+            F.lit("div_zero_null").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(F.col("event_id").cast("string"), F.col("qc")).alias(
+                "digest"
+            ),
+            F.count(F.when(F.col("qc") == "nan", 1)).cast("long").alias(
+                "specials_touched"
+            ),
+        )
+    )
+
+    out = legs[0]
+    for p in legs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return corpus_rollup(docs)
@@ -5772,6 +5950,10 @@ QUERIES = {
     # under = vs null-safe equality, IS-DISTINCT-FROM change
     # detection, as-of with a nullable probe time ---
     "null_keys_contracts": null_keys_contracts,
+    # --- new in round 14 (adversarial program, one class further):
+    # special floats — NaN/±Inf/−0.0 total order, group/join key
+    # folding, aggregate propagation, div-by-zero→NULL ---
+    "float_edge_contracts": float_edge_contracts,
     # --- driver-green round 11 (oldest-certified block; fills the
     # round-14 front to exactly 50 after the rows above) ---
     "scd2_null_transitions": scd2_null_transitions,
@@ -5814,11 +5996,12 @@ QUERIES = {
     "mv_incremental_refresh": mv_incremental_refresh,
     "store_clustering": store_clustering,
     "supplier_pagerank": supplier_pagerank,
+    # --- r11-certified rows past the 50-slot front: the first two
+    # (pit_priority_revenue, mmr_diversified_topk) are the rows the
+    # two new r14 slots displaced from the front — per-row tri-scale +
+    # harsh-config receipts in NOTES_r14.md; they lead the round-15
+    # front, followed by the rest of the r11 block ---
     "pit_priority_revenue": pit_priority_revenue,
-    # --- r11-certified rows past the 50-slot front: the first
-    # (mmr_diversified_topk) is the one row the new r14 slot displaced
-    # from the front — tri-scale receipt in NOTES_r14.md; it leads the
-    # round-15 front, followed by the rest of the r11 block ---
     "mmr_diversified_topk": mmr_diversified_topk,
     "stream_mv_refresh": stream_mv_refresh,
     "store_zorder": store_zorder,

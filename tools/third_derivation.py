@@ -1456,6 +1456,118 @@ def audit_null_keys():
     )
 
 
+# --- float_edge_contracts: special-float semantics from explicit
+# Python branches (IEEE Python disagrees with SQL on NaN equality and
+# sorting, so the contracts are expressed as explicit key functions —
+# a genuinely third formulation, not a replay)
+def audit_float_edges():
+    import math as _m
+
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        FLOATEDGE_MOD,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    specials = [nan, inf, -inf, -0.0, 0.0]
+    events = load("events")
+    rows = []
+    for e in events:
+        k = e["event_id"] % FLOATEDGE_MOD
+        rows.append(
+            {
+                "event_id": e["event_id"],
+                "user_id": e["user_id"],
+                "event_type": e["event_type"],
+                "x": specials[k] if k <= 4 else float(e["value"]),
+            }
+        )
+
+    def cls(v):
+        if _m.isnan(v):
+            return "nan"
+        if v == inf:
+            return "inf"
+        if v == -inf:
+            return "-inf"
+        return "fin"
+
+    def key(v):
+        # the engines' SQL total order and key folding made explicit:
+        # NaN is ONE key sorting greatest; -0.0 + 0.0 folds the zeros
+        return (1, 0.0) if _m.isnan(v) else (0, v + 0.0)
+
+    got = {}
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    dig = nspec = 0
+    for u, rs in per_user.items():
+        for rn, r in enumerate(
+            sorted(rs, key=lambda r: (key(r["x"]), r["event_id"])), start=1
+        ):
+            dig += md5_int(f"{u}:{rn}:{cls(r['x'])}")
+            if cls(r["x"]) != "fin":
+                nspec += 1
+    got["rank_total_order"] = (len(rows), dig, nspec)
+
+    cnt = defaultdict(int)
+    rep = {}
+    for r in rows:
+        cnt[key(r["x"])] += 1
+        rep[key(r["x"])] = r["x"]
+    got["group_fold"] = (
+        len(cnt),
+        sum(md5_int(f"{cls(rep[k])}:{c}") for k, c in cnt.items()),
+        sum(c for k, c in cnt.items() if cls(rep[k]) != "fin"),
+    )
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r["x"])
+    dig = nspec = 0
+    for t, xs in by_type.items():
+        s = 0.0
+        for v in xs:
+            s += v
+        a = s / len(xs)
+        mx = max(xs, key=key)
+        mn = min(xs, key=key)
+        dig += md5_int(f"{t}:{cls(s)}:{cls(a)}:{cls(mx)}:{cls(mn)}")
+        if _m.isnan(s):
+            nspec += 1
+    got["agg_propagation"] = (len(by_type), dig, nspec)
+
+    dim = {key(r["x"]) for r in rows if r["event_id"] % FLOATEDGE_MOD <= 4}
+    joined = [r for r in rows if key(r["x"]) in dim]
+    got["join_special_keys"] = (
+        len(joined),
+        sum(md5_int(f"{r['event_id']}:{cls(r['x'])}") for r in joined),
+        sum(1 for r in joined if cls(r["x"]) != "fin"),
+    )
+
+    dig = nspec = 0
+    for r in rows:
+        den = r["x"] - r["x"]
+        if den == 0.0:
+            qc = "null"  # divide-by-exact-zero -> NULL in both engines
+        else:
+            qc = "nan" if _m.isnan(r["x"] / den) else "other"
+            nspec += 1 if qc == "nan" else 0
+        dig += md5_int(f"{r['event_id']}:{qc}")
+    got["div_zero_null"] = (len(rows), dig, nspec)
+
+    want = {
+        r["kernel"]: (r["n_rows"], r["digest"], r["specials_touched"])
+        for r in duck("float_edge_contracts")
+    }
+    check(
+        "float_edge_contracts",
+        got == want,
+        f"{got['rank_total_order'][2]} special rows, "
+        f"{got['group_fold'][0]} fold keys",
+    )
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -1490,5 +1602,6 @@ if __name__ == "__main__":
     # wave 3 (round 14)
     audit_empty_contracts()
     audit_null_keys()
+    audit_float_edges()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
