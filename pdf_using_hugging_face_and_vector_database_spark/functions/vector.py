@@ -29,8 +29,20 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """cos(a, b) = a·b / (‖a‖‖b‖)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """cos(a, b) = a·b / (‖a‖‖b‖).
+
+    try_divide, not ``/`` (r14 review wave 8): Spark 4 runs ANSI by
+    default in BOTH the engine session and the driver's vanilla one,
+    so a single zero-norm vector (an empty doc through a mean-pooled
+    encoder) turned every cosine query into a DIVIDE_BY_ZERO crash.
+    try_divide yields NULL on a zero denominator — exactly DuckDB's
+    ``/`` contract, so the oracle twin agrees — and NULL scores sort
+    LAST under both engines' descending defaults, so a degenerate
+    vector ranks below every real one instead of killing the query.
+    For non-zero denominators the division is the identical IEEE op.
+    Pin: tests/test_vector.py::test_cosine_zero_vector_is_null_not_error.
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def l2_normalize(a: Column | str) -> Column:

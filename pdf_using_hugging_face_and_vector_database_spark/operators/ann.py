@@ -460,12 +460,19 @@ class BrpLshIndex:
     def _to_vector(df: DataFrame, vec_col: str) -> DataFrame:
         from pyspark.ml.functions import array_to_vector
 
-        # normalize first: unit sphere makes L2-LSH order cosine order
-        norm = F.sqrt(
-            F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+        from ..functions.vector import l2_normalize
+
+        # normalize first: unit sphere makes L2-LSH order cosine order.
+        # Through the SHARED l2_normalize (r14 review wave 8): the
+        # previous inline rebuild lacked its zero-vector guard, so one
+        # all-zero embedding crashed the whole fit under an ANSI
+        # session (DIVIDE_BY_ZERO) and produced NULL features under a
+        # non-ANSI one — the exact class the r12 l2_normalize fix
+        # closed everywhere else. Identical IEEE fold for non-zero
+        # vectors, so buckets are bit-identical.
+        return df.withColumn(
+            "__features", array_to_vector(l2_normalize(vec_col))
         )
-        unit = F.transform(vec_col, lambda x: x.cast("double") / norm)
-        return df.withColumn("__features", array_to_vector(unit))
 
     def fit(self, df: DataFrame, vec_col: str = "embedding") -> "BrpLshIndex":
         from pyspark.ml.feature import BucketedRandomProjectionLSH
@@ -494,7 +501,11 @@ class BrpLshIndex:
         from pyspark.ml.linalg import Vectors
 
         v = np.asarray(vec, dtype="float64")
-        v = v / np.linalg.norm(v)
+        n = float(np.linalg.norm(v))
+        # zero query vector stays zero (the l2_normalize contract) —
+        # numpy's v/0.0 would hand MLlib an all-NaN probe vector
+        if n:
+            v = v / n
         res = self.model.approxNearestNeighbors(self._fitted_df, Vectors.dense(v), k)
         return res.drop("__features", "__hashes")
 

@@ -301,23 +301,34 @@ def mmr_select(
             break
         best = None
         for cid, simq in remaining.items():
-            pen = max(
-                (sim.get((cid, s[1]), 0.0) for s in selected), default=0.0
-            )
-            mmr = round9(lam * simq - one_m * pen)
-            if mmr != mmr:
-                # NaN score: every comparison against NaN is False, so
-                # a NaN seen first would stick as `best` in iteration
-                # order — nondeterministic. Spark orderBy sorts NaN
-                # last/greatest; skipping matches "never preferred over
-                # any finite score". Two ingress routes land here: a
-                # NaN simq (degenerate zero query/candidate vector) AND
-                # a NaN pairwise penalty from `sim` — the latter makes
-                # the candidate unselectable in THIS and every later
-                # round (the same NaN recomputes each pass), which is
-                # the intended fate for a vector whose similarity to a
-                # selected item is undefined.
+            # Undefined similarity makes the candidate unselectable —
+            # DETERMINISTICALLY (r14 wave 8): a zero-norm vector now
+            # yields NULL cosine (functions/vector.cosine try_divide),
+            # which reaches this loop as None — the old
+            # ``max(gen, default=0.0)`` fold crashed on None and was
+            # order-dependent on NaN (Python's max keeps the first
+            # maximal element, so a NaN could be masked by a later
+            # finite value). The explicit scan gives NaN/None one
+            # fate: skip in THIS and every later round — matching
+            # "never preferred over any finite score" (Spark sorts
+            # NULL/NaN last under descending order).
+            if simq is None or simq != simq:
                 continue
+            # pen = max over selected (may be NEGATIVE — the 0.0
+            # default applies only to an empty selection, exactly the
+            # old max(..., default=0.0) semantics the oracle replays)
+            pen = None
+            undefined = False
+            for s in selected:
+                v = sim.get((cid, s[1]), 0.0)
+                if v is None or v != v:
+                    undefined = True
+                    break
+                if pen is None or v > pen:
+                    pen = v
+            if undefined:
+                continue
+            mmr = round9(lam * simq - one_m * (0.0 if pen is None else pen))
             key = (-mmr, cid)
             if best is None or key < best[0]:
                 best = (key, cid, simq)

@@ -492,3 +492,28 @@ def test_ivf_fit_unpersists_on_midloop_failure(spark, monkeypatch):
     with pytest.raises(RuntimeError, match="mid-loop"):
         ann.IvfIndex(k=2, iters=2, dim=8).fit(df)
     assert not df.storageLevel.useMemory and not df.storageLevel.useDisk
+
+
+def test_brp_lsh_survives_zero_vector(spark):
+    """r14 review wave 8: the LSH feature normalize previously rebuilt
+    l2_normalize inline WITHOUT its zero-vector guard — one all-zero
+    embedding (an empty doc through a mean-pooled encoder) crashed the
+    whole fit under an ANSI session (DIVIDE_BY_ZERO) and produced NULL
+    features under a non-ANSI one. Routed through the shared
+    l2_normalize: the zero vector stays zero, fit/join/query all
+    complete, and non-zero rows keep their exact buckets. Fails on the
+    old code."""
+    import math
+
+    rows = [(0, [0.0] * 8)] + [
+        (i, [math.cos(i * j + j) for j in range(8)]) for i in range(1, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = BrpLshIndex(bucket_length=1.0, num_hash_tables=2).fit(df)
+    pairs = idx.similarity_self_join(max_cos_dist=0.6).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    got = idx.query([1.0] + [0.0] * 7, k=3).collect()
+    assert len(got) == 3
+    # a zero QUERY vector must not poison the probe either
+    got0 = idx.query([0.0] * 8, k=2).collect()
+    assert len(got0) == 2

@@ -277,3 +277,64 @@ def test_normalize_expr_zero_vector_stays_zero(spark):
     out = {r.vid: r.nv for r in df.select("vid", normalize_expr(F.col("v")).alias("nv")).collect()}
     assert out[1] == [0.0, 0.0]
     assert out[2] == [0.6, 0.8]
+
+
+def test_cosine_zero_vector_is_null_not_error(spark):
+    """r14 review wave 8: Spark 4 runs ANSI by default in BOTH session
+    shapes, so cosine's plain division turned one zero-norm vector
+    into a DIVIDE_BY_ZERO crash for the whole query. try_divide yields
+    NULL — DuckDB's / contract — and NULL sorts below every real score
+    under descending order. Fails on the old kernel (crash)."""
+    from pyspark.sql import functions as F
+
+    from pdf_using_hugging_face_and_vector_database_spark.functions.vector import (
+        cosine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [4.0, 3.0])],
+        "vid int, v array<double>",
+    )
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    scored = df.select("vid", cosine(F.col("v"), q).alias("s"))
+    rows = {r.vid: r.s for r in scored.collect()}
+    assert rows[1] is None
+    assert abs(rows[2] - 0.6) < 1e-12 and abs(rows[3] - 0.8) < 1e-12
+    ordered = [r.vid for r in scored.orderBy(F.desc("s"), "vid").collect()]
+    assert ordered == [3, 2, 1]  # NULL ranks last under DESC
+
+
+def test_mmr_select_skips_zero_vector_candidate(spark):
+    """r14 review wave 8: a zero-norm pool vector now reaches
+    mmr_select as a NULL simq / NULL pairwise sim; the greedy loop
+    must skip it deterministically instead of crashing on None
+    arithmetic (old code: TypeError in the max() fold). Finite
+    candidates keep their exact ranks."""
+    from pyspark.sql import functions as F
+
+    from pdf_using_hugging_face_and_vector_database_spark.functions.vector import (
+        cosine,
+    )
+    from pdf_using_hugging_face_and_vector_database_spark.operators.search import (
+        mmr_select,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.0]),  # degenerate: NULL simq + NULL pairs
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = F.array(*[F.lit(x) for x in (1.0, 0.0, 0.0)])
+    cand = df.select(
+        "vec_id",
+        "embedding",
+        F.round(cosine(F.col("embedding"), q), 9).alias("simq"),
+    )
+    picked = mmr_select(cand, k=4, lam=0.7)
+    ids = [t[1] for t in picked]
+    assert 4 not in ids  # the zero vector is unselectable
+    assert len(ids) == 3 and ids[0] == 1  # finite ranking intact
