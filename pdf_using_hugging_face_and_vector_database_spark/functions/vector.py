@@ -52,11 +52,14 @@ def l2_normalize(a: Column | str) -> Column:
     order is cosine order — this is the precondition for the ANN path
     (SURVEY.md §2.4 Q3).
 
-    The zero vector maps to the zero vector (r12 review): Spark's
-    non-ANSI x/0.0 is NULL, so normalizing an all-zero embedding
-    silently produced an all-NULL array that poisons every downstream
-    dot/LSH hash — and DuckDB's x/0.0 is inf, so the two engines
-    would not even diverge the same way. A zero embedding is a real
+    The zero vector maps to the zero vector (r12 review): under ANSI
+    (the Spark 4 default in both session shapes) an unguarded x/0.0
+    here is a query-killing DIVIDE_BY_ZERO, and under non-ANSI it is
+    NULL — an all-NULL array that poisons every downstream dot/LSH
+    hash. DuckDB 1.0.0's float x/0.0 yields NULL (the try_divide
+    contract; see cosine above — measured r14, not inf as this
+    docstring once claimed), so without the guard the oracle twin
+    would carry NULL components too. A zero embedding is a real
     upstream failure mode (an empty doc through a mean-pooled
     encoder); keeping it at zero makes cosine against it NULL-free
     and deterministic in both engines.

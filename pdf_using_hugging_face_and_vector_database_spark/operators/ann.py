@@ -448,7 +448,15 @@ def append_ivf_index(
 
 
 class BrpLshIndex:
-    """Batch-built LSH index over an embedding column (MLlib-backed)."""
+    """Batch-built LSH index over an embedding column (MLlib-backed).
+
+    Reserved working-column names (r15 ADVICE): "__features" and
+    "__hashes" (MLlib input/output, dropped from join results) and
+    "__brp_norm" (the per-row guarded norm `_to_vector` materializes
+    and drops). Caller DataFrames carrying any of these names would be
+    overwritten; the `__`-prefixed spellings keep collision odds
+    negligible for real schemas.
+    """
 
     def __init__(self, bucket_length: float = 0.5, num_hash_tables: int = 3):
         self.bucket_length = bucket_length
@@ -480,17 +488,18 @@ class BrpLshIndex:
         norm = l2_norm(vec_col)
         return (
             df.withColumn(
-                "__norm", F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+                "__brp_norm", F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
             )
             .withColumn(
                 "__features",
                 array_to_vector(
                     F.transform(
-                        vec_col, lambda x: x.cast("double") / F.col("__norm")
+                        vec_col,
+                        lambda x: x.cast("double") / F.col("__brp_norm"),
                     )
                 ),
             )
-            .drop("__norm")
+            .drop("__brp_norm")
         )
 
     def fit(self, df: DataFrame, vec_col: str = "embedding") -> "BrpLshIndex":

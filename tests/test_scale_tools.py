@@ -83,4 +83,7 @@ def test_time_queries_rejects_unknown_query_names(tmp_path):
         timeout=600,
     )
     assert proc.returncode == 2, proc.stdout + proc.stderr
-    assert "unknown query name" in proc.stdout
+    # r15 ADVICE: the error goes to stderr so receipt files (stdout
+    # redirects) never ingest it, and stays visible on the terminal
+    assert "unknown query name" in proc.stderr
+    assert "unknown query name" not in proc.stdout

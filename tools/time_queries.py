@@ -32,7 +32,13 @@ def main() -> None:
     # then died mid-run on a KeyError
     unknown = set(args.names) - set(QUERIES)
     if unknown:
-        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        # stderr (r15 ADVICE): stdout carries the timing lines scripted
+        # consumers parse, and is often redirected to a receipt file —
+        # the error must stay visible and out of the data stream
+        print(
+            f"ERROR: unknown query name(s): {sorted(unknown)}",
+            file=sys.stderr,
+        )
         sys.exit(2)
     spark = get_spark(app_name="time_queries")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
