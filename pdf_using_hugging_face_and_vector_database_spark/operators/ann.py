@@ -452,8 +452,8 @@ class BrpLshIndex:
 
     Reserved working-column names (r15 ADVICE): "__features" and
     "__hashes" (MLlib input/output, dropped from join results) and
-    "__brp_norm" (the per-row guarded norm `_to_vector` materializes
-    and drops). Caller DataFrames carrying any of these names would be
+    "__brp_raw" (the unnormalized vector `_to_vector` materializes and
+    drops). Caller DataFrames carrying any of these names would be
     overwritten; the `__`-prefixed spellings keep collision odds
     negligible for real schemas.
     """
@@ -466,41 +466,43 @@ class BrpLshIndex:
 
     @staticmethod
     def _to_vector(df: DataFrame, vec_col: str) -> DataFrame:
+        from pyspark.ml.feature import Normalizer
         from pyspark.ml.functions import array_to_vector
 
-        from ..functions.vector import l2_norm
-
         # normalize first: unit sphere makes L2-LSH order cosine order.
-        # ZERO-GUARDED (r14 review wave 8): the previous inline rebuild
-        # lacked l2_normalize's zero-vector guard, so one all-zero
-        # embedding crashed the whole fit under an ANSI session
-        # (DIVIDE_BY_ZERO — the Spark 4 default in BOTH session shapes)
-        # and produced NULL features under a non-ANSI one. The guarded
-        # norm is materialized as a PER-ROW column first: array
-        # higher-order functions are interpreted (CodegenFallback), so
-        # an expression-level guard re-evaluates the O(dim) norm
-        # aggregate per ELEMENT — O(dim^2)/row, measured 2x on the
-        # q3_ann_lsh bench row — while the column form pays it once per
-        # row (cheaper than even the original unguarded inline form).
-        # Zero vector -> divides by the 1.0 sentinel -> stays the zero
-        # vector, exactly the l2_normalize contract; non-zero rows are
-        # the identical IEEE division, so buckets are bit-identical.
-        norm = l2_norm(vec_col)
-        return (
-            df.withColumn(
-                "__brp_norm", F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
-            )
-            .withColumn(
-                "__features",
-                array_to_vector(
-                    F.transform(
-                        vec_col,
-                        lambda x: x.cast("double") / F.col("__brp_norm"),
-                    )
-                ),
-            )
-            .drop("__brp_norm")
-        )
+        # MLlib Normalizer, not a SQL higher-order function (r15 LSH
+        # WATCH root cause): every SQL formulation of the guarded
+        # normalize is interpreted (CodegenFallback), and materializing
+        # the norm as a helper column does NOT keep it per-row —
+        # CollapseProject inlines a once-referenced alias straight into
+        # the consuming transform lambda, so the r14 "per-row column"
+        # guard actually re-evaluated the O(dim) norm aggregate per
+        # ELEMENT, twice (CASE condition + ELSE branch): O(2·dim²)/row.
+        # That one projection was the whole q3_ann_lsh/q3_ann_lsh_join
+        # bench elevation (~+1.2 s each at sf0.1 — the one-time
+        # materialization of the fitted corpus; optimized-plan receipt
+        # in NOTES_r15.md). Normalizer runs one JVM pass per row with
+        # no lambda interpretation: measured 0.11 s vs 1.66 s (shipped
+        # r14) vs 0.52 s (pre-guard r13) for the normalize+noop-write
+        # at sf0.1. Plan pin: tests/test_plans.py asserts no aggregate
+        # HOF survives in the fitted-features plan.
+        #
+        # Contract (verified, tests/test_search.py): Normalizer returns
+        # a ZERO vector unchanged — exactly the l2_normalize zero-guard
+        # (an empty doc through a mean-pooled encoder must not kill the
+        # fit under ANSI) — and NaN components stay NaN. array_to_vector
+        # widens float components to double exactly as the previous
+        # x.cast("double") did. Normalizer scales by multiplying with
+        # the reciprocal norm, so components can differ from the
+        # division form in the last ulp; bucket boundaries for
+        # knife-edge values may shift, which the gates tolerate by
+        # design (distances are recomputed from the RAW embedding and
+        # the id set is already projection-dependent).
+        raw = df.withColumn("__brp_raw", array_to_vector(vec_col))
+        unit = Normalizer(
+            inputCol="__brp_raw", outputCol="__features", p=2.0
+        ).transform(raw)
+        return unit.drop("__brp_raw")
 
     def fit(self, df: DataFrame, vec_col: str = "embedding") -> "BrpLshIndex":
         from pyspark.ml.feature import BucketedRandomProjectionLSH

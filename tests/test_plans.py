@@ -549,3 +549,28 @@ def test_right_outer_range_join_plan_shape(spark, sf_dir):
     # the matched base is inner, not leftouter (the right variant's
     # cost advantage over full: no null-extension probe on the left)
     assert "leftouter" not in low.replace(" ", ""), plan
+
+
+def test_lsh_fitted_features_have_no_interpreted_norm(spark, sf_dir):
+    """r15 LSH WATCH root cause: the r14 zero-guard materialized the
+    norm as a helper column, but CollapseProject inlines a
+    once-referenced alias into the consuming transform lambda — the
+    optimized plan carried the O(dim) norm aggregate INSIDE the
+    per-element lambda, evaluated twice (CASE condition + ELSE), i.e.
+    O(2*dim^2) per row. That single projection was the entire
+    q3_ann_lsh / q3_ann_lsh_join bench elevation (~+1.2 s each at
+    sf0.1). The normalize now runs through MLlib's Normalizer (one
+    JVM pass per row, no SQL lambda); this pin asserts no aggregate
+    higher-order function survives anywhere in the fitted-features
+    plan. Fails on the r14 code (inlined CASE WHEN ... aggregate(...)
+    inside transform) AND on the r13 code (unguarded inline norm,
+    same O(dim^2) shape)."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.ann import (
+        BrpLshIndex,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    feat = BrpLshIndex._to_vector(emb, "embedding")
+    optimized = feat._jdf.queryExecution().optimizedPlan().toString()
+    assert "aggregate(" not in optimized, optimized[:2000]
+    assert "CASE WHEN" not in optimized, optimized[:2000]
