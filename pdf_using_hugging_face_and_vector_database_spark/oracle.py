@@ -1211,6 +1211,115 @@ SELECT 'div_zero_null', count(*)::BIGINT,
 FROM divd
 """
 
+    # overflow/precision adversarial row (r15, VERDICT r14 item 2):
+    # rebuild the SAME injected near-boundary classes from the same
+    # constants, then recompute every contract in DuckDB's idiom —
+    # HUGEINT is the exact wide type (every injected sum/product fits
+    # in 127 bits), so try_sum/try_multiply NULL-on-overflow is an
+    # explicit BETWEEN range CASE, the decimal-routed legs are HUGEINT
+    # arithmetic rendered as the same plain-integer strings, and
+    # trunc-toward-zero is spelled trunc()+cast because DuckDB's bare
+    # DOUBLE->BIGINT cast ROUNDS half-to-even while its DECIMAL cast
+    # rounds half-away (two behaviors in one engine; Spark's ANSI cast
+    # truncates — all measured in tests/test_overflow_edges.py).
+    from .queries import (
+        OVFL_BIGMAX,
+        OVFL_CLASS_MOD,
+        OVFL_GROUP_CUT,
+        OVFL_GROUP_MOD,
+        OVFL_JITTER_MOD,
+        OVFL_NULL_TAG,
+    )
+
+    _ot = _sql_lit(OVFL_NULL_TAG)
+    _opos = (
+        f"(event_id % {OVFL_CLASS_MOD} = 0 AND "
+        f"event_id % {OVFL_GROUP_MOD} < {OVFL_GROUP_CUT})"
+    )
+    _orange = f"BETWEEN -{OVFL_BIGMAX} - 1 AND {OVFL_BIGMAX}"
+
+    def _oh(expr: str) -> str:
+        return f"CAST(sum({_h24(expr)}) AS BIGINT)"
+
+    sql["overflow_precision_contracts"] = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+    CASE WHEN {_opos}
+         THEN {OVFL_BIGMAX} - (event_id % {OVFL_JITTER_MOD})
+         ELSE event_id * 1000 + 7 END AS big_pos,
+    CASE WHEN {_opos}
+         THEN {OVFL_BIGMAX} - (event_id % {OVFL_JITTER_MOD})
+         WHEN event_id % {OVFL_CLASS_MOD} = 1
+         THEN -{OVFL_BIGMAX} + (event_id % {OVFL_JITTER_MOD})
+         ELSE event_id * 1000 + 7 END AS big_mix,
+    CASE WHEN event_id % {OVFL_CLASS_MOD} = 2
+         THEN 1.0e10 + event_id::DOUBLE
+         ELSE event_id::DOUBLE END AS d_big,
+    (event_id - 500)::DOUBLE + (event_id % 4)::DOUBLE * 0.25 AS d_frac,
+    (event_id % 2000 - 1000)::VARCHAR || '.' ||
+      lpad((event_id % 100)::VARCHAR, 2, '0') || '50' AS dec_str,
+    {_opos} AS is_pos,
+    (event_id % {OVFL_CLASS_MOD} = 1) AS is_neg,
+    (event_id % 4 = 2) AS is_tie
+  FROM events),
+sdec AS (
+  SELECT event_type, sum(CAST(big_mix AS HUGEINT)) AS s,
+         count(*) FILTER (is_pos OR is_neg) AS nb
+  FROM ev GROUP BY event_type),
+tsum AS (
+  SELECT event_id % {OVFL_GROUP_MOD} AS g,
+         sum(CAST(big_pos AS HUGEINT)) AS hs,
+         count(*) FILTER (is_pos) AS nb
+  FROM ev GROUP BY event_id % {OVFL_GROUP_MOD}),
+mul AS (
+  SELECT event_id, is_pos, CAST(big_pos AS HUGEINT) * 3 AS hp FROM ev),
+cst AS (
+  SELECT event_id, TRY_CAST(d_big AS INTEGER) AS c FROM ev),
+frac AS (
+  SELECT event_id, is_tie,
+         CAST(round(d_frac, 0) AS BIGINT) AS rr,
+         CAST(trunc(d_frac) AS BIGINT) AS tt
+  FROM ev),
+dtie AS (
+  SELECT event_id,
+         CAST(round(CAST(dec_str AS DECIMAL(20,4)), 2) AS VARCHAR) AS r2
+  FROM ev)
+SELECT 'sum_decimal_route' AS kernel, count(*)::BIGINT AS n_rows,
+       {_oh("event_type || ':' || s::VARCHAR")} AS digest,
+       CAST(sum(nb) AS BIGINT) AS boundary_rows
+FROM sdec
+UNION ALL
+SELECT 'try_sum_null_on_overflow', count(*)::BIGINT,
+       {_oh("g::VARCHAR || ':' || coalesce((CASE WHEN hs " + _orange + " THEN CAST(hs AS BIGINT) END)::VARCHAR, " + _ot + ")")},
+       CAST(sum(nb) AS BIGINT)
+FROM tsum
+UNION ALL
+SELECT 'mul_try_null', count(*)::BIGINT,
+       {_oh("event_id::VARCHAR || ':' || coalesce((CASE WHEN hp " + _orange + " THEN CAST(hp AS BIGINT) END)::VARCHAR, " + _ot + ")")},
+       count(*) FILTER (NOT (hp {_orange}))::BIGINT
+FROM mul
+UNION ALL
+SELECT 'mul_decimal_exact', count(*)::BIGINT,
+       {_oh("event_id::VARCHAR || ':' || hp::VARCHAR")},
+       count(*) FILTER (is_pos)::BIGINT
+FROM mul
+UNION ALL
+SELECT 'cast_range_null', count(*)::BIGINT,
+       {_oh("event_id::VARCHAR || ':' || coalesce(c::VARCHAR, " + _ot + ")")},
+       count(*) FILTER (c IS NULL)::BIGINT
+FROM cst
+UNION ALL
+SELECT 'cast_fraction_contracts', count(*)::BIGINT,
+       {_oh("event_id::VARCHAR || ':' || rr::VARCHAR || ':' || tt::VARCHAR")},
+       count(*) FILTER (is_tie)::BIGINT
+FROM frac
+UNION ALL
+SELECT 'decimal_tie_round', count(*)::BIGINT,
+       {_oh("event_id::VARCHAR || ':' || r2")},
+       count(*)::BIGINT
+FROM dtie
+"""
+
     # hostile-text adversarial row (r13, VERDICT r12 item 4): rebuild
     # the SAME augmented input from the same template constants, then
     # recompute every kernel in DuckDB's own idiom. Templates carry

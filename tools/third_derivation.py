@@ -1568,6 +1568,128 @@ def audit_float_edges():
     )
 
 
+# --- overflow_precision_contracts: numeric boundary semantics from
+# Python's UNBOUNDED integers (a genuinely third formulation: where
+# Spark needs try_* kernels and DuckDB needs HUGEINT, Python computes
+# every sum/product exactly and applies the BIGINT range as an
+# explicit check; the tie contract uses explicit ROUND_HALF_UP because
+# Python's default rounding is banker's — the divergence the pin
+# measures)
+def audit_overflow():
+    import decimal as _dec
+
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        OVFL_BIGMAX,
+        OVFL_CLASS_MOD,
+        OVFL_GROUP_CUT,
+        OVFL_GROUP_MOD,
+        OVFL_JITTER_MOD,
+        OVFL_NULL_TAG,
+    )
+
+    LO, HI = -OVFL_BIGMAX - 1, OVFL_BIGMAX
+    TAG = OVFL_NULL_TAG
+    events = load("events")
+    rows = []
+    for e in events:
+        eid = e["event_id"]
+        is_pos = eid % OVFL_CLASS_MOD == 0 and eid % OVFL_GROUP_MOD < OVFL_GROUP_CUT
+        is_neg = eid % OVFL_CLASS_MOD == 1
+        is_dbl = eid % OVFL_CLASS_MOD == 2
+        benign = eid * 1000 + 7
+        rows.append(
+            {
+                "eid": eid,
+                "etype": e["event_type"],
+                "big_pos": OVFL_BIGMAX - eid % OVFL_JITTER_MOD if is_pos else benign,
+                "big_mix": (
+                    OVFL_BIGMAX - eid % OVFL_JITTER_MOD
+                    if is_pos
+                    else (-OVFL_BIGMAX + eid % OVFL_JITTER_MOD if is_neg else benign)
+                ),
+                "in_int_range": not is_dbl,  # 1e10+eid is out of INT32
+                # quarter-units keep the k/4 fractions exact in ints
+                "q4": (eid - 500) * 4 + eid % 4,
+                "dec": _dec.Decimal(f"{eid % 2000 - 1000}.{eid % 100:02d}50"),
+                "is_pos": is_pos,
+                "is_neg": is_neg,
+                "is_dbl": is_dbl,
+                "is_tie": eid % 4 == 2,
+            }
+        )
+    got = {}
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["etype"]].append(r)
+    dig = nb = 0
+    for t, rs in by_type.items():
+        s_exact = sum(r["big_mix"] for r in rs)  # unbounded int: exact
+        dig += md5_int(f"{t}:{s_exact}")
+        nb += sum(1 for r in rs if r["is_pos"] or r["is_neg"])
+    got["sum_decimal_route"] = (len(by_type), dig, nb)
+
+    by_g = defaultdict(list)
+    for r in rows:
+        by_g[r["eid"] % OVFL_GROUP_MOD].append(r)
+    dig = nb = 0
+    for g, rs in by_g.items():
+        s_exact = sum(r["big_pos"] for r in rs)
+        t = s_exact if LO <= s_exact <= HI else None
+        dig += md5_int(f"{g}:{t if t is not None else TAG}")
+        nb += sum(1 for r in rs if r["is_pos"])
+    got["try_sum_null_on_overflow"] = (len(by_g), dig, nb)
+
+    dig = dig2 = nb = 0
+    for r in rows:
+        p = r["big_pos"] * 3  # exact
+        m = p if LO <= p <= HI else None
+        dig += md5_int(f"{r['eid']}:{m if m is not None else TAG}")
+        dig2 += md5_int(f"{r['eid']}:{p}")
+        nb += 1 if m is None else 0
+    got["mul_try_null"] = (len(rows), dig, nb)
+    got["mul_decimal_exact"] = (
+        len(rows),
+        dig2,
+        sum(1 for r in rows if r["is_pos"]),
+    )
+
+    dig = nb = 0
+    for r in rows:
+        c = r["eid"] if r["in_int_range"] else None
+        dig += md5_int(f"{r['eid']}:{c if c is not None else TAG}")
+        nb += 1 if c is None else 0
+    got["cast_range_null"] = (len(rows), dig, nb)
+
+    dig = nb = 0
+    for r in rows:
+        q = r["q4"]
+        # round half away from zero on quarter-units
+        rr = (q + 2) // 4 if q >= 0 else -((-q + 2) // 4)
+        # truncate toward zero
+        tt = q // 4 if q >= 0 else -((-q) // 4)
+        dig += md5_int(f"{r['eid']}:{rr}:{tt}")
+        nb += 1 if r["is_tie"] else 0
+    got["cast_fraction_contracts"] = (len(rows), dig, nb)
+
+    dig = 0
+    for r in rows:
+        r2 = r["dec"].quantize(_dec.Decimal("0.01"), _dec.ROUND_HALF_UP)
+        dig += md5_int(f"{r['eid']}:{r2}")
+    got["decimal_tie_round"] = (len(rows), dig, len(rows))
+
+    want = {
+        r["kernel"]: (r["n_rows"], r["digest"], r["boundary_rows"])
+        for r in duck("overflow_precision_contracts")
+    }
+    check(
+        "overflow_precision_contracts",
+        got == want,
+        f"{sum(1 for r in rows if r['is_pos'] or r['is_neg'])} boundary "
+        f"bigints, {got['mul_try_null'][2]} overflowed products",
+    )
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -1603,5 +1725,7 @@ if __name__ == "__main__":
     audit_empty_contracts()
     audit_null_keys()
     audit_float_edges()
+    # wave 4 (round 15)
+    audit_overflow()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
