@@ -188,6 +188,8 @@ def zorder_value(cols, mins, maxs, bits: int | None = None):
             stacklevel=2,
         )
         bits = 63 // n
+    import math as _math
+
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         c = F.col(c) if isinstance(c, str) else c
@@ -195,13 +197,30 @@ def zorder_value(cols, mins, maxs, bits: int | None = None):
         # (None stats): every row degenerates to bucket 0 for that
         # dimension instead of crashing with a bare float(None)
         # TypeError on the driver (r10 review)
-        if lo is None or hi is None:
+        # NON-FINITE stats degenerate the same way (r15 review wave
+        # 10, the r14 special-float class applied here): SQL max()
+        # treats NaN as greatest and keeps ±Inf, so ONE special value
+        # in the key column handed this scaler a NaN/Inf span — NaN
+        # fails every Python comparison (the span<=0 guard passes it
+        # through) and the per-row floor over a NaN/Inf quotient goes
+        # NULL, so EVERY row coalesced to bucket 0: the whole
+        # dimension's clustering silently evaporated with no error
+        # (measured: all-zero z keys). Callers (zorder_store) now
+        # aggregate finite-only stats; this guard keeps the scaler
+        # safe for direct callers too.
+        if (
+            lo is None
+            or hi is None
+            or not _math.isfinite(float(lo))
+            or not _math.isfinite(float(hi))
+        ):
             scaled.append(F.lit(0).cast("long"))
             continue
         span = float(hi) - float(lo)
         if span <= 0:
             scaled.append(F.lit(0).cast("long"))
             continue
+        cap = F.lit((1 << bits) - 1).cast("long")
         b = F.floor(
             (c.cast("double") - F.lit(float(lo)))
             / F.lit(span)
@@ -213,14 +232,20 @@ def zorder_value(cols, mins, maxs, bits: int | None = None):
         # max rows, inflating the top row groups' min/max spread in
         # the other dimensions (r10 review). Coalesce the scaled value
         # BEFORE the clamp — bucket 0 matches where repartitionByRange
-        # places NULLS FIRST.
+        # places NULLS FIRST. Special ROW values get one deterministic
+        # edge each (r15): +Inf clamps to the top bucket, NaN and −Inf
+        # to bucket 0 (floor of their quotients is NULL/NULL-ish, and
+        # the finite-stats scaling no longer sees them in lo/hi).
         scaled.append(
-            F.greatest(
-                F.least(
-                    F.coalesce(b, F.lit(0).cast("long")),
-                    F.lit((1 << bits) - 1),
-                ),
-                F.lit(0),
+            F.when(c.cast("double") == F.lit(float("inf")), cap)
+            .otherwise(
+                F.greatest(
+                    F.least(
+                        F.coalesce(b, F.lit(0).cast("long")),
+                        cap,
+                    ),
+                    F.lit(0),
+                )
             )
         )
     # Column & / | are BOOLEAN operators in PySpark — bitwise ops must
@@ -261,9 +286,21 @@ def zorder_store(
         return c.cast("double")
 
     kcols = [_num(k) for k in keys]
+
+    # finite-only stats (r15 review wave 10): SQL min/max keep NaN
+    # (greatest) and ±Inf, and ONE special value in a key column made
+    # the scaler's span NaN/Inf — every row then bucketed to 0 and the
+    # dimension's clustering silently evaporated. Scale from the
+    # finite mass; special rows get deterministic edge buckets inside
+    # zorder_value.
+    def _finite(c):
+        return F.when(
+            ~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), c
+        )
+
     stats = df.agg(
-        *[F.min(c).alias(f"min_{k}") for k, c in zip(keys, kcols)],
-        *[F.max(c).alias(f"max_{k}") for k, c in zip(keys, kcols)],
+        *[F.min(_finite(c)).alias(f"min_{k}") for k, c in zip(keys, kcols)],
+        *[F.max(_finite(c)).alias(f"max_{k}") for k, c in zip(keys, kcols)],
     ).collect()[0]
     mins = [stats[f"min_{k}"] for k in keys]
     maxs = [stats[f"max_{k}"] for k in keys]

@@ -244,3 +244,93 @@ def test_zorder_handles_empty_and_null_stats(spark, tmp_path):
     by_x = {r.x: r.z for r in z}
     assert by_x[None] == by_x[0]
     assert by_x[None] != by_x[1023]
+
+
+def test_zorder_survives_special_float_keys(spark, tmp_path):
+    """r15 review wave 10 (the r14 special-float class applied to the
+    maintenance path): SQL max() keeps NaN (greatest) and +Inf, so ONE
+    special value in a z-order key column previously handed the scaler
+    a NaN/Inf span — NaN fails every Python comparison, the per-row
+    floor over the NaN/Inf quotient went NULL, and EVERY row coalesced
+    to bucket 0: the whole store's clustering silently evaporated
+    (measured all-zero z keys), with no error to notice. Stats are now
+    finite-only and special rows get one deterministic edge bucket
+    each (NaN/−Inf → 0, +Inf → top). Fails on the old code (all z
+    equal)."""
+    import os
+
+    from pdf_using_hugging_face_and_vector_database_spark.operators.maintenance import (
+        row_group_ranges,
+        zorder_store,
+        zorder_value,
+    )
+
+    rows = [
+        (0.0, 0.0),
+        (100.0, 100.0),
+        (float("nan"), 50.0),
+        (50.0, float("inf")),
+        (float("-inf"), 25.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    # what zorder_store's finite-only pre-pass now yields
+    z = df.select(
+        "x",
+        "y",
+        zorder_value(
+            ["x", "y"], mins=[0.0, 0.0], maxs=[100.0, 100.0], bits=8
+        ).alias("z"),
+    ).collect()
+    by_xy = {(str(r.x), str(r.y)): r.z for r in z}
+    # the finite extremes must spread across the key space (old code:
+    # every z == 0 because the NaN/Inf span zeroed both dimensions)
+    assert by_xy[("0.0", "0.0")] != by_xy[("100.0", "100.0")]
+    # deterministic special fates: NaN and -Inf dimensions bucket 0,
+    # +Inf dimension buckets top
+    zmap = dict(by_xy)
+    z_nan_as_min = df.sparkSession.createDataFrame(
+        [(0.0, 50.0)], "x double, y double"
+    ).select(
+        zorder_value(["x", "y"], mins=[0.0, 0.0], maxs=[100.0, 100.0], bits=8)
+        .alias("z")
+    ).collect()[0].z
+    assert zmap[("nan", "50.0")] == z_nan_as_min
+    # -inf x ties the minimum-x placement for its dimension
+    z_min_x = df.sparkSession.createDataFrame(
+        [(0.0, 25.0)], "x double, y double"
+    ).select(
+        zorder_value(["x", "y"], mins=[0.0, 0.0], maxs=[100.0, 100.0], bits=8)
+        .alias("z")
+    ).collect()[0].z
+    assert zmap[("-inf", "25.0")] == z_min_x
+    # +inf y ties the maximum-y placement for its dimension
+    z_max_y = df.sparkSession.createDataFrame(
+        [(50.0, 100.0)], "x double, y double"
+    ).select(
+        zorder_value(["x", "y"], mins=[0.0, 0.0], maxs=[100.0, 100.0], bits=8)
+        .alias("z")
+    ).collect()[0].z
+    assert zmap[("50.0", "inf")] == z_max_y
+
+    # end-to-end: the store rewrite keeps every row bit-for-bit and
+    # still tightens finite row-group ranges with specials present
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    import math
+
+    big = [(float(i % 97), float((i * 7) % 89)) for i in range(2000)]
+    big += [(float("nan"), 1.0), (float("inf"), 2.0), (3.0, float("-inf"))]
+    spark.createDataFrame(big, "x double, y double").repartition(8).write.parquet(src)
+    out = zorder_store(spark, src, dst, keys=["x", "y"], n_files=4)
+    assert out.count() == len(big)
+    from pyspark.sql import functions as F
+
+    got_nan = out.filter(F.isnan("x")).count()
+    assert got_nan == 1
+    # clustering quality is real again: multiple distinct x ranges
+    ranges = [
+        (lo, hi)
+        for lo, hi in row_group_ranges(dst, "x")
+        if lo is not None and math.isfinite(lo)
+    ]
+    assert len({r for r in ranges}) > 1
