@@ -42,6 +42,13 @@ def table_diff(
     with every NULL-key new row. Callers diffing tables whose keys
     can be NULL must filter or repair keys first. Pinned by
     tests/test_diff.py::test_table_diff_null_key_contract.
+
+    Precondition (r15 review wave 10, recorded): ``key_cols`` must be
+    unique within each snapshot — a duplicated key cross-multiplies in
+    the full-outer join (m×n diff rows for that key), the standard CDC
+    snapshot contract. Pre-compact with ``upsert`` if an input can
+    carry duplicates (merge_into raises on them; a read-only diff has
+    no cheap enforcement point without an extra window pass).
     """
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in key_cols],

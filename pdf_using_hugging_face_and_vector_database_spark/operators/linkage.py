@@ -72,6 +72,17 @@ def best_match(
         .filter(F.col("lev") <= max_dist)
     )
     w = Window.partitionBy("dirty_id").orderBy("lev", "match_id")
+    # name_sim guard (r15 review wave 10 — the r14 cosine ANSI class):
+    # two EMPTY strings in one block reach here with lev = 0 and
+    # max length 0, and the plain division made that pair a
+    # query-killing DIVIDE_BY_ZERO under Spark 4 ANSI (NULL under
+    # DuckDB's /). Empty-vs-empty is an exact match: one deterministic
+    # fate, name_sim = 1.0. (The entity_resolution oracle's fixture
+    # names are provably non-empty, so its twin needs no CASE.)
+    maxlen = F.greatest(F.length("__dt"), F.length("__ct")).cast("double")
+    sim = F.when(maxlen == 0.0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.col("lev").cast("double") / maxlen
+    )
     return (
         pairs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -79,11 +90,6 @@ def best_match(
             "dirty_id",
             "match_id",
             "lev",
-            F.round(
-                F.lit(1.0)
-                - F.col("lev").cast("double")
-                / F.greatest(F.length("__dt"), F.length("__ct")).cast("double"),
-                6,
-            ).alias("name_sim"),
+            F.round(sim, 6).alias("name_sim"),
         )
     )

@@ -186,3 +186,32 @@ def test_table_diff_null_key_contract(spark):
     # delete and an insert (unidentifiable); the keyed row is 'same'
     # and dropped
     assert got == [(None, "delete"), (None, "insert")]
+
+
+def test_best_match_survives_empty_strings(spark):
+    """r15 review wave 10 (the r14 cosine ANSI class): two EMPTY
+    strings in one block produced lev = 0 over max length 0, and the
+    plain division in name_sim made that pair a query-killing
+    DIVIDE_BY_ZERO under Spark 4 ANSI (NULL under DuckDB's /).
+    Empty-vs-empty is an exact match and now gets the one
+    deterministic fate name_sim = 1.0. Fails (crashes) on the old
+    code."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.linkage import (
+        best_match,
+    )
+
+    dirty = spark.createDataFrame(
+        [(1, "b1", ""), (2, "b1", "abc")], "id long, blk string, name string"
+    )
+    clean = spark.createDataFrame(
+        [(10, "b1", ""), (20, "b1", "abd")], "id long, blk string, name string"
+    )
+    got = {
+        r["dirty_id"]: r
+        for r in best_match(
+            dirty, clean, "blk", text_col="name", id_col="id"
+        ).collect()
+    }
+    assert got[1]["match_id"] == 10 and got[1]["lev"] == 0
+    assert got[1]["name_sim"] == 1.0
+    assert got[2]["match_id"] == 20 and got[2]["name_sim"] < 1.0
