@@ -18,6 +18,17 @@ stream==batch test (tests/test_stateful.py).
 Batch twin (oracle-checkable shape): ``events.groupBy(user_id)
 .agg(count, sum, max)`` — the test asserts final stream state equals
 the batch aggregate on the same finite input.
+
+Value-column boundary (r15 review wave 10, measured): the equality
+claim above is scoped to FINITE, NON-NULL values — which the events
+fixture provides. Across the Arrow boundary a SQL NULL double and a
+NaN both arrive as pandas NaN, so Python cannot reproduce SQL's
+split fates (sum skips NULL but PROPAGATES NaN; an all-NULL group
+sums to NULL, not 0.0). This operator's pandas ``sum()`` therefore
+treats both as absent: an all-NULL/NaN user totals 0.0 where the
+batch twin yields NULL/NaN. One deterministic, documented fate —
+pinned (with the batch twin's diverging fates measured alongside) in
+tests/test_stateful.py::test_stateful_null_nan_value_boundary.
 """
 
 from __future__ import annotations
