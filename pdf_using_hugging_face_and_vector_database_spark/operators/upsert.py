@@ -31,8 +31,9 @@ def upsert_cocluster(
 ) -> DataFrame:
     """MERGE for an id-bucketed table: full-outer join on ``id`` with a
     per-pair version comparison — same last-writer-wins result as
-    :func:`upsert`, different physical shape. When ``existing`` is a
-    bucketed table (io.write_bucketed), its side of the join reads
+    :func:`upsert` for NON-NULL ids (the scope of the equivalence
+    claim; see below), different physical shape. When ``existing`` is
+    a bucketed table (io.write_bucketed), its side of the join reads
     buckets directly with NO Exchange; only the (small) batch shuffles
     to match — or broadcasts. The union+window rewrite in
     :func:`upsert` shuffles the WHOLE table every merge; this is the
@@ -40,6 +41,18 @@ def upsert_cocluster(
     and the 100 TB repeated-ingest path (plan-asserted in
     tests/test_io_scale.py). Requires batch ids unique (true of any
     compacted batch; pre-compact with :func:`upsert` if not).
+
+    NULL-id contract (r15 review wave 10, measured): the two merge
+    paths genuinely diverge on NULL ids and each follows its OWN
+    standard semantics — this join's equi-condition never matches a
+    NULL key, so every NULL-id row survives separately (exactly what
+    Delta's ``MERGE ... ON t.id = s.id`` does), while :func:`upsert`'s
+    window ``partitionBy(id)`` folds ALL NULL ids into one group and
+    keeps a single survivor (exactly what the SQL window the oracle
+    replays does). Both fates are pinned in
+    tests/test_upsert.py::test_upsert_null_id_contracts; callers
+    needing path-interchangeability must guarantee NON-NULL ids
+    (operators/validation.null_guard is the P1 boundary for that).
     """
     payload = [c for c in existing.columns if c != id_col]
     e = existing.select(id_col, F.struct(*payload).alias("__e"))

@@ -441,3 +441,37 @@ def test_scd2_property_random_changelogs(spark):
         assert got == sorted(want, key=key_fn)
 
     run()
+
+
+def test_upsert_null_id_contracts(spark):
+    """r15 review wave 10 (measured, recorded): the two merge paths
+    diverge on NULL ids, each following its own standard semantics —
+    upsert()'s window partitionBy folds ALL NULL ids into one group
+    (one LWW survivor, the same fate a SQL window oracle replays),
+    while upsert_cocluster()'s equi-join never matches a NULL key so
+    every NULL-id row survives separately (Delta MERGE ON-equality
+    semantics). The equivalence claim between the paths is scoped to
+    NON-NULL ids; this pin keeps both fates honest."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.upsert import (
+        upsert,
+        upsert_cocluster,
+    )
+
+    e = spark.createDataFrame(
+        [(None, 1, "e1"), (None, 2, "e2"), (1, 1, "ev")],
+        "id int, ingest_version int, v string",
+    )
+    b = spark.createDataFrame(
+        [(None, 3, "b1"), (1, 2, "bv")], "id int, ingest_version int, v string"
+    )
+    w = sorted(map(tuple, upsert(e, b).collect()), key=str)
+    c = sorted(map(tuple, upsert_cocluster(e, b).collect()), key=str)
+    # window path: one survivor for the whole NULL-id group (LWW by
+    # version -> the batch's version-3 row)
+    assert w == [(1, 2, "bv"), (None, 3, "b1")]
+    # merge path: every NULL-id row survives separately
+    assert c == [(1, 2, "bv"), (None, 1, "e1"), (None, 2, "e2"), (None, 3, "b1")]
+    # and the paths agree exactly on the non-null keys
+    assert [r for r in w if r[0] is not None] == [
+        r for r in c if r[0] is not None
+    ]
