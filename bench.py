@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     # round 14
     "null_keys_contracts",
     "float_edge_contracts",
+    "overflow_precision_contracts",
 ]
 
 

@@ -478,8 +478,8 @@ class BrpLshIndex:
         # the consuming transform lambda, so the r14 "per-row column"
         # guard actually re-evaluated the O(dim) norm aggregate per
         # ELEMENT, twice (CASE condition + ELSE branch): O(2·dim²)/row.
-        # That one projection was the whole q3_ann_lsh/q3_ann_lsh_join
-        # bench elevation (~+1.2 s each at sf0.1 — the one-time
+        # That one projection was the whole r14 bench elevation of the
+        # two MLlib LSH rows (~+1.2 s each at sf0.1 — the one-time
         # materialization of the fitted corpus; optimized-plan receipt
         # in NOTES_r15.md). Normalizer runs one JVM pass per row with
         # no lambda interpretation: measured 0.11 s vs 1.66 s (shipped

@@ -47,8 +47,9 @@ def table_diff(
     unique within each snapshot — a duplicated key cross-multiplies in
     the full-outer join (m×n diff rows for that key), the standard CDC
     snapshot contract. Pre-compact with ``upsert`` if an input can
-    carry duplicates (merge_into raises on them; a read-only diff has
-    no cheap enforcement point without an extra window pass).
+    carry duplicates (the general MERGE operator raises on them; a
+    read-only diff has no cheap enforcement point without an extra
+    window pass).
     """
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
