@@ -186,7 +186,9 @@ BENCH_QUERIES = [
     # round 14
     "null_keys_contracts",
     "float_edge_contracts",
+    # round 15
     "overflow_precision_contracts",
+    "unicode_case_contracts",
 ]
 
 

@@ -1320,6 +1320,105 @@ SELECT 'decimal_tie_round', count(*)::BIGINT,
 FROM dtie
 """
 
+    # Unicode case/collation adversarial row (r15, second row): rebuild
+    # the SAME augmented input from the same template constants, then
+    # spell each JVM-divergent kernel in utf8proc's idiom — expand the
+    # full case mappings (ß/ﬁ/ﬂ) BEFORE upper() because utf8proc maps
+    # 1:1 where the JVM grows the string; decompose İ before lower()
+    # (utf8proc drops the dot, the JVM emits i + U+0307); rewrite
+    # word-final σ -> ς with a sentinel space (DuckDB has no
+    # final-sigma context rule; valid because no augmented text ends
+    # with a space and every σ is preceded by a letter — template
+    # invariants asserted by tests/test_unicode_case.py). initcap does
+    # not exist in DuckDB: split/transform/join on single spaces (the
+    # corpus has no tab/CR/LF, measured in the pin). The agree legs
+    # (code-point metrics, reverse on combining-free classes, binary
+    # collation rank, raw-ASCII casing) are the SAME kernel raw in
+    # both engines.
+    from .queries import (
+        UNICASE_DOCS,
+        UNICASE_ORD_PAD,
+        UNICASE_PREFIX_CHARS,
+        UNICASE_TEMPLATES,
+    )
+
+    _un = len(UNICASE_TEMPLATES)
+    _utmpl = (
+        f"CASE (doc_id % {_un}) "
+        + " ".join(
+            f"WHEN {i} THEN {_sql_lit(t)}"
+            for i, t in enumerate(UNICASE_TEMPLATES[:-1])
+        )
+        + f" ELSE {_sql_lit(UNICASE_TEMPLATES[-1])} END"
+    )
+
+    def _uh(expr: str) -> str:
+        return f"CAST(sum({_h24(expr)}) AS BIGINT)"
+
+    _ufold = (
+        f"upper(replace(replace(replace(s, {_sql_lit('ß')}, 'ss'), "
+        f"{_sql_lit('ﬁ')}, 'fi'), {_sql_lit('ﬂ')}, 'fl'))"
+    )
+    _ulower = (
+        f"rtrim(replace(lower(replace(s, {_sql_lit('İ')}, "
+        f"{_sql_lit('I' + chr(0x0307))})) || ' ', "
+        f"{_sql_lit(chr(0x03C3) + ' ')}, {_sql_lit(chr(0x03C2) + ' ')}), ' ')"
+    )
+    _uinitcap = (
+        "array_to_string(list_transform(string_split(prefix, ' '), "
+        "w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ')"
+    )
+    _uemoji = _sql_lit("\U0001f600")
+
+    sql["unicode_case_contracts"] = f"""
+WITH aug AS (
+  SELECT doc_id, text, (doc_id % {_un})::INT AS cls,
+         substr(text, 1, {UNICASE_PREFIX_CHARS}) AS prefix,
+         substr(text, 1, {UNICASE_PREFIX_CHARS}) || ' ' || {_utmpl} AS s,
+         {_utmpl} || '#' ||
+           lpad(doc_id::VARCHAR, {UNICASE_ORD_PAD}, '0') AS sort_key
+  FROM documents WHERE doc_id < {UNICASE_DOCS}),
+ranked AS (
+  SELECT doc_id, cls, row_number() OVER (ORDER BY sort_key) AS rk FROM aug)
+SELECT 'upper_fold_expansion' AS kernel, count(*)::BIGINT AS n_rows,
+       {_uh("doc_id::VARCHAR || ':' || " + _ufold)} AS digest,
+       count(*) FILTER (cls = 0)::BIGINT AS marked_rows
+FROM aug
+UNION ALL
+SELECT 'lower_idot_sigma', count(*)::BIGINT,
+       {_uh("doc_id::VARCHAR || ':' || " + _ulower)},
+       count(*) FILTER (cls IN (1, 2))::BIGINT
+FROM aug
+UNION ALL
+SELECT 'ascii_casing_agree', count(*)::BIGINT,
+       {_uh("doc_id::VARCHAR || ':' || upper(text) || ':' || lower(text)")},
+       count(*) FILTER (strlen(text) <> length(text))::BIGINT
+FROM aug
+UNION ALL
+SELECT 'codepoint_metrics', count(*)::BIGINT,
+       {_uh("doc_id::VARCHAR || ':' || length(s)::VARCHAR || ':' || "
+            f"substr(s, {UNICASE_PREFIX_CHARS + 2}, 9) || ':' || "
+            "strpos(s, 'n')::VARCHAR || ':' || "
+            f"strpos(s, {_uemoji})::VARCHAR")},
+       count(*) FILTER (strlen(s) <> length(s))::BIGINT
+FROM aug
+UNION ALL
+SELECT 'reverse_codepoint_agree', count(*)::BIGINT,
+       {_uh("doc_id::VARCHAR || ':' || reverse(s)")},
+       count(*) FILTER (cls = 5)::BIGINT
+FROM aug WHERE cls <> 4
+UNION ALL
+SELECT 'binary_order_rank', count(*)::BIGINT,
+       {_uh("doc_id::VARCHAR || ':' || rk::VARCHAR")},
+       count(*) FILTER (cls = 5)::BIGINT
+FROM ranked
+UNION ALL
+SELECT 'initcap_ascii', count(*)::BIGINT,
+       {_uh("doc_id::VARCHAR || ':' || " + _uinitcap)},
+       count(*) FILTER ({_uinitcap} <> prefix)::BIGINT
+FROM aug
+"""
+
     # hostile-text adversarial row (r13, VERDICT r12 item 4): rebuild
     # the SAME augmented input from the same template constants, then
     # recompute every kernel in DuckDB's own idiom. Templates carry

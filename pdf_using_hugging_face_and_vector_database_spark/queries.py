@@ -1187,6 +1187,194 @@ def overflow_precision_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- Unicode case/collation adversarial row (r15, second row — the
+# TEXT generalization of the overflow/cosine ANSI finds): the corpus
+# is measured pure-ASCII at every SF (the pin proves it, and the
+# ascii_casing_agree leg re-proves it inside the certified row), so
+# every case-mapping, code-point-length, and collation contract had
+# zero oracle coverage. The engines genuinely diverge: the JVM applies
+# FULL Unicode case mappings (ß -> SS, the fi/fl ligatures -> FI/FL,
+# İ -> i + U+0307 on lower, the Greek final-sigma context rule) while
+# DuckDB's utf8proc applies simple 1:1 mappings (ß -> U+1E9E, ﬁ stays,
+# İ -> bare i, no sigma context); Spark's reverse is code-point while
+# DuckDB's is grapheme-aware. Divergent kernels are spelled PER ENGINE
+# (the cast_fraction_contracts precedent) so both produce the pinned
+# canonical result; agreeing kernels (code-point length/substr/instr,
+# binary code-point collation incl. astral/PUA/U+FFFD, precomposed-
+# accent and titlecase-digraph casing) are certified raw. Templates
+# are injected by doc_id class; digests only cross the result
+# boundary. Template invariants the twins depend on (asserted by the
+# pin): no template ends with a space; 'İ' appears only in class 1;
+# Σ/σ only in class 2 with every Σ preceded by a letter; combining
+# marks only in class 4; the class-0 divergent set is exactly
+# {ß, ﬁ, ﬂ}.
+UNICASE_DOCS = 120
+UNICASE_PREFIX_CHARS = 24
+UNICASE_ORD_PAD = 4  # doc_id zero-pad width in the collation sort key
+UNICASE_TEMPLATES = (
+    # 0: full-vs-simple case mapping (JVM ß -> SS, ﬁ -> FI, ﬂ -> FL;
+    #    utf8proc 1:1) + capital sharp S U+1E9E (agrees both ways)
+    "ßravo Straße grüßt ﬁnden ﬂink ẞLOT",
+    # 1: dotted capital I (JVM lower -> i + U+0307; utf8proc -> 'i')
+    "İstanbul DİYARBAKIR İyi bİlgİ",
+    # 2: Greek final sigma — every Σ preceded by a letter, so the
+    #    JVM's contextual rule fires exactly on the word-final ones
+    "ΟΔΥΣΣΕΥΣ ΣΟΦΟΣ ΛΟΓΟΣ ΔΙΟΣ",
+    # 3: precomposed accents (1:1 in BOTH engines — agree leg)
+    "émigré naïve déjà ÉLAN Ça",
+    # 4: decomposed combining marks (casing/length agree; REVERSE is
+    #    code-point in Spark, grapheme in DuckDB — pin-only class,
+    #    excluded from the reverse leg)
+    "éclair créme paséo",
+    # 5: astral emoji + math letter + private-use + replacement char
+    #    (no case mappings; code-point length/order material)
+    "\U0001f600 ab \U0001d518nicode \U0001f389x z �.",
+)
+
+
+def unicode_case_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode case-mapping / code-point / collation contracts as one
+    (kernel, n_rows, digest, marked_rows) row per kernel class, each
+    independently derivable in both engines:
+
+    - ``upper_fold_expansion``: upper() over the augmented docs — the
+      JVM expands ß/ﬁ/ﬂ via full case mapping (the string GROWS);
+      DuckDB's utf8proc maps 1:1, so the twin expands those three
+      code points explicitly before upper() (per-engine spelling; the
+      raw naive kernels diverge, measured in the pin).
+    - ``lower_idot_sigma``: lower() — the JVM lowers İ to i + U+0307
+      and applies the Greek final-sigma context rule; the twin
+      decomposes İ before lowering and rewrites word-final σ to ς
+      with a sentinel-space trick (valid because no augmented text
+      ends with a space and σ appears only in the sigma class,
+      always preceded by a letter).
+    - ``ascii_casing_agree``: upper+lower over the RAW corpus text —
+      agrees raw in both engines, and marked_rows counts docs whose
+      byte length differs from their char length: 0 certifies the
+      measured ASCII-ness of the fixture inside the row itself.
+    - ``codepoint_metrics``: length / substring across the injected
+      multibyte region / instr with an ASCII and an astral needle —
+      both engines count CODE POINTS (not bytes, not UTF-16 units,
+      not graphemes); agrees raw.
+    - ``reverse_codepoint_agree``: reverse() over the combining-free
+      classes — agrees raw (astral chars and precomposed accents are
+      single code points). The combining class is EXCLUDED: Spark
+      reverses code points while DuckDB reverses graphemes — the pin
+      records that raw divergence.
+    - ``binary_order_rank``: row_number over a template-leading sort
+      key — both engines order by code point (binary UTF-8), pinning
+      that 'e' < ß < é < İ < Ο < U+E000 < U+FFFD < U+1F600; agrees
+      raw. Bounded global sort: UNICASE_DOCS rows, constant at any SF.
+    - ``initcap_ascii``: initcap over the ASCII doc prefix vs a
+      DuckDB split/transform/join twin (DuckDB has no initcap) —
+      valid because the corpus has no tab/CR/LF (measured in the
+      pin) so words are single-space delimited in both spellings.
+
+    Digests are order-insensitive sums of 24-bit md5 ints over
+    canonical row strings."""
+    from .functions.hashing import md5_int
+
+    n_cls = len(UNICASE_TEMPLATES)
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < UNICASE_DOCS
+    )
+    tmpl = F.element_at(
+        F.array(*[F.lit(t) for t in UNICASE_TEMPLATES]),
+        (F.col("doc_id") % n_cls + 1).cast("int"),
+    )
+    aug = docs.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % n_cls).cast("int").alias("cls"),
+        F.substring("text", 1, UNICASE_PREFIX_CHARS).alias("prefix"),
+        F.concat(
+            F.substring("text", 1, UNICASE_PREFIX_CHARS), F.lit(" "), tmpl
+        ).alias("s"),
+        F.concat(
+            tmpl,
+            F.lit("#"),
+            F.lpad(F.col("doc_id").cast("string"), UNICASE_ORD_PAD, "0"),
+        ).alias("sort_key"),
+    )
+    did = F.col("doc_id").cast("string")
+
+    def _digest(*cols):
+        return F.sum(md5_int(F.concat_ws(":", *cols))).cast("long")
+
+    legs = [
+        aug.agg(
+            F.lit("upper_fold_expansion").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(did, F.upper("s")).alias("digest"),
+            F.count(F.when(F.col("cls") == 0, 1)).cast("long").alias(
+                "marked_rows"
+            ),
+        ),
+        aug.agg(
+            F.lit("lower_idot_sigma").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(did, F.lower("s")).alias("digest"),
+            F.count(F.when(F.col("cls").isin(1, 2), 1)).cast("long").alias(
+                "marked_rows"
+            ),
+        ),
+        aug.agg(
+            F.lit("ascii_casing_agree").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(did, F.upper("text"), F.lower("text")).alias("digest"),
+            F.count(
+                F.when(F.octet_length("text") != F.length("text"), 1)
+            ).cast("long").alias("marked_rows"),
+        ),
+        aug.agg(
+            F.lit("codepoint_metrics").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(
+                did,
+                F.length("s").cast("string"),
+                F.substring("s", UNICASE_PREFIX_CHARS + 2, 9),
+                F.instr("s", "n").cast("string"),
+                F.instr("s", "\U0001f600").cast("string"),
+            ).alias("digest"),
+            F.count(
+                F.when(F.octet_length("s") != F.length("s"), 1)
+            ).cast("long").alias("marked_rows"),
+        ),
+        aug.filter(F.col("cls") != 4).agg(
+            F.lit("reverse_codepoint_agree").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(did, F.reverse("s")).alias("digest"),
+            F.count(F.when(F.col("cls") == 5, 1)).cast("long").alias(
+                "marked_rows"
+            ),
+        ),
+        aug.select(
+            "doc_id",
+            "cls",
+            F.row_number().over(Window.orderBy("sort_key")).alias("rk"),
+        ).agg(
+            F.lit("binary_order_rank").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(did, F.col("rk").cast("string")).alias("digest"),
+            F.count(F.when(F.col("cls") == 5, 1)).cast("long").alias(
+                "marked_rows"
+            ),
+        ),
+        aug.agg(
+            F.lit("initcap_ascii").alias("kernel"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            _digest(did, F.initcap("prefix")).alias("digest"),
+            F.count(
+                F.when(F.initcap("prefix") != F.col("prefix"), 1)
+            ).cast("long").alias("marked_rows"),
+        ),
+    ]
+    out = legs[0]
+    for p in legs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return corpus_rollup(docs)
@@ -6195,10 +6383,17 @@ QUERIES = {
     # ANSI while DuckDB promotes to HUGEINT); near-boundary values
     # injected by event_id class, digest-only outputs ---
     "overflow_precision_contracts": overflow_precision_contracts,
-    # --- driver-green round 12 (oldest-certified block; the first 40
-    # rows fill the round-15 front to exactly 50; the ten rows past
-    # the cut lead the round-16 front, the first displaced by the new
-    # r15 slot with per-row receipts in NOTES_r15.md) ---
+    # --- new in round 15 (second row, beyond the prescription):
+    # Unicode case-mapping / code-point / collation contracts — the
+    # TEXT generalization of the ANSI arithmetic class (the corpus is
+    # measured pure-ASCII, so the JVM's full case mappings vs
+    # utf8proc's 1:1 mappings had zero oracle coverage); divergent
+    # kernels spelled per engine, agree legs certified raw ---
+    "unicode_case_contracts": unicode_case_contracts,
+    # --- driver-green round 12 (oldest-certified block; the first 39
+    # rows fill the round-15 front to exactly 50; the eleven rows past
+    # the cut lead the round-16 front, the first two displaced by the
+    # new r15 slots with per-row receipts in NOTES_r15.md) ---
     "pit_boundary_ties": pit_boundary_ties,
     "asof_boundary_ties": asof_boundary_ties,
     "impute_event_values": impute_event_values,

@@ -1690,6 +1690,123 @@ def audit_overflow():
     )
 
 
+# --- unicode_case_contracts: case-mapping / code-point / collation
+# semantics from CPython's OWN Unicode tables (a genuinely third
+# formulation: the Spark leg is the JVM's case machinery, the DuckDB
+# twin is utf8proc plus explicit compensation expressions, and Python
+# implements full case mappings + the Final_Sigma context from
+# unicodedata — str.upper/str.lower/s[::-1]/len/sorted, no SQL, no
+# replace-based rewriting anywhere)
+def audit_unicode_case():
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        UNICASE_DOCS,
+        UNICASE_ORD_PAD,
+        UNICASE_PREFIX_CHARS,
+        UNICASE_TEMPLATES,
+    )
+
+    n_cls = len(UNICASE_TEMPLATES)
+    docs = [d for d in load("documents") if d["doc_id"] < UNICASE_DOCS]
+    rows = []
+    for d in docs:
+        did = d["doc_id"]
+        cls = did % n_cls
+        prefix = d["text"][:UNICASE_PREFIX_CHARS]
+        tmpl = UNICASE_TEMPLATES[cls]
+        rows.append(
+            {
+                "did": did,
+                "cls": cls,
+                "prefix": prefix,
+                "s": prefix + " " + tmpl,
+                "key": tmpl + "#" + str(did).zfill(UNICASE_ORD_PAD),
+                "text": d["text"],
+            }
+        )
+    got = {}
+
+    dig = sum(md5_int(f"{r['did']}:{r['s'].upper()}") for r in rows)
+    got["upper_fold_expansion"] = (
+        len(rows),
+        dig,
+        sum(1 for r in rows if r["cls"] == 0),
+    )
+
+    dig = sum(md5_int(f"{r['did']}:{r['s'].lower()}") for r in rows)
+    got["lower_idot_sigma"] = (
+        len(rows),
+        dig,
+        sum(1 for r in rows if r["cls"] in (1, 2)),
+    )
+
+    dig = sum(
+        md5_int(f"{r['did']}:{r['text'].upper()}:{r['text'].lower()}")
+        for r in rows
+    )
+    got["ascii_casing_agree"] = (
+        len(rows),
+        dig,
+        sum(1 for r in rows if len(r["text"].encode()) != len(r["text"])),
+    )
+
+    emoji = "\U0001f600"
+    dig = 0
+    for r in rows:
+        s = r["s"]
+        sub = s[UNICASE_PREFIX_CHARS + 1 : UNICASE_PREFIX_CHARS + 10]
+        dig += md5_int(
+            f"{r['did']}:{len(s)}:{sub}:{s.find('n') + 1}:"
+            f"{s.find(emoji) + 1}"
+        )
+    got["codepoint_metrics"] = (
+        len(rows),
+        dig,
+        sum(1 for r in rows if len(r["s"].encode()) != len(r["s"])),
+    )
+
+    rev = [r for r in rows if r["cls"] != 4]
+    dig = sum(md5_int(f"{r['did']}:{r['s'][::-1]}") for r in rev)
+    got["reverse_codepoint_agree"] = (
+        len(rev),
+        dig,
+        sum(1 for r in rev if r["cls"] == 5),
+    )
+
+    # Python string comparison IS code-point order — the contract the
+    # leg certifies for both engines' binary collations
+    ordered = sorted(rows, key=lambda r: r["key"])
+    dig = sum(
+        md5_int(f"{r['did']}:{i + 1}") for i, r in enumerate(ordered)
+    )
+    got["binary_order_rank"] = (
+        len(rows),
+        dig,
+        sum(1 for r in rows if r["cls"] == 5),
+    )
+
+    def initcap(p):
+        return " ".join(w[:1].upper() + w[1:].lower() for w in p.split(" "))
+
+    dig = sum(md5_int(f"{r['did']}:{initcap(r['prefix'])}") for r in rows)
+    got["initcap_ascii"] = (
+        len(rows),
+        dig,
+        sum(1 for r in rows if initcap(r["prefix"]) != r["prefix"]),
+    )
+
+    want = {
+        r["kernel"]: (r["n_rows"], r["digest"], r["marked_rows"])
+        for r in duck("unicode_case_contracts")
+    }
+    check(
+        "unicode_case_contracts",
+        got == want,
+        f"{len(rows)} augmented docs, "
+        f"{got['codepoint_metrics'][2]} multibyte rows, "
+        f"{got['ascii_casing_agree'][2]} non-ASCII raw docs",
+    )
+
+
 if __name__ == "__main__":
     audit_sessionize()
     audit_lm_bigram()
@@ -1727,5 +1844,6 @@ if __name__ == "__main__":
     audit_float_edges()
     # wave 4 (round 15)
     audit_overflow()
+    audit_unicode_case()
     print(("ALL PASS" if not FAIL else f"FAILURES: {FAIL}"))
     sys.exit(1 if FAIL else 0)
