@@ -102,6 +102,15 @@ def word_ngrams(text: Column, n: int) -> Column:
     zero-token doc yields the '' gram — two empty docs ARE duplicates
     and must keep matching; quality/contamination paths instead drop
     the '' gram (curation._word_ngrams_exploded, r10 review)."""
+    # Referencing `toks` inside the position lambda is NOT the
+    # norm-in-lambda O(dim^2) class (r15 review wave 11, MEASURED
+    # before touching): unlike the vector norm — whose in-lambda
+    # aggregate re-evaluates per element and cost 10x (see
+    # l2_normalize) — the tokenization here is evaluated once per row
+    # (2000-token docs show no quadratic blowup: 2.98 s vs 2.71 s for
+    # a lambda-variable-bound rewrite, while at fixture doc sizes the
+    # wrapper's nesting overhead made that rewrite 2x SLOWER:
+    # 0.26 -> 0.52 s at sf0.1). Keep the direct form.
     toks = tokens(text)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.transform(

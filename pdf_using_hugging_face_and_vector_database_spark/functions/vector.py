@@ -65,11 +65,24 @@ def l2_normalize(a: Column | str) -> Column:
     and deterministic in both engines.
     """
     a = F.col(a) if isinstance(a, str) else a
-    norm = l2_norm(a)
-    return F.transform(
-        a,
-        lambda x: F.when(norm == 0.0, F.lit(0.0)).otherwise(
-            x.cast("double") / norm
+    # The squared norm is folded ONCE per row and bound as the finish
+    # lambda's variable (r15 review wave 11 — the library function
+    # itself carried the round's CollapseProject lesson: referencing
+    # the norm aggregate inside the transform lambda re-evaluates the
+    # O(dim) fold per ELEMENT, twice — O(2*dim^2)/row. A lambda
+    # VARIABLE is the one binding the optimizer cannot inline away;
+    # same shape as the embedder's finish-lambda normalize). The fold
+    # is the identical zip_with + left fold as dot(a, a), so sq — and
+    # every downstream component — is bit-identical to the old form.
+    return F.aggregate(
+        F.zip_with(a, a, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+        lambda sq: F.transform(
+            a,
+            lambda x: F.when(F.sqrt(sq) == 0.0, F.lit(0.0)).otherwise(
+                x.cast("double") / F.sqrt(sq)
+            ),
         ),
     )
 

@@ -3623,14 +3623,29 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(i + 1).alias("stage_idx"),
                 F.lit(stage).alias("stage"),
                 F.col(f"n_{stage}").alias("n_users"),
+                # try_divide (r15 review wave 11, the cosine ANSI
+                # class): a stage with ZERO reached users is a
+                # legitimate input shape (sparse event mix, filtered
+                # window) and the stage counts are GLOBAL aggregates,
+                # so 0 reaches this denominator — plain / is a
+                # query-killing DIVIDE_BY_ZERO under ANSI (doubles
+                # included, measured) while the DuckDB twin's / is
+                # NULL. NULL conversion from an empty stage is the
+                # agreed fate in both engines.
                 F.round(
-                    F.col(f"n_{stage}").cast("double")
-                    / F.col(f"n_{FUNNEL_STAGES[max(i - 1, 0)]}").cast("double"),
+                    F.try_divide(
+                        F.col(f"n_{stage}").cast("double"),
+                        F.col(f"n_{FUNNEL_STAGES[max(i - 1, 0)]}").cast(
+                            "double"
+                        ),
+                    ),
                     6,
                 ).alias("conv_from_prev"),
                 F.round(
-                    F.col(f"n_{stage}").cast("double")
-                    / F.col(f"n_{FUNNEL_STAGES[0]}").cast("double"),
+                    F.try_divide(
+                        F.col(f"n_{stage}").cast("double"),
+                        F.col(f"n_{FUNNEL_STAGES[0]}").cast("double"),
+                    ),
                     6,
                 ).alias("conv_from_first"),
             )
@@ -5409,8 +5424,16 @@ def lsh_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_truth, n_cand, n_hits)],
         "n_truth long, n_candidates long, n_hits long",
     )
+    # try_divide (r15 review wave 11, the cosine ANSI class): a corpus
+    # with NO exact near-dup pairs above the threshold is a legitimate
+    # input (n_truth = 0), and plain / would be a query-killing ANSI
+    # DIVIDE_BY_ZERO where the DuckDB twin's / is NULL — NULL recall
+    # (and a NULL recall_ok gate) is the agreed fate in both engines.
     recall = F.round(
-        F.col("n_hits").cast("double") / F.col("n_truth").cast("double"), 6
+        F.try_divide(
+            F.col("n_hits").cast("double"), F.col("n_truth").cast("double")
+        ),
+        6,
     )
     return row.select(
         "n_truth",

@@ -113,6 +113,76 @@ def test_funnel_is_ordered(spark, sf_dir):
         assert rows[i].conv_from_first <= rows[i - 1].conv_from_first
 
 
+def test_funnel_survives_empty_stage(spark, sf_dir, tmp_path):
+    """r15 review wave 11 (the cosine ANSI class): an event mix with
+    ZERO users reaching a stage is a legitimate input, the stage
+    counts are GLOBAL aggregates (count 0, not a missing row), and
+    Spark 4 ANSI raises DIVIDE_BY_ZERO on DOUBLE division too
+    (measured) — so the old plain-division funnel CRASHED on any
+    fixture slice missing a stage while the DuckDB twin answered
+    NULL. The contract now pinned in both engines: an empty stage's
+    conversions (and every later stage's) are NULL. Fails (crashes)
+    on the old code."""
+    import duckdb
+
+    from pdf_using_hugging_face_and_vector_database_spark.queries import (
+        funnel_conversion,
+    )
+
+    sliced = str(tmp_path / "noclick")
+    (tmp_path / "noclick").mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.filter(F.col("event_type") != "click").write.parquet(
+        f"{sliced}/events.parquet"
+    )
+    rows = {
+        r.stage_idx: r for r in funnel_conversion(spark, sliced).collect()
+    }
+    assert rows[3].n_users == 0 and rows[4].n_users == 0
+    # stage 3 ('click'): 0 / n_view = 0.0; stage 4: 0 / 0 = NULL
+    assert rows[3].conv_from_prev == 0.0
+    assert rows[4].conv_from_prev is None
+    assert rows[4].conv_from_first == 0.0
+    # the DuckDB twin agrees on the NULL fate (plain / is NULL there)
+    got = duckdb.sql(
+        "SELECT 0::DOUBLE / 0::DOUBLE, 0::DOUBLE / 5::DOUBLE"
+    ).fetchone()
+    assert got == (None, 0.0)
+
+
+def test_recall_division_contract():
+    """r15 review wave 11, same class: lsh_exact_audit's recall is
+    n_hits / n_truth and a corpus with NO truth pairs above the
+    threshold (n_truth = 0) is legitimate — the certified kernel uses
+    try_divide (NULL recall, NULL gate, the DuckDB / fate); the naive
+    plain division is a query-killing ANSI error (measured here)."""
+    import pytest
+
+    from pdf_using_hugging_face_and_vector_database_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark()
+    row = spark.createDataFrame([(0, 0)], "n_hits long, n_truth long")
+    ok = row.select(
+        F.round(
+            F.try_divide(
+                F.col("n_hits").cast("double"),
+                F.col("n_truth").cast("double"),
+            ),
+            6,
+        ).alias("r")
+    ).collect()[0]["r"]
+    assert ok is None
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        row.select(
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("r")
+        ).collect()
+
+
 def test_retention_offsets_monotone_sane(spark, sf_dir):
     from pdf_using_hugging_face_and_vector_database_spark.queries import (
         retention_cohorts,

@@ -551,6 +551,28 @@ def test_right_outer_range_join_plan_shape(spark, sf_dir):
     assert "leftouter" not in low.replace(" ", ""), plan
 
 
+def test_l2_normalize_folds_norm_once_per_row(spark, sf_dir):
+    """r15 review wave 11: the LIBRARY l2_normalize carried the same
+    shape the LSH WATCH root cause exposed — the norm aggregate
+    referenced inside the transform lambda appears TWICE in the
+    optimized plan (guard condition + divisor) and re-evaluates the
+    O(dim) fold per element (measured 2.58 s vs 0.244 s for the
+    sf0.1 embeddings table — 10.6x). The fix binds the squared norm
+    as the aggregate's finish-lambda VARIABLE (the embedder's shape),
+    so the optimized plan carries exactly ONE aggregate and values
+    stay bit-identical (measured: zero per-component differences over
+    the full embeddings fixture). Fails on the old form (two
+    aggregates, both inside the per-element lambda)."""
+    from pdf_using_hugging_face_and_vector_database_spark.functions.vector import (
+        l2_normalize,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj = emb.select(l2_normalize("embedding").alias("nv"))
+    optimized = proj._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("aggregate(") == 1, optimized[:2000]
+
+
 def test_lsh_fitted_features_have_no_interpreted_norm(spark, sf_dir):
     """r15 LSH WATCH root cause: the r14 zero-guard materialized the
     norm as a helper column, but CollapseProject inlines a
