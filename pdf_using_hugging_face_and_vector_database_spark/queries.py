@@ -4661,19 +4661,24 @@ def datasketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (
             "kll_p50",
-            round(row["p50"], 6),
+            row["p50"],
             abs(row["k50"] - row["p50"]) <= 0.02 * abs(row["p50"]),
         ),
         (
             "kll_p95",
-            round(row["p95"], 6),
+            row["p95"],
             abs(row["k95"] - row["p95"]) <= 0.02 * abs(row["p95"]),
         ),
     ]
+    # the 6dp rounding runs through F.round (HALF_UP, == DuckDB's),
+    # not Python's round (banker's) — r15 wave 11, the
+    # decimal_tie_round lesson applied to a result-boundary value (a
+    # percentile landing exactly on a 6dp tie would have rounded
+    # differently from the oracle twin)
     return spark.createDataFrame(
-        [(m, v, bool(ok)) for m, v, ok in rows],
+        [(m, float(v), bool(ok)) for m, v, ok in rows],
         "metric string, exact double, err_ok boolean",
-    )
+    ).withColumn("exact", F.round("exact", 6))
 
 
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5189,12 +5194,14 @@ def q3_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 assigned.count(),
                 n_again == 0,
                 int(t["vec_id"]),
-                float(round(t["score"], 6)),
+                float(t["score"]),
             )
         ],
         "n_base long, n_appended long, n_total long, "
         "reappend_noop boolean, top1_id long, top1_score double",
-    )
+        # F.round, not Python round (r15 wave 11): a cosine landing on
+        # a 6dp tie would round banker's here vs half-away in the twin
+    ).withColumn("top1_score", F.round("top1_score", 6))
 
 
 def impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6270,23 +6277,33 @@ def equidepth_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         if lo_bin is None or hi_bin is None:
             # unreachable with n_rows >= k (ntile is row-based, so no
             # bucket is ever empty), kept as a failing-gate fallback
-            out.append((i, round(ecuts[i - 1], 6), None, None,
+            out.append((i, ecuts[i - 1], None, None,
                         bool(near), False, False, n_rows))
             continue
         separates = lo_bin[0] <= acuts[i - 1] <= hi_bin[1]
         out.append(
             (
                 i,
-                round(ecuts[i - 1], 6),
-                round(lo_bin[1], 6),
-                round(hi_bin[0], 6),
+                ecuts[i - 1],
+                lo_bin[1],
+                hi_bin[0],
                 bool(near),
                 bool(separates),
                 bool(balanced),
                 n_rows,
             )
         )
-    return spark.createDataFrame(out, schema)
+    # the 6dp rounding of the three result-boundary doubles runs
+    # through F.round (HALF_UP, == the twin's DuckDB round), not
+    # Python's banker's round (r15 wave 11 — the decimal_tie_round
+    # lesson; the gate booleans above are computed in UNROUNDED space
+    # and are unaffected)
+    return (
+        spark.createDataFrame(out, schema)
+        .withColumn("exact_cut", F.round("exact_cut", 6))
+        .withColumn("hi_below", F.round("hi_below", 6))
+        .withColumn("lo_above", F.round("lo_above", 6))
+    )
 
 
 def store_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
