@@ -30,6 +30,8 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_distinct: bool = False,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list (one row per distinct edge).
 
@@ -38,29 +40,51 @@ def pagerank(
     the standard join-based formulation), and teleport mass (1-d)/N
     goes to every node each round. Returns (node, rank) with rank
     rounded to 6 dp.
+
+    ``assume_distinct``: the caller proves the edge list is already
+    one row per distinct edge — skips the defensive ``.distinct()``,
+    which is a full shuffle of the edge table (the single biggest
+    Exchange of the query at corpus scale; r15 optimization).
+    ``assume_symmetric``: the caller proves every node appears as a
+    src (e.g. the edge list carries both directions) — the node set
+    is then exactly the out-degree table's key set, so node discovery
+    rides the degree aggregation instead of paying its own
+    union+distinct shuffle, and every node has ``out_deg >= 1``.
     """
     from ..caching import persist_tracked
 
-    edges = persist_tracked(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-    )
-    nodes = persist_tracked(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n = nodes.count()
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = persist_tracked(edges)
+    # out_deg is carried IN the rank vector (one column of the
+    # node-scale table) instead of re-joined every round: the per-round
+    # rank/out_deg division reads it in place, removing one join (and
+    # its exchange) from each of the n_iters rounds (r15 optimization).
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    if assume_symmetric:
+        node_deg = persist_tracked(
+            deg.select(F.col("src").alias("node"), "out_deg")
+        )
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        node_deg = persist_tracked(
+            nodes.join(
+                deg.withColumnRenamed("src", "node"), "node", "left"
+            )
+        )
+    n = node_deg.count()
     if n == 0:
         # an empty edge table has no ranks — return the empty result
         # with the contract schema instead of a driver-side
         # ZeroDivisionError in 1.0/n (r10 review)
-        return nodes.select("node", F.lit(0.0).alias("rank"))
-    deg = persist_tracked(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    )
-    ranks = nodes.select(
-        "node", F.round(F.lit(1.0 / n), 9).alias("rank")
+        return node_deg.select("node", F.lit(0.0).alias("rank"))
+    ranks = node_deg.select(
+        "node", "out_deg", F.round(F.lit(1.0 / n), 9).alias("rank")
     )
     teleport = (1.0 - damping) / n
     for _ in range(n_iters):
@@ -75,16 +99,12 @@ def pagerank(
         # same value per edge bit-for-bit, but the division + 9 dp
         # round run |nodes| times per round instead of |edges| times
         # (the per-edge work left is the decimal cast + sum the
-        # cross-engine associativity-proofing requires)
-        rd = (
-            ranks.alias("r")
-            .join(deg.alias("d"), F.col("r.node") == F.col("d.src"))
-            .select(
-                F.col("d.src").alias("src"),
-                F.round(F.col("r.rank") / F.col("d.out_deg"), 9).alias(
-                    "contrib"
-                ),
-            )
+        # cross-engine associativity-proofing requires). Nodes with no
+        # out-edges contribute nothing — the old deg inner join dropped
+        # them; the out_deg filter keeps the same contract.
+        rd = ranks.filter(F.col("out_deg").isNotNull()).select(
+            F.col("node").alias("src"),
+            F.round(F.col("rank") / F.col("out_deg"), 9).alias("contrib"),
         )
         contribs = (
             edges.join(F.broadcast(rd), "src")
@@ -94,8 +114,9 @@ def pagerank(
             )
         )
         ranks = persist_tracked(
-            nodes.join(contribs, "node", "left").select(
+            node_deg.join(contribs, "node", "left").select(
                 "node",
+                "out_deg",
                 F.round(
                     F.lit(teleport)
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),

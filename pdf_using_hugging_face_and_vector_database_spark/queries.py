@@ -4630,9 +4630,6 @@ def datasketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey").alias("sk")
     )
-    est_union = grouped.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("v")
-    ).head()["v"]
     direct = li.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est"),
         F.countDistinct("l_partkey").alias("exact"),
@@ -4640,14 +4637,37 @@ def datasketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
     )
-    row = direct.select(
-        "est",
-        "exact",
-        "p50",
-        "p95",
-        F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("k50"),
-        F.kll_sketch_get_quantile_double("kll", F.lit(0.95)).alias("k95"),
-    ).head()
+    # The two legs are INDEPENDENT jobs over the same scan; run the two
+    # driver actions concurrently so the second job's tasks back-fill
+    # the first job's stragglers (guide §2.6) — wall becomes
+    # max(leg, leg) instead of leg + leg, with identical results.
+    # (A single-pass rollup variant was A/B-measured and REJECTED:
+    # the grouping-set Expand doubles every KLL/HLL update and the
+    # partial sketches shuffle twice — 21.7 -> 45.7 MB shuffled and
+    # ~3x the aggregate CPU at sf0.1. Two cheap scans beat one
+    # double-cost aggregation; receipt in OPTIMIZATION_r15.md.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _union_leg():
+        return grouped.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("v")
+        ).head()["v"]
+
+    def _direct_leg():
+        return direct.select(
+            "est",
+            "exact",
+            "p50",
+            "p95",
+            F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("k50"),
+            F.kll_sketch_get_quantile_double("kll", F.lit(0.95)).alias("k95"),
+        ).head()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_union = pool.submit(_union_leg)
+        f_direct = pool.submit(_direct_leg)
+        est_union = f_union.result()
+        row = f_direct.result()
     rows = [
         (
             "hll_direct",
@@ -5028,7 +5048,20 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(edges, n_iters=PR_ITERS, damping=PR_DAMPING)
+    # edges are provably distinct (ipairs is distinct; the c/s id
+    # prefixes make the two union directions disjoint) and symmetric
+    # (every node appears as a src) — skipping the operator's
+    # defensive edge distinct removes the largest Exchange of the
+    # query (the full 2|pairs|-row string-pair shuffle), and node
+    # discovery rides the out-degree aggregation (r15 optimization;
+    # values bit-identical, oracle hash unchanged).
+    return pagerank(
+        edges,
+        n_iters=PR_ITERS,
+        damping=PR_DAMPING,
+        assume_distinct=True,
+        assume_symmetric=True,
+    )
 
 
 def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

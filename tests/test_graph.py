@@ -73,3 +73,22 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(edges)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_pagerank_assume_flags_match_defensive_path(spark):
+    """r15 optimization: on a provably distinct, symmetric edge list
+    the assume_distinct/assume_symmetric fast path (no edge distinct,
+    node set derived from the out-degree aggregation, out_deg carried
+    in the rank vector) returns EXACTLY the defensive path's ranks."""
+    base = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+    sym = sorted(set(base) | {(d, s) for s, d in base})
+    df = spark.createDataFrame(sym, "src string, dst string")
+    slow = {r.node: r.rank for r in pagerank(df, n_iters=4).collect()}
+    fast = {
+        r.node: r.rank
+        for r in pagerank(
+            df, n_iters=4, assume_distinct=True, assume_symmetric=True
+        ).collect()
+    }
+    assert fast == slow
+    assert fast == _py_pagerank(sym, n_iters=4)
