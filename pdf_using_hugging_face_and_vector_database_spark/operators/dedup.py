@@ -588,15 +588,26 @@ def neardup_representatives(
                 )
                 D = spark.read.parquet(scratch_dir + f"/edges_{rnd % 2 + 1}")
         else:
+            from pyspark.sql import Observation
+
             prev = None
             converged = False
             for rnd in range(max_rounds):
                 out = _small_star(_large_star(D))
+                # the convergence triple rides the WRITE job as an
+                # Observation instead of a second job re-reading the
+                # just-written parquet (r15 optimization: one job per
+                # round instead of two, one less scan per round; the
+                # metrics are computed over the exact rows written, so
+                # fixpoint detection — and therefore the round count
+                # and the result — is unchanged)
+                obs = Observation(f"cc_round_{rnd}")
+                out = out.observe(obs, *triple)
                 out.write.mode("overwrite").parquet(
                     scratch_dir + f"/edges_{rnd % 2 + 1}"
                 )
                 D = spark.read.parquet(scratch_dir + f"/edges_{rnd % 2 + 1}")
-                st = D.agg(*triple).head()
+                st = obs.get
                 key = (st["c"], st["sh"], st["sl"], st["hx"])
                 if key == prev:
                     converged = True

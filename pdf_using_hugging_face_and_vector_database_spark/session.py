@@ -23,6 +23,41 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Scratch space floor for preferring RAM-backed local dirs: leave
+# plenty of headroom — test-scale shuffle/state files are MBs.
+_SHM_MIN_FREE_BYTES = 16 * 2**30
+
+
+def scratch_local_dir() -> str | None:
+    """Directory for Spark's node-local scratch I/O (shuffle files,
+    spills, temp streaming checkpoints via java.io.tmpdir).
+
+    Spark's default is /tmp, which on this machine is the shared data
+    disk: every shuffle write and state-store commit then contends
+    with unrelated disk traffic (measured r15: the streaming interval
+    join reads 3.9 s on a quiet disk but 45-75 s during the box's
+    recurring external I/O waves, while the same query on tmpfs stays
+    at ~9 s under the same waves). Production analogue: point
+    spark.local.dir at the fastest node-local storage (NVMe/RAM disk),
+    never at a shared or network volume — the same knob, sized to the
+    node. Override with $SPARK_GRAFT_LOCAL_DIR; empty string disables
+    the tmpfs preference.
+    """
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override is not None:
+        return override or None
+    if os.path.isdir("/dev/shm"):
+        import shutil
+
+        try:
+            if shutil.disk_usage("/dev/shm").free >= _SHM_MIN_FREE_BYTES:
+                d = "/dev/shm/sparkgraft_local"
+                os.makedirs(d, exist_ok=True)
+                return d
+        except OSError:
+            return None
+    return None
+
 
 def get_spark(
     app_name: str = "pdf_hf_vdb_spark",
@@ -57,6 +92,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
     )
+    local_dir = scratch_local_dir()
+    if local_dir:
+        # shuffle files + spills; java.io.tmpdir additionally moves the
+        # bounded-replay streams' TEMP checkpoints (their state-store
+        # commit fsyncs are the disk-sensitive path). Explicit
+        # checkpoint dirs passed by callers (matview/recovery) are
+        # durable-storage decisions and are not affected. Only
+        # effective when this builder launches the JVM — an already-
+        # running session keeps its dirs, which is the safe behavior.
+        builder = builder.config("spark.local.dir", local_dir).config(
+            "spark.driver.extraJavaOptions", f"-Djava.io.tmpdir={local_dir}"
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
