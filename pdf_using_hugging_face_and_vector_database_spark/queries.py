@@ -215,6 +215,22 @@ def _dsum(col) -> F.Column:
     return F.sum(col.cast(DEC)).cast("double")
 
 
+def _overlap(*thunks):
+    """Run INDEPENDENT driver actions concurrently so a later job's
+    tasks back-fill the earlier job's straggler tail (optimization
+    guide §2.6 — Spark's scheduler happily runs several jobs at once;
+    actions are only sequential because driver code calls them
+    sequentially). Results are positionally returned. Only for legs
+    with no data dependency and no side-effect ordering; values are
+    identical to the sequential form by construction (r15
+    optimization round)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 # ---------------- vector search (Q1/Q2/Q4/Q5) ----------------
 
 def q1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3326,21 +3342,30 @@ def q3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = probe_ivf_index(spark, path, qv, k=10, nprobe=ANN_NPROBE).select(
         "vec_id", F.round("score", 6).alias("score")
     )
-    rows = probe.collect()  # <= k rows — driver-side gate assembly only
     scored = emb.select(
         "vec_id", F.round(cosine(F.col("embedding"), F.array([F.lit(float(x)) for x in qv])), 6).alias("s")
     )
-    truth = {
-        r["vec_id"]: r["s"]
-        for r in scored.filter(
-            F.col("vec_id").isin([r["vec_id"] for r in rows])
-        ).collect()
-    }
+
+    def _probe_leg():
+        rows = probe.collect()  # <= k rows — driver-side gate assembly
+        truth = {
+            r["vec_id"]: r["s"]
+            for r in scored.filter(
+                F.col("vec_id").isin([r["vec_id"] for r in rows])
+            ).collect()
+        }
+        return rows, truth
+
+    def _exact_leg():
+        return {r["vec_id"] for r in topk_cosine(emb, qv, k=10).collect()}
+
+    # the exact-top-10 scan is independent of the probe chain — run
+    # both legs concurrently (_overlap, guide §2.6); identical values
+    (rows, truth), exact_ids = _overlap(_probe_leg, _exact_leg)
     scores_exact_ok = all(truth.get(r["vec_id"]) == r["score"] for r in rows)
     sorted_ok = all(
         rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1)
     )
-    exact_ids = {r["vec_id"] for r in topk_cosine(emb, qv, k=10).collect()}
     recall_ok = len(exact_ids & {r["vec_id"] for r in rows}) / 10 >= 0.4
     return spark.range(1).select(
         F.lit(len(rows)).cast("int").alias("k"),
@@ -3466,8 +3491,12 @@ def q3_ann_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_length=ANN_JOIN_BUCKET_LEN, num_hash_tables=ANN_JOIN_TABLES
     ).fit(emb)
     approx = idx.similarity_self_join(max_cos_dist=1.0 - ANN_JOIN_COS)
-    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
-    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    # the persisted-truth read and the LSH self-join are independent
+    # jobs — overlap the two collects (guide §2.6); identical values
+    exact_pairs, approx_pairs = _overlap(
+        lambda: {(r["id_a"], r["id_b"]) for r in exact.collect()},
+        lambda: {(r["id_a"], r["id_b"]) for r in approx.collect()},
+    )
     overlap = len(exact_pairs & approx_pairs)
     recall_ok = (not exact_pairs) or overlap / len(exact_pairs) >= 0.9
     precision_ok = (not approx_pairs) or overlap / len(approx_pairs) >= 0.9
@@ -3503,17 +3532,27 @@ def q3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = idx.query(qv, k=10).select(
         "vec_id", F.round("distCol", 6).alias("eucl_dist")
     )
-    rows = out.collect()  # <= k rows — driver-side gate assembly only
     scored = emb.select(
         "vec_id",
         cosine(F.col("embedding"), F.array([F.lit(float(x)) for x in qv])).alias("s"),
     )
-    truth = {
-        r["vec_id"]: math.sqrt(max(0.0, 2.0 - 2.0 * r["s"]))
-        for r in scored.filter(
-            F.col("vec_id").isin([r["vec_id"] for r in rows])
-        ).collect()
-    }
+
+    def _probe_leg():
+        rows = out.collect()  # <= k rows — driver-side gate assembly
+        truth = {
+            r["vec_id"]: math.sqrt(max(0.0, 2.0 - 2.0 * r["s"]))
+            for r in scored.filter(
+                F.col("vec_id").isin([r["vec_id"] for r in rows])
+            ).collect()
+        }
+        return rows, truth
+
+    def _exact_leg():
+        return {r["vec_id"] for r in topk_cosine(emb, qv, k=10).collect()}
+
+    # exact-top-10 leg is independent of the LSH probe chain — overlap
+    # the driver actions (guide §2.6); identical values
+    (rows, truth), exact_ids = _overlap(_probe_leg, _exact_leg)
     dists_exact_ok = all(
         abs(truth.get(r["vec_id"], float("inf")) - r["eucl_dist"]) <= 2e-6
         for r in rows
@@ -3522,7 +3561,6 @@ def q3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows[i]["eucl_dist"] <= rows[i + 1]["eucl_dist"]
         for i in range(len(rows) - 1)
     )
-    exact_ids = {r["vec_id"] for r in topk_cosine(emb, qv, k=10).collect()}
     recall_ok = len(exact_ids & {r["vec_id"] for r in rows}) / 10 >= 0.5
     return spark.range(1).select(
         F.lit(len(rows)).cast("int").alias("k"),
@@ -4646,8 +4684,6 @@ def datasketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial sketches shuffle twice — 21.7 -> 45.7 MB shuffled and
     # ~3x the aggregate CPU at sf0.1. Two cheap scans beat one
     # double-cost aggregation; receipt in OPTIMIZATION_r15.md.)
-    from concurrent.futures import ThreadPoolExecutor
-
     def _union_leg():
         return grouped.agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("v")
@@ -4663,11 +4699,7 @@ def datasketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.kll_sketch_get_quantile_double("kll", F.lit(0.95)).alias("k95"),
         ).head()
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_union = pool.submit(_union_leg)
-        f_direct = pool.submit(_direct_leg)
-        est_union = f_union.result()
-        row = f_direct.result()
+    est_union, row = _overlap(_union_leg, _direct_leg)
     rows = [
         (
             "hll_direct",
@@ -5211,20 +5243,28 @@ def q3_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         append_ivf_index(spark, path, holdout, tag="holdout")
         set_index_fingerprint(path, fp)
-    n_base = base.count()
-    n_holdout = holdout.count()
     # same-tag re-append: must be the no-op path every retry takes
+    # (runs FIRST — it owns the store-mutation ordering; the legs
+    # below are read-only and independent, so they overlap: §2.6)
     n_again = append_ivf_index(spark, path, holdout, tag="holdout")
     assigned = spark.read.parquet(_os.path.join(path, "assigned"))
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
-    top = probe_ivf_index(spark, path, qv, k=1, nprobe=ANN_NPROBE)
-    t = top.collect()[0]
+
+    def _probe_leg():
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+        ]
+        return probe_ivf_index(spark, path, qv, k=1, nprobe=ANN_NPROBE).collect()[0]
+
+    n_base, n_holdout, n_total, t = _overlap(
+        base.count, holdout.count, assigned.count, _probe_leg
+    )
     return spark.createDataFrame(
         [
             (
                 n_base,
                 n_holdout,
-                assigned.count(),
+                n_total,
                 n_again == 0,
                 int(t["vec_id"]),
                 float(t["score"]),
@@ -5455,8 +5495,10 @@ def lsh_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("id_a", "id_b")
     )
     hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
-    n_truth = truth.count()
-    n_cand = cand.count()
+    # truth (store read) and cand (LSH banding) are independent —
+    # overlap their counts, which also materializes both caches; the
+    # hits count then runs over cached inputs (guide §2.6)
+    n_truth, n_cand = _overlap(truth.count, cand.count)
     n_hits = hits.count()
     # recall arithmetic through Spark's round (HALF_UP, == DuckDB's),
     # NOT Python's round (banker's) — boundary values must agree
