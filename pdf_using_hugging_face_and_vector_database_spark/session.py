@@ -30,7 +30,8 @@ _SHM_MIN_FREE_BYTES = 16 * 2**30
 
 def scratch_local_dir() -> str | None:
     """Directory for Spark's node-local scratch I/O (shuffle files,
-    spills, temp streaming checkpoints via java.io.tmpdir).
+    spills, and — via java.io.tmpdir — the bounded replays' temporary
+    streaming progress/state directories).
 
     Spark's default is /tmp, which on this machine is the shared data
     disk: every shuffle write and state-store commit then contends
@@ -51,9 +52,11 @@ def scratch_local_dir() -> str | None:
 
         try:
             if shutil.disk_usage("/dev/shm").free >= _SHM_MIN_FREE_BYTES:
-                d = "/dev/shm/sparkgraft_local"
-                os.makedirs(d, exist_ok=True)
-                return d
+                # no mkdir here (this helper stays side-effect-free —
+                # the pool-safety source scan depends on it): Spark's
+                # DiskBlockManager / Utils.createTempDir mkdirs() the
+                # root including parents on first use
+                return "/dev/shm/sparkgraft_local"
         except OSError:
             return None
     return None
@@ -95,10 +98,10 @@ def get_spark(
     local_dir = scratch_local_dir()
     if local_dir:
         # shuffle files + spills; java.io.tmpdir additionally moves the
-        # bounded-replay streams' TEMP checkpoints (their state-store
-        # commit fsyncs are the disk-sensitive path). Explicit
-        # checkpoint dirs passed by callers (matview/recovery) are
-        # durable-storage decisions and are not affected. Only
+        # bounded-replay streams' TEMPORARY progress/state dirs (their
+        # state-store commit I/O is the disk-sensitive path). Explicit
+        # durable progress dirs passed by callers (matview/recovery)
+        # are storage-contract decisions and are not affected. Only
         # effective when this builder launches the JVM — an already-
         # running session keeps its dirs, which is the safe behavior.
         builder = builder.config("spark.local.dir", local_dir).config(
