@@ -196,6 +196,139 @@ def run_to_completion(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# ---- load-robust structural metrics (r15 verdict item 1) ----
+#
+# Wall seconds on this box are contaminated by external co-tenant load
+# waves (documented r14/r15). The bench therefore ALSO records, per
+# query, aggregate task metrics parsed from the Spark event log —
+# jobs/stages/tasks, executor CPU seconds, shuffle bytes, input bytes —
+# which are load-independent plan facts the judge can check against
+# the committed plans. Additions-only: the timed region, methodology
+# and every existing JSON field are unchanged; set
+# SPARK_GRAFT_BENCH_EVENTLOG=0 to run the bench exactly as before.
+
+_EVENTLOG_KEYS = (
+    "jobs", "stages", "tasks", "cpu_sec", "run_sec",
+    "shuffle_write_mb", "shuffle_read_mb", "input_mb",
+)
+
+
+class _EventLogReader:
+    """Incremental aggregate-task-metrics reader over a (rolling)
+    Spark event-log directory: every drain() consumes only bytes
+    appended since the previous drain, so attributing events to the
+    query that just ran is O(new events), not O(log so far). Partial
+    trailing lines are left unconsumed until the writer completes
+    them. Every failure degrades to zeros — metrics are additive
+    observability and must never break the sweep."""
+
+    def __init__(self, evdir: str):
+        self.evdir = evdir
+        self._off: dict[str, int] = {}
+
+    def _files(self) -> list[str]:
+        import glob
+
+        out = []
+        for root in sorted(glob.glob(os.path.join(self.evdir, "*"))):
+            if os.path.isdir(root):
+                # Spark 4 rolling layout: eventlog_v2_*/events_N_*
+                parts = glob.glob(os.path.join(root, "events_*"))
+
+                def _idx(p: str) -> int:
+                    try:
+                        return int(os.path.basename(p).split("_")[1])
+                    except (IndexError, ValueError):
+                        return 1 << 30
+
+                out.extend(sorted(parts, key=_idx))
+            else:
+                out.append(root)
+        return out
+
+    def drain(self) -> dict:
+        m = {k: 0 for k in _EVENTLOG_KEYS}
+        try:
+            files = self._files()
+        except OSError:
+            return m
+        for path in files:
+            try:
+                self._drain_file(path, m)
+            except OSError:
+                continue
+        for k in list(m):
+            if isinstance(m[k], float):
+                m[k] = round(m[k], 3)
+        return m
+
+    def _drain_file(self, path: str, m: dict) -> None:
+        off = self._off.get(path, 0)
+        size = os.path.getsize(path)
+        if size <= off:
+            return
+        with open(path, "rb") as f:
+            f.seek(off)
+            buf = f.read(size - off)
+        # consume whole lines only; an in-flight partial line stays
+        # for the next drain (the writer flushes on job boundaries,
+        # so by the post-run drain the run's events are complete)
+        end = buf.rfind(b"\n")
+        if end < 0:
+            return
+        self._off[path] = off + end + 1
+        for line in buf[: end + 1].splitlines():
+            try:
+                ev = json.loads(line)
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                continue
+            et = ev.get("Event")
+            if et == "SparkListenerJobStart":
+                m["jobs"] += 1
+            elif et == "SparkListenerStageCompleted":
+                m["stages"] += 1
+            elif et == "SparkListenerTaskEnd":
+                m["tasks"] += 1
+                tm = ev.get("Task Metrics") or {}
+                m["cpu_sec"] += tm.get("Executor CPU Time", 0) / 1e9
+                m["run_sec"] += tm.get("Executor Run Time", 0) / 1e3
+                sw = tm.get("Shuffle Write Metrics") or {}
+                m["shuffle_write_mb"] += (
+                    sw.get("Shuffle Bytes Written", 0) / 1e6
+                )
+                sr = tm.get("Shuffle Read Metrics") or {}
+                m["shuffle_read_mb"] += (
+                    sr.get("Local Bytes Read", 0)
+                    + sr.get("Remote Bytes Read", 0)
+                ) / 1e6
+                im = tm.get("Input Metrics") or {}
+                m["input_mb"] += im.get("Bytes Read", 0) / 1e6
+
+
+def _eventlog_dir() -> str | None:
+    """Scratch location for the bench's event log (fresh per sweep).
+    Prefers tmpfs so log writes never touch the contended data disk;
+    returns None (metrics disabled) when the opt-out is set."""
+    if os.environ.get("SPARK_GRAFT_BENCH_EVENTLOG", "1") == "0":
+        return None
+    import shutil as _sh
+
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(root, "sparkgraft_evlog_bench")
+    _sh.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _bus_sync(spark) -> None:
+    """Flush the listener bus so the event log holds everything the
+    finished run produced (runs OUTSIDE the timed window)."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:
+        pass
+
+
 # a min-of-2 above this triggers one deferred third run (sustained
 # box-load guard); only the handful of genuinely-heavy queries cross it
 SPIKE_RERUN_SEC = 3.0
@@ -235,7 +368,18 @@ def _last_recorded(sf: float, path: str | None = None) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark(app_name="bench")
+    evdir = _eventlog_dir()
+    extra_conf = (
+        {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+        }
+        if evdir
+        else None
+    )
+    spark = get_spark(app_name="bench", extra_conf=extra_conf)
+    reader = _EventLogReader(evdir) if evdir else None
 
     # warmup: JVM + parquet footer caches + codegen paths, plus one
     # tiny applyInPandas job so the Python worker daemon's
@@ -255,19 +399,41 @@ def main() -> None:
     # belongs to the correctness harness's memory hygiene, and cache
     # teardown must not be billed to the query being measured.
     times: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
     retried: list[str] = []
+
+    def _load1() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except (OSError, ValueError):
+            return -1.0
+
     for name in BENCH_QUERIES:
         runs = []
         for _ in range(2):
             # full cold run each time: drop persisted intermediates so
             # the plan (not a cache hit) is measured; min-of-2 filters
             # the box's background-load spikes out of the numbers.
-            # Both teardown calls run OUTSIDE the timed window.
+            # Both teardown calls run OUTSIDE the timed window, as do
+            # the listener-bus flush and event-log drain.
             release_caches()
             spark.catalog.clearCache()
+            if reader:
+                _bus_sync(spark)
+                reader.drain()  # discard warmup/teardown events
+            load = _load1()
             t0 = time.time()
             run_to_completion(QUERIES[name](spark, sf_dir))
             runs.append(time.time() - t0)
+            if reader:
+                _bus_sync(spark)
+                m = reader.drain()
+                if runs[-1] == min(runs):
+                    # keep the min-wall run's metrics (structural
+                    # counts are run-invariant; CPU varies with load)
+                    m["load"] = load
+                    metrics[name] = m
         times[name] = round(min(runs), 3)
 
     # back-to-back runs share a load window: a SUSTAINED background
@@ -296,9 +462,20 @@ def main() -> None:
         retried.append(name)
         release_caches()
         spark.catalog.clearCache()
+        if reader:
+            _bus_sync(spark)
+            reader.drain()
+        load = _load1()
         t0 = time.time()
         run_to_completion(QUERIES[name](spark, sf_dir))
-        times[name] = round(min(times[name], time.time() - t0), 3)
+        dt = time.time() - t0
+        if reader:
+            _bus_sync(spark)
+            m = reader.drain()
+            if dt < times[name]:
+                m["load"] = load
+                metrics[name] = m
+        times[name] = round(min(times[name], dt), 3)
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -327,8 +504,22 @@ def main() -> None:
                 "run, outside the timed window; cold plans measured"
             ),
             "timed_region": "DataFrame build + noop-sink write",
+            "structural_metrics": (
+                "per-query aggregate task metrics (jobs/stages/tasks, "
+                "executor cpu_sec/run_sec, shuffle/input MB) parsed "
+                "from the Spark event log, attributed by draining the "
+                "flushed listener bus between runs (outside the timed "
+                "window); the kept entry is the min-wall run's, with "
+                "the 1-min loadavg at its start. Load-robust plan "
+                "facts (r15 verdict item 1); additions-only — "
+                "SPARK_GRAFT_BENCH_EVENTLOG=0 disables"
+                if metrics
+                else "disabled"
+            ),
         },
     }
+    if metrics:
+        payload["queries_metrics"] = metrics
     # The driver records only the LAST 2000 chars of stdout and tries
     # to json-parse them: the full 143-query payload is ~5 KB, so since
     # round 3 the recorded BENCH_r{N}.json had "parsed": null — the
@@ -357,6 +548,12 @@ def main() -> None:
                 "BENCH_current.queries.json" % (top, len(times))
             ),
         }
+        if metrics:
+            # one load-robust scalar on the driver-parsed line: total
+            # executor CPU seconds across all queries' min-wall runs
+            compact["cpu_sec_total"] = round(
+                sum(m.get("cpu_sec", 0) for m in metrics.values()), 1
+            )
         line = json.dumps(compact)
         if len(line) < 1900:
             break

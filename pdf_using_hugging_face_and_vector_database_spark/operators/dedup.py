@@ -614,6 +614,33 @@ def neardup_representatives(
                     break
                 prev = key
             if not converged:
+                # Spark documents that observed metrics on batch
+                # queries MAY double-report if a write stage is retried
+                # (r15 ADVICE): a corrupted triple can only DELAY the
+                # detected fixpoint, never fake one (a false match
+                # would need the corrupted triple to collide with the
+                # previous round's key), so the labels stay correct —
+                # but the max_rounds exhaustion could be spurious.
+                # Before failing, run ONE authoritative extra round
+                # with both triples computed by plain agg jobs (immune
+                # to double-reporting) and accept the fixpoint if it
+                # holds. Failure-path only: the happy path pays zero
+                # extra jobs.
+                ra = D.agg(*triple).head()
+                out = _small_star(_large_star(D))
+                out.write.mode("overwrite").parquet(
+                    scratch_dir + f"/edges_{max_rounds % 2 + 1}"
+                )
+                D = spark.read.parquet(
+                    scratch_dir + f"/edges_{max_rounds % 2 + 1}"
+                )
+                rb = D.agg(*triple).head()
+                fields = ("c", "sh", "sl", "hx")
+                if tuple(ra[f] for f in fields) == tuple(
+                    rb[f] for f in fields
+                ):
+                    converged = True
+            if not converged:
                 raise RuntimeError(
                     f"neardup_representatives did not converge within "
                     f"max_rounds={max_rounds}; raise max_rounds or pass an "

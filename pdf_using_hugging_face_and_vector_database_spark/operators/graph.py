@@ -50,7 +50,20 @@ def pagerank(
     is then exactly the out-degree table's key set, so node discovery
     rides the degree aggregation instead of paying its own
     union+distinct shuffle, and every node has ``out_deg >= 1``.
+
+    ``assume_symmetric`` is an UNVERIFIED caller promise (r15 ADVICE):
+    if it is passed on a graph where some node appears only as a dst,
+    those nodes are DROPPED FROM THE OUTPUT ENTIRELY — missing rows,
+    not merely wrong ranks — because the node set is derived from the
+    src side alone. Pass it only with a proof in hand (the engine's
+    one fast-path caller, queries.supplier_pagerank, unions both edge
+    directions so every node is a src by construction). Setting
+    ``SPARK_GRAFT_GRAPH_CHECKS=1`` verifies the promise at run time
+    (one anti-join count per call — debug tooling, not the product
+    path) and raises instead of silently dropping nodes.
     """
+    import os
+
     from ..caching import persist_tracked
 
     edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -63,6 +76,23 @@ def pagerank(
     # its exchange) from each of the n_iters rounds (r15 optimization).
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     if assume_symmetric:
+        if os.environ.get("SPARK_GRAFT_GRAPH_CHECKS") == "1":
+            # debug gate: a dst never appearing as a src falsifies the
+            # promise and would silently vanish from the result
+            n_bad = (
+                edges.select(F.col("dst").alias("node"))
+                .join(
+                    deg.select(F.col("src").alias("node")),
+                    "node",
+                    "left_anti",
+                )
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"assume_symmetric violated: {n_bad} dst rows whose "
+                    f"node never appears as a src would be dropped"
+                )
         node_deg = persist_tracked(
             deg.select(F.col("src").alias("node"), "out_deg")
         )

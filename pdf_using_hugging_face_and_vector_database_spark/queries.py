@@ -223,11 +223,35 @@ def _overlap(*thunks):
     sequentially). Results are positionally returned. Only for legs
     with no data dependency and no side-effect ordering; values are
     identical to the sequential form by construction (r15
-    optimization round)."""
-    from concurrent.futures import ThreadPoolExecutor
+    optimization round).
 
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+    Cluster posture (r15 verdict item 3): concurrency is CAPPED AT 2
+    in-flight legs — overlapping runs the legs' peak execution memory
+    simultaneously, and two concurrent full-table aggregations is the
+    worst case this engine submits (datasketch_gates); more than two
+    buys no tail-fill and only raises the spill risk. The overlapped
+    jobs share the session's default FIFO scheduler pool — the earlier
+    leg keeps priority and the later one back-fills idle slots, which
+    is exactly the wanted behavior; legs must be bounded gate actions
+    (small collects/counts), never unbounded result pulls. A failing
+    leg propagates as soon as it fails (FIRST_EXCEPTION) instead of
+    hiding behind an earlier slow leg (r15 ADVICE); already-running
+    legs still run to completion — Spark driver actions are not
+    cancellable mid-job — but no new leg starts after a failure."""
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
         futures = [pool.submit(t) for t in thunks]
+        done, _pending = wait(futures, return_when=FIRST_EXCEPTION)
+        for f in done:
+            if f.exception() is not None:
+                # cancel queued (not-yet-started) legs, then raise the
+                # first failure in submission order for determinism
+                for p in futures:
+                    p.cancel()
+                for p in futures:
+                    if not p.cancelled() and p.exception() is not None:
+                        raise p.exception()
         return [f.result() for f in futures]
 
 
@@ -5073,27 +5097,45 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
+    # Node identity stays a LONG through all five power rounds (r16,
+    # guide §2.3 "narrower types — halve the column, halve its shuffle
+    # bytes"): customers map to 2*custkey, suppliers to 2*suppkey+1
+    # (injective, ranges disjoint — the integer twin of the c/s string
+    # prefixes), so every per-round join/groupBy hashes and shuffles
+    # 8-byte longs instead of variable-width strings; the contract's
+    # "c<id>"/"s<id>" node strings are decoded ONCE from the final
+    # node-scale rank vector. The rank arithmetic never touches the
+    # key (identical contribution multiset per node, exact decimal
+    # sums are order-independent), so values are bit-identical and the
+    # oracle hash is unchanged (r16 receipt: cpu 29.5→lower, shuffle
+    # 35.6 MB→lower in OPTIMIZATION_r16.md).
+    ckey = F.col("o_custkey").cast("long")
+    skey = F.col("l_suppkey").cast("long")
     pairs = ipairs.select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (ckey * 2).alias("src"), (skey * 2 + 1).alias("dst")
     )
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # edges are provably distinct (ipairs is distinct; the c/s id
-    # prefixes make the two union directions disjoint) and symmetric
+    # edges are provably distinct (ipairs is distinct; even/odd long
+    # ranges make the two union directions disjoint) and symmetric
     # (every node appears as a src) — skipping the operator's
     # defensive edge distinct removes the largest Exchange of the
-    # query (the full 2|pairs|-row string-pair shuffle), and node
+    # query (the full 2|pairs|-row key-pair shuffle), and node
     # discovery rides the out-degree aggregation (r15 optimization;
     # values bit-identical, oracle hash unchanged).
-    return pagerank(
+    ranks = pagerank(
         edges,
         n_iters=PR_ITERS,
         damping=PR_DAMPING,
         assume_distinct=True,
         assume_symmetric=True,
     )
+    node = F.col("node")
+    decoded = F.when(
+        node % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+    return ranks.select(decoded.alias("node"), "rank")
 
 
 def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,9 +26,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Scratch space floor for preferring RAM-backed local dirs: leave
 # plenty of headroom — test-scale shuffle/state files are MBs.
 _SHM_MIN_FREE_BYTES = 16 * 2**30
+# Scale guard (r15 verdict item 2): shuffle + spill volume is bounded
+# by a small multiple of the input for every operator in this engine
+# (the plans project before each Exchange), but tmpfs fills are fatal
+# mid-run, so demand free space >= this multiple of the INPUT bytes
+# before routing scratch I/O at RAM. Inputs too big for that headroom
+# fall back to disk automatically.
+_SHM_INPUT_HEADROOM = 8
 
 
-def scratch_local_dir() -> str | None:
+def _input_bytes(sf_dir: str) -> int:
+    """Total bytes under the configured data dir (0 when absent)."""
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                total += os.stat(os.path.join(root, f)).st_size
+            except OSError:
+                continue
+    return total
+
+
+def scratch_local_dir(sf_dir: str | None = None) -> str | None:
     """Directory for Spark's node-local scratch I/O (shuffle files,
     spills, and — via java.io.tmpdir — the bounded replays' temporary
     streaming progress/state directories).
@@ -39,10 +58,20 @@ def scratch_local_dir() -> str | None:
     join reads 3.9 s on a quiet disk but 45-75 s during the box's
     recurring external I/O waves, while the same query on tmpfs stays
     at ~9 s under the same waves). Production analogue: point
-    spark.local.dir at the fastest node-local storage (NVMe/RAM disk),
-    never at a shared or network volume — the same knob, sized to the
-    node. Override with $SPARK_GRAFT_LOCAL_DIR; empty string disables
-    the tmpfs preference.
+    spark.local.dir at the fastest NODE-LOCAL storage — on a real
+    cluster that is NVMe, never a RAM disk sized below the job's
+    shuffle volume and never a shared/network volume — the same knob,
+    sized to the node. Override with $SPARK_GRAFT_LOCAL_DIR; empty
+    string disables the tmpfs preference.
+
+    Scale guard (r15 verdict): tmpfs is only preferred when /dev/shm
+    has >= max(16 GiB, 8x the configured input dir's bytes) free —
+    the free-space check runs once at session build, so the headroom
+    multiple is what protects a shuffle-heavy job at a larger SF from
+    filling RAM mid-run; oversized inputs fall back to the disk
+    default automatically. Spill on tmpfs consumes RAM alongside the
+    driver heap — the guard exists because a mid-run ENOSPC here is
+    an opaque job failure, not a slowdown.
     """
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if override is not None:
@@ -50,8 +79,15 @@ def scratch_local_dir() -> str | None:
     if os.path.isdir("/dev/shm"):
         import shutil
 
+        if sf_dir is None:
+            sf_dir = os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+            )
+        need = max(
+            _SHM_MIN_FREE_BYTES, _SHM_INPUT_HEADROOM * _input_bytes(sf_dir)
+        )
         try:
-            if shutil.disk_usage("/dev/shm").free >= _SHM_MIN_FREE_BYTES:
+            if shutil.disk_usage("/dev/shm").free >= need:
                 # no mkdir here (this helper stays side-effect-free —
                 # the pool-safety source scan depends on it): Spark's
                 # DiskBlockManager / Utils.createTempDir mkdirs() the
@@ -62,16 +98,55 @@ def scratch_local_dir() -> str | None:
     return None
 
 
+# Stale-scratch reaping (r15 ADVICE): a crashed run's shuffle dirs
+# under the tmpfs root hold RAM indefinitely (nothing else ever
+# touches them). Entries older than this are dead — a live session's
+# DiskBlockManager dirs are created at ITS launch, minutes-to-an-hour
+# ago at most in this harness — and are removed at the next JVM
+# launch, before the new session starts writing.
+_SCRATCH_STALE_SEC = 3600.0
+
+
+def _reap_stale_scratch(local_dir: str, now: float | None = None) -> None:
+    """Remove stale children of the tmpfs scratch root. Only called
+    from get_spark immediately before a NEW JVM launch (an existing
+    in-process session keeps its dirs; see the call site)."""
+    import shutil
+    import time
+
+    if now is None:
+        now = time.time()
+    try:
+        entries = os.listdir(local_dir)
+    except OSError:
+        return
+    for name in entries:
+        p = os.path.join(local_dir, name)
+        try:
+            if now - os.lstat(p).st_mtime < _SCRATCH_STALE_SEC:
+                continue
+            if os.path.isdir(p) and not os.path.islink(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.remove(p)
+        except OSError:
+            continue
+
+
 def get_spark(
     app_name: str = "pdf_hf_vdb_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
     ``shuffle_partitions`` defaults to the local core count — on a real
     cluster you would size it to ~2-3x total executor cores and let AQE
     coalesce; locally 200 default just adds scheduling overhead.
+    ``extra_conf`` adds caller-specific configs (e.g. the bench
+    harness's event-log instrumentation) — only effective when this
+    call launches the JVM, like every other builder config here.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
@@ -107,6 +182,17 @@ def get_spark(
         builder = builder.config("spark.local.dir", local_dir).config(
             "spark.driver.extraJavaOptions", f"-Djava.io.tmpdir={local_dir}"
         )
+        # reap a crashed run's stale scratch (r15 ADVICE: dead shuffle
+        # dirs on tmpfs hold RAM until something deletes them) — but
+        # only when THIS call is about to launch a fresh JVM; a live
+        # in-process session owns its dirs and keeps them
+        from pyspark import SparkContext
+
+        if SparkContext._active_spark_context is None:
+            _reap_stale_scratch(local_dir)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
