@@ -563,9 +563,49 @@ def neardup_representatives(
     own_scratch = scratch_dir is None
     if own_scratch:
         scratch_dir = tempfile.mkdtemp(prefix="sparkgraft_cc_")
+    # Loop-scoped execution width, DERIVED FROM THE DATA (r16, guide
+    # §2 "make partitioning scale-adaptive rather than a constant"):
+    # once the contracted star edge list is on disk its size is
+    # known exactly. When the whole list fits a handful of 64 MB
+    # partitions, AQE's per-stage re-optimization submits ~5 sub-jobs
+    # per round for MB-scale exchanges — measured 40 jobs / 2.2 s for
+    # a 6-round fixpoint at sf0.1 vs 1.95 s with AQE off and an
+    # 8-partition width (A/B receipt in OPTIMIZATION_r16.md). Above
+    # the gate nothing changes: AQE (skew-split + coalescing) is the
+    # right posture for a corpus-scale edge list, and the width is
+    # ceil(bytes / 64 MB), not a core-count constant.
+    _CC_SMALL_BYTES = 512 * 2**20
+    _CC_PART_BYTES = 64 * 2**20
+
+    def _dir_bytes(p: str) -> int:
+        import os as _os
+
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _d, fs in _os.walk(p)
+            for f in fs
+        )
+
+    _conf = spark.conf
+    _old_aqe = _conf.get("spark.sql.adaptive.enabled")
+    _old_parts = _conf.get("spark.sql.shuffle.partitions")
+
+    def _scope_loop_width(edge_bytes: int) -> None:
+        if edge_bytes <= _CC_SMALL_BYTES:
+            _conf.set("spark.sql.adaptive.enabled", "false")
+            _conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(8, -(-edge_bytes // _CC_PART_BYTES))),
+            )
+
+    def _restore_width() -> None:
+        _conf.set("spark.sql.adaptive.enabled", _old_aqe)
+        _conf.set("spark.sql.shuffle.partitions", _old_parts)
+
     try:
         star.write.mode("overwrite").parquet(scratch_dir + "/edges_0")
         D = spark.read.parquet(scratch_dir + "/edges_0")
+        _scope_loop_width(_dir_bytes(scratch_dir + "/edges_0"))
         # Convergence witness: count + endpoint sums + an
         # order-independent content hash (sum of xxhash64(hi, lo)).
         # The sums alone are necessary but not sufficient — a round
@@ -646,6 +686,9 @@ def neardup_representatives(
                     f"max_rounds={max_rounds}; raise max_rounds or pass an "
                     f"explicit rounds= to accept a bounded contraction"
                 )
+        # the label join below is corpus-scale — run it (and anything
+        # after) at the session's width/AQE posture, not the loop's
+        _restore_width()
         # star forest -> labels; min(lo) per hi is a no-op at fixpoint
         # but keeps bounded-rounds output well-defined
         roots = D.groupBy("hi").agg(F.min("lo").alias("__root"))
@@ -669,6 +712,7 @@ def neardup_representatives(
             labels = labels.localCheckpoint(eager=True)
         return labels
     finally:
+        _restore_width()  # idempotent; covers mid-loop exceptions
         if own_scratch:
             shutil.rmtree(scratch_dir, ignore_errors=True)
 

@@ -618,3 +618,24 @@ def test_signatures_agg_xxhash64_matches_python_reference(spark):
     hs = [r["h"] & 0xFFFFFF for r in raw]
     want = [min((h * a + b) % P_MINHASH for h in hs) for a, b in minhash_params(8)]
     assert sig == want
+
+
+def test_neardup_representatives_restores_session_width(spark):
+    """The r16 loop-scoped width (AQE off + data-derived shuffle
+    partitions while the contracted edge list is small) must restore
+    the session's conf afterwards — labels unchanged either way."""
+    from pdf_using_hugging_face_and_vector_database_spark.operators.dedup import (
+        minhash_signatures_agg,
+        neardup_representatives,
+    )
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    near = BASE[:-8]
+    df = _docs(spark, [BASE, near, BASE])
+    sigs = minhash_signatures_agg(df, num_hashes=16, ngram=7)
+    reps = {r["doc_id"]: r["group_rep"] for r in
+            neardup_representatives(sigs, num_hashes=16, bands=4).collect()}
+    assert reps == {0: 0, 1: 0, 2: 0}
+    assert spark.conf.get("spark.sql.adaptive.enabled") == old_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old_parts
