@@ -225,18 +225,27 @@ def crossdoc_duplicate_spans(
     ``is_boilerplate`` flag at ``flag_frac``.
 
     Physical shape: explode shingles -> groupBy(gram, id) [map-side
-    partial] -> groupBy(gram) distinct-doc counts -> join back on gram
-    -> groupBy(id). The gram->doc-count join is the corpus-dedup
-    shuffle shape: hash-partitioned on gram, candidates only, never
-    all-pairs; a universal gram contributes at most one row per doc to
-    the join (bounded by |docs|, not occurrences).
+    partial] -> per-gram distinct-doc counts as a WINDOW count over
+    the (gram, id) rows -> groupBy(id). The window replaces the r15
+    self-join of per_doc against its own groupBy(gram) aggregate —
+    Spark planned that join's two branches as two full shingle
+    explodes + two (gram, id) shuffles (the branches disagree on the
+    n_occ column, so AQE's ReuseExchange cannot deduplicate them;
+    plan receipt in plans/r16/) — and n_docs = count over the gram
+    partition of per_doc is the same integer by construction (one
+    row per (gram, doc)). A universal gram's window partition holds
+    at most one row per doc (bounded by |docs|, not occurrences) —
+    the same skew bound the join shape had.
     """
+    from pyspark.sql import Window
+
     from .curation import _word_ngrams_exploded
 
     grams = _word_ngrams_exploded(df, n, text_col, id_col)
     per_doc = grams.groupBy("gram", id_col).agg(F.count(F.lit(1)).alias("n_occ"))
-    gram_docs = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
-    joined = per_doc.join(gram_docs, "gram")
+    joined = per_doc.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
     agg = joined.groupBy(id_col).agg(
         F.sum("n_occ").alias("n_grams"),
         F.sum(
@@ -407,8 +416,17 @@ def bigram_lm_xent(
 
     observed = big.filter(F.col("w1").isNotNull())
     c2 = observed.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    c1 = c2.groupBy("w1").agg(F.sum("c").alias("ctx"))
-    model = c2.join(c1, "w1").select(
+    # context counts as a WINDOW sum over the bigram rows (r16): the
+    # r15 c2 ⋈ groupBy(w1) self-join re-ran the corpus bigram explode
+    # + (w1, w2) shuffle for the c1 branch (same double-subtree shape
+    # as crossdoc_spans/tfidf — plan receipt in plans/r16/);
+    # ctx = sum(c) over the w1 partition is the same integer by
+    # construction (c2 is one row per (w1, w2)).
+    from pyspark.sql import Window
+
+    model = c2.withColumn(
+        "ctx", F.sum("c").over(Window.partitionBy("w1"))
+    ).select(
         "w1",
         "w2",
         F.round(

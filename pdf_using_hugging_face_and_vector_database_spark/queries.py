@@ -2968,11 +2968,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = dt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(df_t), "term").withColumn(
-        "tfidf", F.round(F.col("tf") * idf, 6)
+    # df as a WINDOW count over the (doc, term) rows (r16): the r15
+    # self-join of tf against its own groupBy(term) aggregate planned
+    # as TWO full explode + (doc, term) shuffle subtrees (the branches
+    # disagree on the tf column, so AQE's ReuseExchange cannot
+    # deduplicate them — the same shape fixed in crossdoc_spans, plan
+    # receipt in plans/r16/). df = count over the term partition is
+    # the same integer by construction (tf is one row per (doc, term)).
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = scored.withColumn("tfidf", F.round(F.col("tf") * idf, 6))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -3008,11 +3015,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     ).filter(F.col("term").isin(qterms))
     tf = dt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    contrib = tf.join(F.broadcast(df_t), "term").withColumn(
-        "c", F.round(F.col("tf") * idf, 6)
+    # df via window count over the (doc, term) rows — same
+    # double-subtree removal as tfidf_top_terms (r16): the corpus
+    # explode + term filter ran once per branch of the old tf ⋈
+    # groupBy(term) self-join; identical df integer by construction
+    contrib = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    contrib = contrib.withColumn("c", F.round(F.col("tf") * idf, 6))
     kw = contrib.groupBy("doc_id").agg(
         F.sum(F.col("c").cast(DEC)).cast("double").alias("kw_score")
     )

@@ -125,10 +125,24 @@ def test_vocab_topn_is_take_ordered(spark, sf_dir):
     assert has_take_ordered(Q.vocab_top_tokens(spark, sf_dir))
 
 
-def test_tfidf_broadcasts_df_table(spark, sf_dir):
-    """The vocabulary-sized document-frequency table must broadcast
-    back onto the doc-term table, not shuffle it."""
-    assert has_broadcast_join(Q.tfidf_top_terms(spark, sf_dir))
+def test_tfidf_single_corpus_pass(spark, sf_dir):
+    """r16: document frequency rides a WINDOW count over the
+    (doc, term) aggregate — the corpus is exploded and shuffled once.
+    The r15 broadcast-join shape re-ran the full explode + (doc, term)
+    shuffle for the groupBy(term) branch (AQE cannot reuse exchanges
+    whose columns diverge); this pin holds the single-subtree shape:
+    exactly one documents scan, no join of any kind."""
+    plan = formatted_plan(Q.tfidf_top_terms(spark, sf_dir))
+    # formatted plans name each scan in the tree AND detail sections;
+    # count detail entries only ("(n) Scan parquet")
+    n_scans = sum(
+        1
+        for line in plan.splitlines()
+        if line.lstrip().startswith("(") and "Scan parquet" in line
+    )
+    assert n_scans == 1, plan
+    assert "Join" not in plan
+    assert "Window" in plan
 
 
 def test_multimodal_chains_are_shuffle_free(spark, sf_dir):
