@@ -4074,14 +4074,20 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    min_cost = cost.groupBy("l_partkey").agg(
-        F.min("unit_price").alias("min_up")
-    )
     supp_dim = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
+    # the correlated min as a WINDOW over the aggregated cost rows
+    # (r16): the r15 cost ⋈ groupBy(partkey) join-back planned the
+    # whole lineitem 3-way join + aggregation TWICE (diverging
+    # branches defeat ReuseExchange — same class as crossdoc/tfidf,
+    # plan receipt in plans/r16/); min over the partkey partition is
+    # the same double by construction and rides the aggregation's
+    # existing (l_partkey, l_suppkey) clustering with one narrower
+    # re-shuffle instead of a second scan+join subtree.
+    min_up = F.min("unit_price").over(Window.partitionBy("l_partkey"))
     return (
-        cost.join(min_cost, "l_partkey")
+        cost.withColumn("min_up", min_up)
         .filter(F.col("unit_price") == F.col("min_up"))
         .join(part, cost.l_partkey == part.p_partkey)
         .join(supp_dim, cost.l_suppkey == supp_dim.s_suppkey)
@@ -4492,21 +4498,28 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o2_orderkey"),
         F.col("l_suppkey").alias("o2_suppkey"),
     )
-    late_others = l1.select(
-        F.col("l_orderkey").alias("o3_orderkey"),
-        F.col("l_suppkey").alias("o3_suppkey"),
-    )
+    # NOT EXISTS(other late supplier) as a WINDOW over the late rows
+    # (r16): the r15 left-anti of l1 against itself planned the
+    # lineitem ⋈ orders late subtree TWICE (diverging projections
+    # defeat ReuseExchange — the crossdoc/tfidf/min_cost class, plan
+    # receipt in plans/r16/). A late row has no other late supplier
+    # on its order iff ALL late rows of the order carry one suppkey,
+    # i.e. min == max over the order partition — row multiplicity
+    # (and therefore numwait) is untouched. The order partition is
+    # bounded by lines-per-order, the same bound the anti-join's
+    # shuffle key had. EXISTS(other supplier) stays a left-semi
+    # against the full lineitem — a genuinely different table.
+    w21 = Window.partitionBy("l_orderkey")
     sole_late = (
-        l1.join(
+        l1.withColumn("__lo_s", F.min("l_suppkey").over(w21))
+        .withColumn("__hi_s", F.max("l_suppkey").over(w21))
+        .filter(F.col("__lo_s") == F.col("__hi_s"))
+        .drop("__lo_s", "__hi_s")
+        .join(
             others,
             (F.col("l_orderkey") == F.col("o2_orderkey"))
             & (F.col("l_suppkey") != F.col("o2_suppkey")),
             "left_semi",
-        ).join(
-            late_others,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
         )
     )
     return (

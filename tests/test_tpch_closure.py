@@ -66,14 +66,25 @@ def test_q19_disjunction_pushes_part_half_to_scan(spark, sf_dir):
     assert has_pushed_filters(Q.disjunctive_revenue(spark, sf_dir), "p_brand")
 
 
-def test_q21_sole_late_uses_semi_and_anti(spark, sf_dir):
-    """EXISTS(other supplier) -> left semi; NOT EXISTS(other late
-    supplier) -> left anti; both on the orderkey equi-key with the
-    supplier inequality riding along — lineitem is never aggregated
-    before the filters."""
+def test_q21_sole_late_semi_plus_window(spark, sf_dir):
+    """EXISTS(other supplier) -> left semi against the full lineitem;
+    NOT EXISTS(other late supplier) -> min==max window over the late
+    rows' order partition (r16 — the r15 left-anti self-join planned
+    the late lineitem ⋈ orders subtree twice; the window keeps one).
+    lineitem is never aggregated before the filters."""
     plan = formatted_plan(Q.waiting_suppliers(spark, sf_dir))
     assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftAnti" not in plan
+    assert "Window" in plan
+    # one late subtree: 5 scans total (late lineitem + orders, the
+    # semi's full lineitem, supplier, nation) — the r15 anti-join
+    # shape carried 7 (a second late lineitem ⋈ orders subtree)
+    n_scans = sum(
+        1
+        for line in plan.splitlines()
+        if line.lstrip().startswith("(") and "Scan parquet" in line
+    )
+    assert n_scans == 5, plan
     assert has_take_ordered(Q.waiting_suppliers(spark, sf_dir))
 
 
